@@ -1,0 +1,20 @@
+"""harvesttext_spark — a from-scratch, PySpark-native re-implementation of the
+query/data-processing capabilities of blmoistawinde/HarvestText, recast as a
+web-scale text quality-filter engine.
+
+Design principles (see SURVEY.md):
+  * DataFrame/SQL first — Catalyst plans everything relational (n-gram stats,
+    PMI, entropy, TF-IDF, inverted index, co-occurrence graphs, dedup).
+  * Python only where semantics demand it, always vectorized: scalar
+    ``pandas_udf`` for the regex cleaning battery (byte-identical to the
+    reference's CPython ``re`` semantics), ``mapInPandas`` for tokenizing /
+    Aho-Corasick entity matching, ``applyInPandas`` for tiny per-document
+    graph algorithms (TextRank / summary / TextTiling).
+  * Scale hygiene: broadcast dimension tables, salted two-level aggregation
+    for Zipfian-skewed keys (domains, head n-grams), AQE on, explicit
+    shuffle-partition sizing.
+"""
+
+__version__ = "0.1.0"
+
+from harvesttext_spark.session import get_spark  # noqa: F401

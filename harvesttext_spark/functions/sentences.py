@@ -1,0 +1,78 @@
+"""Sentence segmentation — HarvestText ``cut_sentences`` recast for Spark.
+
+Reference semantics (``harvesttext/harvesttext.py:694-727``): zh path inserts
+newlines after sentence-final punctuation via four regex passes and splits;
+optional punctuation-run dedup; strip + drop-empty.  The en path in the
+reference calls nltk ``sent_tokenize`` — nltk is not in this image, so the en
+path here uses the same rule-based splitter restricted to ASCII terminators
+(documented divergence; zh is the contract path).
+
+Spark surface:
+  * ``cut_sentences_py``      — str -> list[str]  (tests / oracle parity)
+  * ``cut_sentences_udf``     — pandas UDF -> array<string> column
+  * ``explode_sentences(df)`` — (doc_id, text) -> (doc_id, sent_id, sentence)
+    rows via posexplode; downstream per-sentence operators stay relational.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+RE_PUNCT_RUN = re.compile(r"([。！？\!\?])\1+")
+RE_ZH_SINGLE = re.compile(r"([。！？\?!])([^”’)\]）】])")
+RE_EN_ELLIPSIS = re.compile(r"(\.{3,})([^”’)\]）】….])")
+RE_ZH_ELLIPSIS = re.compile(r"(\…+)([^”’)\]）】….])")
+RE_CLOSE_QUOTE = re.compile(r"([。！？\?!]|\.{3,}|\…+)([”’)\]）】])([^，。！？\?….])")
+
+
+def cut_sentences_py(
+    para: str,
+    drop_empty_line: bool = True,
+    strip: bool = True,
+    deduplicate: bool = False,
+) -> list[str]:
+    """Rule-based zh sentence splitter, pass order per the reference."""
+    if para is None:
+        return []
+    if deduplicate:
+        para = RE_PUNCT_RUN.sub(r"\1", para)
+    para = RE_ZH_SINGLE.sub(r"\1\n\2", para)
+    para = RE_EN_ELLIPSIS.sub(r"\1\n\2", para)
+    para = RE_ZH_ELLIPSIS.sub(r"\1\n\2", para)
+    para = RE_CLOSE_QUOTE.sub(r"\1\2\n\3", para)
+    para = para.rstrip()
+    sentences = para.split("\n")
+    if strip:
+        sentences = [s.strip() for s in sentences]
+    if drop_empty_line:
+        sentences = [s for s in sentences if len(s.strip()) > 0]
+    return sentences
+
+
+def cut_sentences_udf(drop_empty_line=True, strip=True, deduplicate=False):
+    @pandas_udf(ArrayType(StringType()))
+    def _cut(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: cut_sentences_py(t, drop_empty_line, strip, deduplicate),
+            na_action="ignore",
+        )
+
+    return _cut
+
+
+def explode_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text) -> (id, sent_id, sentence) — narrow op then generator;
+    no shuffle, sentence order is preserved via posexplode index."""
+    cut = cut_sentences_udf()
+    return df.select(
+        F.col(id_col),
+        F.posexplode(cut(F.col(text_col))).alias("sent_id", "sentence"),
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis signal columns — language-ID, quality scores, token counts,
+document fingerprints.  All Catalyst-native column expressions (whole-stage
+codegen; no Python in the hot path) so they are also DuckDB-oracle
+expressible for the correctness gate.
+
+These are the engine's additions for a web-scale training-data pipeline
+(BASELINE.json north_star: langid + heuristic quality rules feeding the
+keep/drop decision), layered on the statistics vocabulary of the reference's
+word-discovery module (``harvesttext/algorithms/word_discoverer.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization (relational) -------------------------------------------
+
+# BPE-ish word/number/symbol pieces; RE2-compatible so DuckDB agrees.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens as array<string> (empty-safe)."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_piece_count(text: Column) -> Column:
+    """Count of BPE-ish pieces (letters run / digits run / single symbol)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+# --- language ID (marker-word heuristic) ---------------------------------
+
+# distinct high-frequency function words per language; zh by CJK codepoints.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    """#distinct marker words present, per language (array_intersect dedups —
+    DuckDB mirror uses list_distinct(list_intersect(...)))."""
+    toks = tokens_col(F.lower(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language: zh if any CJK char, else argmax of marker counts
+    (ties broken by LANG_ORDER), 'und' when no markers hit."""
+    counts = lang_marker_counts(text)
+    best = None
+    best_count = None
+    for lang in LANG_ORDER:
+        c = counts[lang]
+        if best is None:
+            best, best_count = F.lit(lang), c
+        else:
+            cond = c > best_count
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_count = F.when(cond, c).otherwise(best_count)
+    pred = F.when(best_count > 0, best).otherwise(F.lit("und"))
+    has_cjk = text.rlike("[\\x{4e00}-\\x{9fff}]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(pred)
+
+
+# --- quality scoring ------------------------------------------------------
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "was", "with", "as", "at", "by", "be",
+]
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """Heuristic quality features (Gopher/C4-style rules re-expressed over the
+    reference's cleaning vocabulary).  All pure column arithmetic."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9\\x{4e00}-\\x{9fff}]", ""))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0)))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(w) for w in STOPWORDS_EN]),
+        )
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "alnum_ratio": (n_alnum / safe_chars).cast("double"),
+        "punct_ratio": (n_punct / safe_chars).cast("double"),
+        "stopword_distinct": n_stop,
+        "distinct_token_ratio": (n_distinct / safe_tok).cast("double"),
+        "mean_token_len": (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_tok
+        ).cast("double"),
+        "max_char_run": max_char_run(text),
+    }
+
+
+def max_char_run(text: Column) -> Column:
+    """Length of the longest single-character run (repeated-char junk rule).
+    Computed natively: for run lengths up to 20 via regex probes (capped)."""
+    probes = [
+        F.when(text.rlike("(.)" + "\\1" * (k - 1)), F.lit(k)).otherwise(F.lit(0))
+        for k in (2, 3, 5, 8, 10, 15, 20)
+    ]
+    return F.greatest(F.least(F.length(text), F.lit(1)), *probes)
+
+
+# --- fingerprinting -------------------------------------------------------
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+FP_PREFIX = 64
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic polynomial rolling hash of the first FP_PREFIX chars:
+    acc = (acc*131 + codepoint) mod 1e9+7.  Portable: identical fold in
+    DuckDB via list_reduce, no engine hash() involved."""
+    chars = F.split(F.substring(text, 1, FP_PREFIX), "")
+    chars = F.filter(chars, lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )

@@ -1,0 +1,136 @@
+"""The flagship pipeline: language-ID + quality-filter + scrub over a
+Common-Crawl-style pages table (BASELINE.json north_rule).
+
+Stages (one Spark job, no shuffle until the metrics aggregation):
+  1. extract  — prefer `text`; fall back to UTF-8 decode of `html` binary
+                (the tag-removal pass of the battery strips markup).
+  2. scrub    — the full HarvestText clean_text battery as ONE Arrow-batched
+                pandas UDF (byte-identical contract; functions/cleaning.py).
+  3. signals  — Catalyst-native quality features + marker-based langid
+                (functions/textstats.py) — whole-stage codegen.
+  4. label    — deterministic keep/drop cascade with a drop_reason.
+  5. metrics  — per-partition lineage rows + per-domain stats via SALTED
+                two-level aggregation (Zipfian domains; AQE skew handling
+                covers joins, not groupBy hot keys — the salt is ours).
+
+Keep/drop rule-set (the engine spec; also implemented single-threaded in
+tests/reference_impl.py to produce "reference labels" for the F1≥0.99 gate):
+    null_text      no text and no decodable html
+    too_short      len(text_clean) < 20
+    char_run       a single char repeated ≥10 times
+    low_alnum      alnum+CJK chars / total chars < 0.45
+    low_diversity  ≥20 tokens and distinct/total tokens < 0.30
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harvesttext_spark.functions.cleaning import make_clean_text_udf
+from harvesttext_spark.functions.textstats import lang_id, quality_signals
+
+MIN_CHARS = 20
+MAX_CHAR_RUN = 10
+MIN_ALNUM_RATIO = 0.45
+MIN_DISTINCT_RATIO = 0.30
+DIVERSITY_MIN_TOKENS = 20
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Prefer the pre-extracted text column; else decode html binary.
+    Column pruning: downstream never touches `html` when `text` is set —
+    Catalyst still scans it for the coalesce, so at 100TB the real input
+    should be written with text materialized (as Common Crawl WET does)."""
+    return pages.withColumn(
+        "raw_text",
+        F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8")),
+    )
+
+
+def scrub(df: DataFrame, text_col: str = "raw_text", **clean_flags) -> DataFrame:
+    clean_udf = make_clean_text_udf(**clean_flags)
+    return df.withColumn("text_clean", clean_udf(F.col(text_col)))
+
+
+def label(df: DataFrame, text_col: str = "text_clean") -> DataFrame:
+    sig = quality_signals(F.col(text_col))
+    df = df.withColumn("lang_pred", lang_id(F.col(text_col)))
+    for name, col in sig.items():
+        df = df.withColumn(f"q_{name}", col)
+    drop_reason = (
+        F.when(F.col(text_col).isNull(), F.lit("null_text"))
+        .when(F.col("q_n_chars") < MIN_CHARS, F.lit("too_short"))
+        .when(F.col("q_max_char_run") >= MAX_CHAR_RUN, F.lit("char_run"))
+        .when(F.col("q_alnum_ratio") < MIN_ALNUM_RATIO, F.lit("low_alnum"))
+        .when(
+            (F.col("q_n_tokens") >= DIVERSITY_MIN_TOKENS)
+            & (F.col("q_distinct_token_ratio") < MIN_DISTINCT_RATIO),
+            F.lit("low_diversity"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("drop_reason", drop_reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def quality_filter(pages: DataFrame, **clean_flags) -> DataFrame:
+    """pages -> (url, warc_ts, lang, text_clean, lang_pred, q_*, keep,
+    drop_reason).  Pure map-side — a single stage at any scale."""
+    return label(scrub(extract_text(pages), **clean_flags))
+
+
+# --- metrics / lineage ----------------------------------------------------
+
+DOMAIN_RE = "^https?://([^/]+)/.*$"
+N_SALTS = 16
+
+
+def domain_col(url: str = "url") -> F.Column:
+    return F.regexp_extract(F.col(url), DOMAIN_RE, 1)
+
+
+def domain_metrics(labeled: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
+    """Per-domain keep/drop stats via salted two-level aggregation.
+
+    Level 1 groups on (domain, salt) — the hot Zipf-head domain is split
+    across `n_salts` reducers; level 2 merges the tiny partial rows.  At
+    local scale this looks like overkill; at 10^12 docs the head domain
+    would otherwise pin one reducer.
+    """
+    salted = labeled.select(
+        domain_col().alias("domain"),
+        F.col("keep"),
+        F.length("text_clean").alias("clean_len"),
+        (F.crc32(F.col("url")) % n_salts).alias("_salt"),
+    )
+    partial = salted.groupBy("domain", "_salt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("clean_len").alias("sum_len"),
+    )
+    return (
+        partial.groupBy("domain")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("n_keep").alias("n_keep"),
+            (F.sum("sum_len") / F.sum("n")).alias("avg_clean_len"),
+        )
+        .withColumn("keep_rate", F.col("n_keep") / F.col("n_docs"))
+    )
+
+
+def partition_lineage(labeled: DataFrame) -> DataFrame:
+    """Per-input-partition lineage row: the audit trail the resume story
+    anti-joins against (partition id, doc count, keep count, min/max url)."""
+    return (
+        labeled.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Golden parity for the cleaning battery.
+
+Expected strings are the exact assertions of the reference's own test suite
+(``/root/reference/tests/test_hard_text_cleaning.py:4-48``) — the
+byte-identical contract of BASELINE.json input_hint.
+"""
+
+import pandas as pd
+import pytest
+
+from harvesttext_spark.functions.cleaning import (
+    clean_text_py,
+    make_clean_text_udf,
+    clean_text_native,
+)
+from pyspark.sql import functions as F
+
+GOLDEN = [
+    ("捧杀！干得漂亮！[doge] \\u200b\\u200b\\u200b", {}, "捧杀！干得漂亮！"),
+    ("捧杀！干得漂亮！[doge] ​​​", {}, "捧杀！干得漂亮！"),
+    (
+        "#缺钱找新浪# 瞎找不良网贷不如用新浪官方借款，不查负债不填联系人。  http://t.cn/A643boyi \n"
+        "新浪[浪]用户专享福利，[浪]新浪产品用的越久额度越高，借万元日利率最低至0.03%，"
+        "最长可分12期慢慢还！ http://t.cn/A643bojv  http://t.cn/A643bKHS ​​​",
+        {},
+        "#缺钱找新浪# 瞎找不良网贷不如用新浪官方借款，不查负债不填联系人。\n"
+        "新浪用户专享福利，新浪产品用的越久额度越高，借万元日利率最低至0.03%，最长可分12期慢慢还！",
+    ),
+    (
+        "各位大神们🙏求教一下这是什么动物呀！[疑问]\n\n为什么它同时长得有点吓人又有点可爱[允悲]\n\n"
+        "#thosetiktoks# http://t.cn/A6bXIC44 ​​​",
+        {},
+        "各位大神们求教一下这是什么动物呀！\n为什么它同时长得有点吓人又有点可爱\n#thosetiktoks#",
+    ),
+    (
+        "JJ棋牌数据4.3万。数据链接http://www.jj.cn/，数据第一个账号，第二个密码，95%可登录，"
+        "可以登录官网查看数据是否准确",
+        {},
+        "JJ棋牌数据4.3万。数据链接，数据第一个账号，第二个密码，95%可登录，可以登录官网查看数据是否准确",
+    ),
+    (
+        "发布了头条文章：《【XT】每日开工链新事儿 06.30 星期二》  "
+        "[http://t.cn/A6LsKirA#区块链[超话]#](http://t.cn/A6LsKirA#%E5%8C%BA%E5%9D%97%E9%93%BE[%E8%B6%85%E8%AF%9D]#) "
+        "#数字货币[超话]# #买价值币，只选XT# #比特币[超话]# #XT每日开工链新事儿? 06.30# #腾讯回应起诉老干妈#",
+        {"markdown_hyperlink": True, "weibo_topic": True},
+        "发布了头条文章：《【XT】每日开工链新事儿 06.30 星期二》",
+    ),
+    (
+        "【#马化腾状告陶华碧#，#腾讯请求查封贵州老于妈公司1624万财产#】6月30日，据中国裁判文书网，"
+        "【】广东省深圳市南山区人民法院发布一则民事裁定书",
+        {"custom_regex": r"【.*?】"},
+        "6月30日，据中国裁判文书网，广东省深圳市南山区人民法院发布一则民事裁定书",
+    ),
+    (
+        "#嘎龙[超话]#【云次方/嘎龙】 回忆录?!1-2 http://t.cn/A6yvkujb 3 http://t.cn/A6yvkGO 4 http://t.cn/A6yZ59m0",
+        {
+            "weibo_topic": True,
+            "custom_regex": [
+                r"【.*?】",
+                r"[0-9\-]* +http[s]?://(?:[a-zA-Z]|[0-9]|[#$%*-;=?&@~.&+]|[!*,])+",
+            ],
+        },
+        "回忆录?!",
+    ),
+]
+
+
+@pytest.mark.parametrize("raw,flags,expected", GOLDEN)
+def test_clean_text_py_golden(raw, flags, expected):
+    assert clean_text_py(raw, **flags) == expected
+
+
+def test_clean_text_udf_golden(spark):
+    """The Arrow-batched UDF must match the scalar path byte-for-byte."""
+    default_cases = [(i, raw, exp) for i, (raw, fl, exp) in enumerate(GOLDEN) if not fl]
+    df = spark.createDataFrame(
+        pd.DataFrame(default_cases, columns=["i", "raw", "expected"])
+    )
+    out = df.withColumn("clean", make_clean_text_udf()(F.col("raw"))).collect()
+    for row in out:
+        assert row["clean"] == row["expected"], row["i"]
+
+
+def test_clean_text_udf_flagged(spark):
+    for raw, flags, expected in GOLDEN:
+        if not flags:
+            continue
+        df = spark.createDataFrame([(raw,)], "raw string")
+        got = df.select(make_clean_text_udf(**flags)(F.col("raw"))).first()[0]
+        assert got == expected
+
+
+def test_conflicting_flags_raise():
+    with pytest.raises(Exception):
+        clean_text_py("x", norm_url=True, to_url=True)
+
+
+def test_native_fast_path_on_simple_corpus(spark):
+    """Golden-gate the Catalyst-native regexp chain: on markup/url/email/space
+    noise WITHOUT astral-plane or zh-@mention corner cases it must agree
+    byte-for-byte with the Python-re battery."""
+    rows = [
+        ("hello <b>world</b>   and  more",),
+        ("link http://ex.com/a?b=1 tail",),
+        ("mail me a.b-c@ex-ample.org now",),
+        ("[doge] leading emoticon",),
+        ("markdown [text](http://x.y) stays",),
+        ("spaces\t\tand\n\nnewlines",),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    got = df.select(
+        clean_text_native(F.col("raw")).alias("native"),
+        make_clean_text_udf()(F.col("raw")).alias("py"),
+    ).collect()
+    for r in got:
+        assert r["native"] == r["py"]

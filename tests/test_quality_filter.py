@@ -1,0 +1,108 @@
+"""End-to-end gate: the distributed pipeline must reproduce single-threaded
+reference-semantics labels at F1 ≥ 0.99 with byte-identical scrubbed text
+per url (BASELINE.json north_rule / input_hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesttext_spark.pipeline.pages import synthesize_pages
+from harvesttext_spark.pipeline.quality_filter import (
+    domain_metrics,
+    partition_lineage,
+    quality_filter,
+)
+from tests.reference_impl import label_py
+
+N_PAGES = 1500
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    pages = synthesize_pages(spark, n=N_PAGES, seed=42, partitions=8)
+    out = quality_filter(pages).select(
+        "url", "text", "text_clean", "keep", "drop_reason"
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == N_PAGES
+    return rows
+
+
+@pytest.fixture(scope="module")
+def reference_rows(spark):
+    pages = synthesize_pages(spark, n=N_PAGES, seed=42, partitions=8)
+    return {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+
+
+def test_byte_identical_scrubbed_text(labeled, reference_rows):
+    for url, raw in reference_rows.items():
+        expect_clean, _, _ = label_py(raw)
+        assert labeled[url]["text_clean"] == expect_clean, url
+
+
+def test_keep_drop_f1(labeled, reference_rows):
+    tp = fp = fn = 0
+    mismatch = []
+    for url, raw in reference_rows.items():
+        _, ref_keep, ref_reason = label_py(raw)
+        got = labeled[url]["keep"]
+        if got and ref_keep:
+            tp += 1
+        elif got and not ref_keep:
+            fp += 1
+            mismatch.append((url, "fp", ref_reason))
+        elif not got and ref_keep:
+            fn += 1
+            mismatch.append((url, "fn", labeled[url]["drop_reason"]))
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, (f1, mismatch[:10])
+
+
+def test_drop_reasons_match(labeled, reference_rows):
+    agree = sum(
+        1
+        for url, raw in reference_rows.items()
+        if label_py(raw)[2] == labeled[url]["drop_reason"]
+    )
+    assert agree / len(reference_rows) >= 0.99
+
+
+def test_determinism_across_partitionings(spark):
+    """Same (seed, n) at different parallelism → identical table (the resume
+    / lineage contract)."""
+    a = synthesize_pages(spark, n=300, seed=7, partitions=2)
+    b = synthesize_pages(spark, n=300, seed=7, partitions=8)
+    ah = a.select(F.sha2(F.concat_ws("|", "url", "text", "lang"), 256).alias("h"))
+    bh = b.select(F.sha2(F.concat_ws("|", "url", "text", "lang"), 256).alias("h"))
+    assert ah.subtract(bh).count() == 0 and bh.subtract(ah).count() == 0
+
+
+def test_null_document_dropped(spark):
+    """html=NULL and text=NULL must yield keep=false/null_text, never a
+    silent keep with NULL text_clean (found by verification probe)."""
+    import pandas as pd
+
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://x.com/p/3"],
+                "warc_ts": pd.to_datetime(["2024-01-01"]),
+                "html": [None],
+                "text": [None],
+                "lang": ["en"],
+            }
+        )
+    )
+    r = quality_filter(probe).select("keep", "drop_reason").first()
+    assert r["keep"] is False and r["drop_reason"] == "null_text"
+
+
+def test_metrics_shapes(spark):
+    pages = synthesize_pages(spark, n=500, seed=42)
+    lab = quality_filter(pages)
+    dm = domain_metrics(lab)
+    assert dm.filter(F.col("n_keep") > F.col("n_docs")).count() == 0
+    assert dm.agg(F.sum("n_docs")).first()[0] == 500
+    pl = partition_lineage(lab)
+    assert pl.agg(F.sum("n_docs")).first()[0] == 500
