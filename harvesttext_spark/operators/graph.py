@@ -1,0 +1,273 @@
+"""Graph construction & ranking: entity co-occurrence networks, TextRank
+keywords, TF-IDF keywords, extractive summarization.
+
+Reference semantics: ``harvesttext/ent_network.py:11-123`` (edge weight =
+number of docs where both entities occur), ``harvesttext/algorithms/
+keyword.py:4-36`` (sliding-window word graph + pagerank),
+``harvesttext/summary.py:11-79`` (sentence-similarity graph + pagerank +
+optional MMR), ``harvesttext/word_discover.py:243-301`` (TF-IDF keywords).
+
+Spark design:
+  * corpus-level graphs are EDGE DATAFRAMES from posting-list self-joins —
+    never a driver-side networkx object;
+  * per-document ranking (TextRank keywords / summary) runs inside
+    ``applyInPandas`` — each document's graph is tiny, the fleet of
+    documents is the parallelism; networkx pagerank gives exact reference
+    parity within the group;
+  * corpus-level PageRank, when needed, is the iterative join/agg loop
+    (``pagerank_edges``) — O(E) shuffles per iteration, AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- entity co-occurrence network ----------------------------------------
+
+def cooccurrence_edges(
+    posting: DataFrame, min_freq: int = 0, keys: DataFrame | None = None
+) -> DataFrame:
+    """(u, v, weight) with u < v; weight = #docs containing both keys.
+    ``posting`` is the (doc_id, key) table; optional ``keys`` restricts the
+    node set (broadcast semi-join)."""
+    p = posting
+    if keys is not None:
+        p = p.join(F.broadcast(keys), "key", "semi")
+    a = p.select("doc_id", F.col("key").alias("u"))
+    b = p.select("doc_id", F.col("key").alias("v"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("doc_id").alias("weight"))
+    )
+    return edges.filter(F.col("weight") >= min_freq) if min_freq > 0 else edges
+
+
+def word_cooccurrence_edges(
+    docs: DataFrame,
+    words_col: str = "words",
+    id_col: str = "doc_id",
+    center: str | None = None,
+    min_freq: int = 0,
+) -> DataFrame:
+    """Word ego-graph edges (ent_network.py:43-82): over docs containing
+    ``center`` (if given), weight = #docs where both words occur."""
+    d = docs
+    if center is not None:
+        d = d.filter(F.array_contains(F.col(words_col), center))
+    posting = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.col(words_col))).alias("key"),
+    )
+    return cooccurrence_edges(posting, min_freq=min_freq)
+
+
+# --- TF-IDF keywords (pure relational) ------------------------------------
+
+def tfidf_keywords(
+    docs: DataFrame,
+    words_col: str = "words",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Classic relational TF-IDF with per-doc top-k:
+    tf = in-doc count, idf = ln(N / df), rank via window.  -> (doc_id, word,
+    tfidf, rank).  Ties broken by word for determinism."""
+    from pyspark.sql.window import Window
+
+    n_docs = docs.count()
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_col).alias("word")
+    )
+    if stopwords:
+        sw = docs.sparkSession.createDataFrame([(w,) for w in set(stopwords)], "word string")
+        tok = tok.join(F.broadcast(sw), "word", "left_anti")
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+# --- per-document TextRank (applyInPandas) ---------------------------------
+
+def pagerank_dict(
+    adj: dict, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-6
+) -> dict:
+    """Power-iteration PageRank over {u: {v: weight}} adjacency (undirected
+    graphs pass both directions).  Same formulation/stopping rule as
+    networkx.pagerank (which needs scipy, absent here): column-stochastic by
+    out-weight, uniform dangling mass, err < n*tol."""
+    nodes = list(adj)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    x = dict.fromkeys(nodes, 1.0 / n)
+    out_w = {u: float(sum(adj[u].values())) for u in nodes}
+    for _ in range(max_iter):
+        x_new = dict.fromkeys(nodes, 0.0)
+        dangle = sum(x[u] for u in nodes if out_w[u] == 0.0)
+        for u in nodes:
+            if out_w[u] > 0.0:
+                xu = alpha * x[u] / out_w[u]
+                for v, w in adj[u].items():
+                    x_new[v] += xu * w
+        base = alpha * dangle / n + (1.0 - alpha) / n
+        for u in nodes:
+            x_new[u] += base
+        err = sum(abs(x_new[u] - x[u]) for u in nodes)
+        x = x_new
+        if err < n * tol:
+            break
+    return x
+
+
+def _textrank_block(word_lists, top_k, window, weighted):
+    """Reference textrank (keyword.py:19-36) over one document's blocks."""
+    adj: dict = {}
+
+    def add_edge(u, v, w):
+        if u == v:
+            return
+        adj.setdefault(u, {})
+        adj.setdefault(v, {})
+        if weighted:
+            adj[u][v] = adj[u].get(v, 0) + w
+            adj[v][u] = adj[v].get(u, 0) + w
+        else:
+            adj[u][v] = 1
+            adj[v][u] = 1
+
+    for wl in word_lists:
+        for x in range(1, max(window, 2)):
+            if x >= len(wl):
+                break
+            for u, v in zip(wl, wl[x:]):
+                add_edge(u, v, 1)
+    pr = pagerank_dict(adj)
+    return sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+
+
+def textrank_keywords(
+    sent_words: DataFrame,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    top_k: int = 5,
+    window: int = 2,
+    weighted: bool = False,
+) -> DataFrame:
+    """TextRank keywords per document.  Input: one row per sentence
+    (doc_id, words array).  -> (doc_id, word, score).  Per-doc graphs are
+    tiny; parallelism = documents."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf[id_col].iloc[0]
+        ranked = _textrank_block(list(pdf[words_col]), top_k, window, weighted)
+        return pd.DataFrame(
+            {"doc_id": doc_id, "word": [w for w, _ in ranked], "score": [s for _, s in ranked]}
+        )
+
+    return sent_words.groupBy(id_col).applyInPandas(
+        per_doc, schema="doc_id long, word string, score double"
+    )
+
+
+# --- summarization ----------------------------------------------------------
+
+def _sent_sim_textrank(w1, w2):
+    import math
+
+    if len(w1) <= 1 or len(w2) <= 1:
+        return 0.0
+    return len(set(w1) & set(w2)) / (math.log2(len(w1)) + math.log2(len(w2)))
+
+
+def summarize(
+    sent_words: DataFrame,
+    id_col: str = "doc_id",
+    sent_col: str = "sentence",
+    words_col: str = "words",
+    top_k: int = 2,
+) -> DataFrame:
+    """Extractive summary per document (summary.py:11-49, no-MMR path):
+    complete sentence-similarity graph (word-overlap/log-length), pagerank,
+    top-K by importance.  -> (doc_id, sentence, importance)."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf[id_col].iloc[0]
+        pdf = pdf[pdf[words_col].map(len) > 0].reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"doc_id": [], "sentence": [], "importance": []})
+        if n == 1:
+            return pd.DataFrame(
+                {"doc_id": [doc_id], "sentence": [pdf[sent_col].iloc[0]], "importance": [1.0]}
+            )
+        toks = list(pdf[words_col])
+        adj: dict = {i: {} for i in range(n)}
+        for u, v in combinations(range(n), 2):
+            w = _sent_sim_textrank(toks[u], toks[v])
+            adj[u][v] = w
+            adj[v][u] = w
+        pr = pagerank_dict(adj)
+        ranked = sorted(pr.items(), key=lambda kv: -kv[1])[:top_k]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "sentence": [pdf[sent_col].iloc[i] for i, _ in ranked],
+                "importance": [imp for _, imp in ranked],
+            }
+        )
+
+    return sent_words.groupBy(id_col).applyInPandas(
+        per_doc, schema=f"doc_id long, sentence string, importance double"
+    )
+
+
+# --- distributed PageRank (corpus-scale graphs) -----------------------------
+
+def pagerank_edges(
+    edges: DataFrame, damping: float = 0.85, iters: int = 10, weighted: bool = True
+) -> DataFrame:
+    """Iterative PageRank over an undirected (u, v, weight) edge DataFrame —
+    for corpus-level graphs too big for one machine.  Each iteration is one
+    join + one aggregation; ranks are checkpoint-free (lineage stays short
+    because we localCheckpoint every few iters)."""
+    sym = edges.select("u", "v", "weight").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "weight")
+    )
+    if not weighted:
+        sym = sym.withColumn("weight", F.lit(1.0))
+    out_w = sym.groupBy("u").agg(F.sum("weight").alias("w_out"))
+    norm = sym.join(out_w, "u").select(
+        "u", "v", (F.col("weight") / F.col("w_out")).alias("p")
+    ).cache()
+    nodes = sym.select(F.col("u").alias("node")).distinct().cache()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = norm.join(
+            ranks.withColumnRenamed("node", "u"), "u"
+        ).groupBy(F.col("v").alias("node")).agg(
+            F.sum(F.col("p") * F.col("rank")).alias("acc")
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit((1 - damping) / n) + F.lit(damping) * F.coalesce("acc", F.lit(0.0))).alias("rank"),
+        )
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

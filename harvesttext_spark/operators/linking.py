@@ -1,0 +1,233 @@
+"""Dictionary-backed multi-pattern matching: entity mention linking and
+PII / sensitive-term scrubbing.
+
+Reference semantics re-expressed (``harvesttext/harvesttext.py``):
+  * char-trie longest match from each cursor position with backtracking to
+    the last complete mention seen (:292-307 — the 料酒 case);
+  * cursor jumps past each linked span (:458-494);
+  * linking strategies (:332-404): "None" → deterministic first candidate
+    (we use lexicographic order; the reference's set-iteration order is
+    hash-seed dependent — divergence documented, unambiguous mentions are
+    identical), "freq" with PRESET priors → exact, including overlapping-
+    span resolution (:467-485).  Running-count "freq" and cross-document
+    "latest" are sequential semantics; scoped per document here.
+  * decoref replaces linked spans with their #type# placeholder (:547-555)
+    — reused verbatim as the PII scrub: match spans of a typed sensitive-
+    term dictionary, splice the type placeholder in.
+  * type names containing punctuation are rejected (:71-78).
+
+Spark design: the KB is a small dimension — compile the trie ONCE on the
+driver, ``sc.broadcast`` it, scan each document inside ``mapInPandas``
+(Arrow batches; trie automaton state machine is O(len × depth) per doc,
+executor-local, zero shuffle).  The relational alternative (broadcast join
+on exploded tokens) can't express longest-match-with-overlap, hence the UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TYPE_PUNCT_RE = re.compile(
+    r"[、！？｡＂＃＄％＆＇（）＊＋，－／：；＜＝＞＠［＼］＾＿｀｛｜｝～｟｠｢｣､、〃》「」『』"
+    r"【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"
+)
+
+LINK_SCHEMA = "array<struct<l:int,r:int,entity:string,type:string>>"
+
+
+class EntityKB:
+    """Mention dictionary compiled to a char trie.  Leaf values are sorted
+    (entity, #type#) lists — deterministic candidate order."""
+
+    def __init__(self):
+        self.root: dict = {}
+        self.mention_entities: dict[str, list[tuple[str, str]]] = {}
+
+    @staticmethod
+    def check_type_name(entity_type: str) -> None:
+        m = TYPE_PUNCT_RE.search(entity_type)
+        if m:
+            raise Exception(
+                "Your type input '{}' includes punctuation '{}', "
+                "please remove them first".format(entity_type, m.group())
+            )
+
+    def add(self, mention: str, entity: str, entity_type: str) -> None:
+        self.check_type_name(entity_type)
+        type0 = f"#{entity_type}#"
+        pairs = self.mention_entities.setdefault(mention, [])
+        # same entity re-registered under a new type: last wins
+        pairs[:] = [(e, t) for (e, t) in pairs if e != entity]
+        pairs.append((entity, type0))
+        pairs.sort()
+        node = self.root
+        for ch in mention:
+            node = node.setdefault(ch, {})
+        node["leaf"] = mention
+
+    @classmethod
+    def from_triples(cls, triples: Iterable[tuple[str, str, str]]) -> "EntityKB":
+        kb = cls()
+        for mention, entity, entity_type in triples:
+            kb.add(mention, entity, entity_type)
+        return kb
+
+    @classmethod
+    def from_dataframe(cls, mentions_df: DataFrame) -> "EntityKB":
+        rows = mentions_df.select("mention", "entity", "type").collect()
+        return cls.from_triples((r[0], r[1], r[2]) for r in rows)
+
+    # --- matching ---------------------------------------------------------
+
+    def longest_match(self, sent: str, l: int) -> tuple[int, str | None]:
+        """Longest mention starting at l, remembering the last complete
+        mention passed (backtracking record)."""
+        node = self.root
+        best_r, best_mention = -1, None
+        for i in range(l, len(sent)):
+            node = node.get(sent[i])
+            if node is None:
+                break
+            leaf = node.get("leaf")
+            if leaf is not None:
+                best_r, best_mention = i + 1, leaf
+        return best_r, best_mention
+
+    def link(
+        self,
+        sent: str,
+        strategy: str = "None",
+        entity_freq: dict[str, int] | None = None,
+    ) -> list[tuple[int, int, str, str]]:
+        """Leftmost-longest scan with cursor jump; returns
+        [(l, r, entity, type)].  strategy 'freq' uses preset priors and
+        resolves overlapping spans by entity frequency."""
+        freq = entity_freq or {}
+
+        def choose(mention: str) -> tuple[str, str]:
+            cands = self.mention_entities[mention]
+            if strategy == "freq" and len(cands) > 1:
+                return max(cands, key=lambda et: (freq.get(et[0], 0), ))
+            return cands[0]
+
+        out = []
+        l, n = 0, len(sent)
+        while l < n:
+            r, mention = self.longest_match(sent, l)
+            if r == -1:
+                l += 1
+                continue
+            if strategy == "freq":
+                # consider matches starting inside [l+1, r) and keep the one
+                # whose chosen entity has the highest prior (first wins ties)
+                best = (l, r, *choose(mention))
+                best_cnt = freq.get(best[2], 0)
+                for ll in range(l + 1, r):
+                    rr, m2 = self.longest_match(sent, ll)
+                    if rr == -1:
+                        continue
+                    e2, t2 = choose(m2)
+                    c2 = freq.get(e2, 0)
+                    if c2 > best_cnt:
+                        best, best_cnt = (ll, rr, e2, t2), c2
+                out.append(best)
+                l = best[1]
+            else:
+                e, t = choose(mention)
+                out.append((l, r, e, t))
+                l = r
+        return out
+
+
+def decoref(sent: str, spans: list[tuple[int, int, str, str]]) -> str:
+    """Replace each linked span with its #type# placeholder (scrub)."""
+    parts, left = [], 0
+    for l, r, _entity, type0 in spans:
+        parts.append(sent[left:l])
+        parts.append(type0)
+        left = r
+    parts.append(sent[left:])
+    return "".join(parts)
+
+
+# --- Spark operators ------------------------------------------------------
+
+
+def link_entities(
+    df: DataFrame,
+    kb: EntityKB,
+    text_col: str = "text",
+    strategy: str = "None",
+    entity_freq: dict[str, int] | None = None,
+    out_col: str = "entities",
+) -> DataFrame:
+    """Adds an array<struct<l,r,entity,type>> column of linked spans.
+    The KB is broadcast once; scanning is per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((kb, strategy, entity_freq))
+
+    def scan(batches):
+        kb_, strat, freq = bc.value
+        for pdf in batches:
+            pdf[out_col] = [
+                [
+                    {"l": l, "r": r, "entity": e, "type": t}
+                    for (l, r, e, t) in kb_.link(s, strat, freq)
+                ]
+                if isinstance(s, str)
+                else []
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} {LINK_SCHEMA}"
+    return df.mapInPandas(scan, schema=out_schema)
+
+
+def scrub_text(
+    df: DataFrame,
+    kb: EntityKB,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+) -> DataFrame:
+    """PII / sensitive-term scrub: replace every dictionary match with its
+    #type# placeholder (decoref semantics), single map-side pass."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(kb)
+
+    def scan(batches):
+        kb_ = bc.value
+        for pdf in batches:
+            pdf[out_col] = [
+                decoref(s, kb_.link(s)) if isinstance(s, str) else s
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} string"
+    return df.mapInPandas(scan, schema=out_schema)
+
+
+# regex PII battery (engine addition per north rule): phones, id-like runs
+PII_REGEXES = {
+    "phone": r"(?<![0-9])1[3-9][0-9]{9}(?![0-9])",  # zh mobile
+    "idnum": r"(?<![0-9Xx])[0-9]{17}[0-9Xx](?![0-9Xx])",  # zh national id
+    "email": r"(?i)[-a-z0-9_.]+@(?:[-a-z0-9]+\.)+[a-z]{2,6}",
+}
+
+
+def scrub_pii_regex(col, categories: Iterable[str] = ("phone", "idnum", "email")):
+    """Catalyst-native regex PII pass — replaces with <CAT> placeholders."""
+    c = col
+    for cat in categories:
+        c = F.regexp_replace(c, PII_REGEXES[cat], f"<{cat.upper()}>")
+    return c
