@@ -1,38 +1,691 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship quality-filter pipeline on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 + the
+                  engine's web-scale additions), each (spark, sf_dir) -> DF.
+``oracle_sql()``— DuckDB-runnable ANSI SQL producing the same columns and
+                  values (floats rounded identically on both sides).
+Non-SQL-expressible ops (regex battery UDF, per-doc pagerank, MinHash LSH
+banding) are present in queries() without an oracle -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from harvesttext_spark.functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    FP_BASE,
+    FP_MOD,
+    FP_PREFIX,
+    bpe_piece_count,
+    doc_fingerprint,
+    lang_id,
+    token_count,
+    tokens_col,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvesttext_spark.session import read_scaled
+
+    return read_scaled(spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvesttext_spark.session import read_scaled
+
+    return read_scaled(spark, os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvesttext_spark.session import read_scaled
+
+    return read_scaled(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter (clean battery + langid + keep/drop)
+    over the documents table at sf0.001, per-source keep-rate rollup."""
+    from harvesttext_spark.pipeline.quality_filter import label, scrub
+
+    docs = _docs(spark, "/root/testdata/sf0.001").withColumnRenamed("text", "raw")
+    out = label(scrub(docs, text_col="raw"))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(F.avg(F.length("text_clean")), 2).alias("avg_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_piece_count(F.col("text")).alias("n_pieces"),
+        F.length("text").alias("len_chars"),
+        F.size(F.array_distinct(tokens_col(F.col("text")))).alias("n_distinct_tokens"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces,
+       length(text) AS len_chars,
+       len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_marker_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        "len(list_distinct(list_intersect("
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != ''), "
+        f"[{words}])))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         {_sql_marker_count('en')} AS c_en,
+         {_sql_marker_count('es')} AS c_es,
+         {_sql_marker_count('de')} AS c_de,
+         {_sql_marker_count('fr')} AS c_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+         WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+         WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+         WHEN c_de >= c_fr THEN 'de'
+         ELSE 'fr'
+       END AS lang_pred
+FROM c
+"""
+
+
+def q_quality_signals(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    n_chars = F.length("text")
+    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9\\x{4e00}-\\x{9fff}]", ""))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(w) for w in STOPWORDS_EN]),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.round(n_alnum / F.greatest(n_chars, F.lit(1)), 6).alias("alnum_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / safe_tok, 6).alias("distinct_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / safe_tok, 6
+        ).alias("mean_token_len"),
+        n_stop.alias("stopword_distinct"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+SQL_QUALITY_SIGNALS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^A-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+             / greatest(length(text), 1), 6) AS alnum_ratio,
+       round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS distinct_ratio,
+       round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)
+             * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len,
+       len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)), [{_STOP_LIST}]))) AS stopword_distinct
+FROM t
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(regexp_split_to_array(substring(text, 1, {FP_PREFIX}), ''), c -> c != ''),
+             c -> CAST(ord(c) AS BIGINT))),
+         (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fp
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    from harvesttext_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    from harvesttext_spark.operators.dedup import minhash_signature, token_shingles
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            minhash_signature(token_shingles(F.col("text"), 3), 8), ","
+        ).alias("sig"),
+    )
+
+
+SQL_MINHASH_SIGNATURE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+        FROM documents)
+),
+hp AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> struct_pack(
+           h1 := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(md5(s), 1, 8), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b),
+           h2 := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(md5(s), 9, 8), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b))) AS hs
+  FROM sh
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(generate_series(0, 7),
+           i -> list_aggregate(list_transform(hs, p -> (p.h1 + i * p.h2) % 4294967296), 'min')),
+         ',') AS sig
+FROM hp
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from harvesttext_spark.operators.dedup import jaccard_dup_pairs
+
+    p = jaccard_dup_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+        FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from harvesttext_spark.operators.dedup import simhash32_portable
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash32_portable(F.col("text")).alias("sh")
+    )
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS t
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, g.b,
+         CASE WHEN ((strpos('0123456789abcdef', substring(md5(t), (g.b // 4) + 1, 1)) - 1)
+                    // CAST(pow(2, 3 - (g.b % 4)) AS INT)) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok, (SELECT unnest(generate_series(0, 31)) AS b) g
+),
+sums AS (SELECT doc_id, b, sum(sgn) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+FROM sums GROUP BY doc_id
+"""
+
+
+def q_token_freq(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+SQL_TOKEN_FREQ = """
+SELECT t AS word, count(*) AS cnt
+FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS t
+      FROM documents)
+GROUP BY t HAVING count(*) >= 5
+"""
+
+
+def q_bigram_stats(spark, sf_dir):
+    from harvesttext_spark.operators.word_discovery import ngram_stats
+
+    stats, _ = ngram_stats(_docs(spark, sf_dir), unit="token", max_word_len=2)
+    return stats.filter(F.col("cnt") >= 3).select(
+        "word",
+        "cnt",
+        F.round("freq", 8).alias("freq"),
+        F.round("left_ent", 6).alias("left_ent"),
+        F.round("right_ent", 6).alias("right_ent"),
+        F.round("agg", 6).alias("agg"),
+    )
+
+
+SQL_BIGRAM_STATS = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS syms
+  FROM documents WHERE length(trim(text)) > 0
+),
+meta AS (
+  SELECT sum(len(syms)) + count(*) - 1 AS L,
+         min(doc_id) AS first_id, max(doc_id) AS last_id
+  FROM base
+),
+pos AS (
+  SELECT doc_id, syms, len(syms) AS n, unnest(generate_series(1, len(syms))) AS i
+  FROM base
+),
+cand AS (
+  SELECT doc_id, syms, n, i, g.w AS wlen,
+         array_to_string(syms[i:i+g.w-1], ' ') AS word
+  FROM pos, (SELECT unnest(generate_series(1, 2)) AS w) g
+  WHERE i + g.w - 1 <= n
+),
+neigh AS (
+  SELECT c.word, c.wlen,
+         CASE WHEN c.i > 1 THEN c.syms[c.i - 1] ELSE NULL END AS lft,
+         CASE WHEN c.i + c.wlen <= c.n THEN c.syms[c.i + c.wlen] ELSE NULL END AS rgt
+  FROM cand c
+),
+counts AS (SELECT word, count(*) AS cnt FROM neigh GROUP BY word),
+lent AS (
+  SELECT word, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS left_ent
+  FROM (SELECT word, lft, count(*) AS c FROM neigh WHERE lft IS NOT NULL GROUP BY word, lft)
+  GROUP BY word
+),
+rent AS (
+  SELECT word, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS right_ent
+  FROM (SELECT word, rgt, count(*) AS c FROM neigh WHERE rgt IS NOT NULL GROUP BY word, rgt)
+  GROUP BY word
+),
+splits AS (
+  SELECT c.word, c.cnt,
+         string_split(c.word, ' ')[1] AS p1,
+         string_split(c.word, ' ')[2] AS p2
+  FROM counts c WHERE len(string_split(c.word, ' ')) = 2
+),
+aggt AS (
+  SELECT s.word, min(s.cnt * (SELECT L FROM meta) * 1.0 / (c1.cnt * c2.cnt)) AS agg
+  FROM splits s
+  JOIN counts c1 ON c1.word = s.p1
+  JOIN counts c2 ON c2.word = s.p2
+  GROUP BY s.word
+)
+SELECT c.word, c.cnt,
+       round(c.cnt * 1.0 / (SELECT L FROM meta), 8) AS freq,
+       round(coalesce(l.left_ent, 0), 6) AS left_ent,
+       round(coalesce(r.right_ent, 0), 6) AS right_ent,
+       round(coalesce(a.agg, 0), 6) AS agg
+FROM counts c
+LEFT JOIN lent l USING (word)
+LEFT JOIN rent r USING (word)
+LEFT JOIN aggt a USING (word)
+WHERE c.cnt >= 3
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    from harvesttext_spark.operators.graph import tfidf_keywords
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("words")
+    )
+    out = tfidf_keywords(d, top_k=3)
+    return out.select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rank")
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+idf AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf * ln((SELECT n_docs FROM n) * 1.0 / idf.df) AS tfidf
+  FROM tf JOIN idf USING (word)
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, round(tfidf, 6) AS tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+SO_PMI_POS = ["fast", "big"]
+SO_PMI_NEG = ["slow", "small"]
+
+
+def q_so_pmi(spark, sf_dir):
+    from harvesttext_spark.operators.sentiment import build_sent_dict
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("words")
+    )
+    out = build_sent_dict(d, SO_PMI_POS, SO_PMI_NEG, min_times=5)
+    return out.select("word", F.round("senti", 6).alias("senti"))
+
+
+SQL_SO_PMI = f"""
+WITH docs_t AS (
+  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS toks
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) > 0
+),
+n AS (SELECT count(*) AS n_docs FROM docs_t),
+tok AS (SELECT doc_id, unnest(toks) AS word FROM docs_t),
+one AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+vocab AS (SELECT word, c FROM one WHERE c >= 5),
+seeds AS (
+  SELECT s.word, s.sign, v.c AS c_seed
+  FROM (SELECT unnest({SO_PMI_POS!r}) AS word, 1 AS sign
+        UNION ALL SELECT unnest({SO_PMI_NEG!r}), -1) s
+  JOIN vocab v USING (word)
+),
+co AS (
+  SELECT t.word, s.word AS seed, s.sign, s.c_seed, count(*) AS c12
+  FROM tok t
+  JOIN (SELECT tk.doc_id, sd.word, sd.sign, sd.c_seed
+        FROM tok tk JOIN seeds sd ON tk.word = sd.word) s
+    ON t.doc_id = s.doc_id
+  GROUP BY t.word, s.word, s.sign, s.c_seed
+),
+contrib AS (
+  SELECT co.word,
+         co.sign * log2(co.c12 * (SELECT n_docs FROM n) * 1.0 / (one.c * co.c_seed)) AS pmi
+  FROM co JOIN one USING (word)
+)
+SELECT v.word, round(coalesce(s.s, 0), 6) AS senti
+FROM vocab v
+LEFT JOIN (SELECT word, sum(pmi) AS s FROM contrib GROUP BY word) s USING (word)
+"""
+
+
+def q_search_conjunctive(spark, sf_dir):
+    from harvesttext_spark.operators.retrieval import search_entity
+
+    d = _docs(spark, sf_dir)
+    posting = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("key")
+    )
+    return search_entity(d, posting, "spark window").select("doc_id")
+
+
+SQL_SEARCH_CONJUNCTIVE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS key
+  FROM documents
+)
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE key = 'spark')
+  AND doc_id IN (SELECT doc_id FROM tok WHERE key = 'window')
+"""
+
+
+def q_cooccur_edges(spark, sf_dir):
+    from harvesttext_spark.operators.graph import word_cooccurrence_edges
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("words")
+    )
+    return word_cooccurrence_edges(d, center="spark", min_freq=5)
+
+
+SQL_COOCCUR_EDGES = """
+WITH d AS (
+  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS toks
+  FROM documents
+  WHERE list_contains(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), 'spark')
+),
+tok AS (SELECT doc_id, unnest(toks) AS key FROM d)
+SELECT a.key AS u, b.key AS v, count(DISTINCT a.doc_id) AS weight
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.key < b.key
+GROUP BY a.key, b.key
+HAVING count(DISTINCT a.doc_id) >= 5
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    from harvesttext_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding, q.qvec)
+           / (sqrt(list_dot_product(e.embedding, e.embedding))
+              * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_sim, 4) AS cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_events_window(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: per user, a new session starts after a >30min gap;
+    emits per-session event counts — lag window + running sum."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = e.withColumn(
+        "new_sess", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --- rows-only entries (no SQL oracle: UDF / iterative / banding) -----------
+
+def q_clean_text(spark, sf_dir):
+    from harvesttext_spark.functions.cleaning import make_clean_text_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", make_clean_text_udf()(F.col("text")).alias("text_clean")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from harvesttext_spark.operators.dedup import minhash_dup_pairs
+
+    out = minhash_dup_pairs(_docs(spark, sf_dir), min_jaccard=0.4)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_textrank_keywords(spark, sf_dir):
+    from harvesttext_spark.operators.graph import textrank_keywords
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lit(0).alias("sent_id"), tokens_col(F.col("text")).alias("words")
+    ).filter(F.col("doc_id") < 50)
+    return textrank_keywords(d, top_k=3)
+
+
+def q_quality_filter_labels(spark, sf_dir):
+    from harvesttext_spark.pipeline.quality_filter import label, scrub
+
+    d = _docs(spark, sf_dir).withColumnRenamed("text", "raw")
+    return label(scrub(d, text_col="raw")).select("doc_id", "keep", "drop_reason")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "quality_signals": q_quality_signals,
+        "fingerprint": q_fingerprint,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signature": q_minhash_signature,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "token_freq": q_token_freq,
+        "bigram_stats": q_bigram_stats,
+        "tfidf_topk": q_tfidf_topk,
+        "so_pmi": q_so_pmi,
+        "search_conjunctive": q_search_conjunctive,
+        "cooccur_edges": q_cooccur_edges,
+        "embedding_topk": q_embedding_topk,
+        "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
+        # rows-only (non-SQL-expressible)
+        "clean_text": q_clean_text,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "textrank_keywords": q_textrank_keywords,
+        "quality_filter_labels": q_quality_filter_labels,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": SQL_DOC_STATS,
+        "lang_id": SQL_LANG_ID,
+        "quality_signals": SQL_QUALITY_SIGNALS,
+        "fingerprint": SQL_FINGERPRINT,
+        "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+        "minhash_signature": SQL_MINHASH_SIGNATURE,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "simhash": SQL_SIMHASH,
+        "token_freq": SQL_TOKEN_FREQ,
+        "bigram_stats": SQL_BIGRAM_STATS,
+        "tfidf_topk": SQL_TFIDF_TOPK,
+        "so_pmi": SQL_SO_PMI,
+        "search_conjunctive": SQL_SEARCH_CONJUNCTIVE,
+        "cooccur_edges": SQL_COOCCUR_EDGES,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "events_window": SQL_EVENTS_WINDOW,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    }

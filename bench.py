@@ -1,0 +1,90 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is forced through the noop sink (full computation, no driver
+collect).  ``value`` = total seconds across headline queries.  Extra keys:
+``docs_per_sec`` for the flagship quality-filter pipeline and ``n_docs``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "quality_filter_labels",  # full clean battery + signals + labels (UDF+native)
+    "clean_text",             # battery alone (Arrow UDF throughput)
+    "lang_id",                # native marker scoring
+    "doc_stats",              # token/piece counting
+    "exact_dup_groups",       # digest shuffle
+    "minhash_lsh_pairs",      # signature + band join
+    "simhash",                # portable bit fold
+    "bigram_stats",           # n-gram stats: 2 shuffles + self-join
+    "tfidf_topk",             # tf/df join + window
+    "so_pmi",                 # broadcast seed joins
+    "embedding_topk",         # vector math, broadcast cross join
+    "events_sessionize",      # lag window + running sum
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from harvesttext_spark.session import get_spark
+
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+
+    spark = get_spark(app_name="harvesttext_spark_bench")
+    qs = entrymod.queries()
+
+    # warm up the JVM + python workers once (tiny job)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+
+    # flagship docs/sec: quality-filter pipeline end to end
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    t0 = time.time()
+    qs["quality_filter_labels"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    pipe_s = time.time() - t0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / pipe_s, 1),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

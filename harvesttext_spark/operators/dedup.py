@@ -1,0 +1,337 @@
+"""Deduplication operators for a web-scale training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine additions (not in the reference NLP library) required by the
+quality-filter north star.  Design constraints:
+  * everything is expressed with engine-portable primitives (md5 hex
+    strings, array ops) so the DuckDB oracle can verify VALUES, not just
+    row counts — the only exception is the xxhash64 production fast path;
+  * no driver-side state; candidate generation is always a shuffle on a
+    bounded key (hash / band bucket), never an O(n²) cross join.
+
+Scale notes (100 TB):
+  * exact dedup  — one shuffle on a 128-bit digest; AQE coalesces.
+  * MinHash LSH  — signature is computed per-row (no explode) from the
+    shingle array; the band join shuffles (band_idx, band_key) which is
+    uniform by construction (hash values), so no salting needed.
+  * SimHash      — per-row fold; near-dup candidates join on rotated
+    prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(digest, n_dups, keep_id) for every text appearing more than once;
+    keep_id = min doc id (deterministic survivor)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per identical text (window-free: self-join on the
+    winning id is a shuffle on digest, no global sort)."""
+    winners = docs.groupBy(F.md5(F.col(text_col)).alias("digest")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return docs.join(winners, id_col, "semi")
+
+
+# --- shingles ---------------------------------------------------------------
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles (space-joined), portable SQL shape."""
+    toks = F.filter(F.split(text, "\\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    k = F.size(chars) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(chars, i, n), ""),
+            ),
+        ).otherwise(F.array(F.array_join(chars, "")))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+HEX_DIGITS = "0123456789abcdef"
+M32 = 4294967296  # 2^32
+
+
+def _hex_to_long(h: Column) -> Column:
+    """Fold a short hex string into a bigint (portable: DuckDB mirrors with
+    strpos digit folds — no engine-specific conv())."""
+    return F.aggregate(
+        F.filter(F.split(h, ""), lambda c: c != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc * 16 + (F.instr(F.lit(HEX_DIGITS), c) - 1),
+    )
+
+
+def minhash_hashpair(shingles: Column) -> Column:
+    """ONE md5 per shingle -> (h1, h2) 32-bit ints (Kirsch-Mitzenmacher
+    base hashes).  Materialize this as a column BEFORE computing the
+    signature so the md5 work is done once, not k times."""
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            _hex_to_long(F.substring(F.md5(s), 1, 8)).alias("h1"),
+            _hex_to_long(F.substring(F.md5(s), 9, 8)).alias("h2"),
+        ),
+    )
+
+
+def minhash_signature_from_pairs(hs: Column, k: int = 16) -> Column:
+    """Signature component i = min over shingles of (h1 + i*h2) mod 2^32 —
+    pure arithmetic over the precomputed hash pairs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(hs, lambda p: (p["h1"] + i * p["h2"]) % M32)
+        ),
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """Single-expression convenience (small inputs / oracle parity): for the
+    hot path use minhash_hashpair -> project -> signature so md5 runs once."""
+    return minhash_signature_from_pairs(minhash_hashpair(shingles), k)
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, key:string>> — md5 of each band's slice."""
+    sig_str = F.transform(sig, lambda v: v.cast("string"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.array_join(F.slice(sig_str, b * rows + 1, rows), ",")).alias("key"),
+        ),
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with signature-estimated Jaccard:
+    (id_a, id_b, est_jaccard), id_a < id_b.
+
+    rows-per-band = num_hashes / bands; a pair collides if any band agrees.
+    est_jaccard = fraction of equal signature components.
+    """
+    rows = num_hashes // bands
+    # two projections: md5 hash pairs materialized once, then k arithmetic
+    # mins.  The signature table is PERSISTED — it feeds the band explode AND
+    # two probe joins; without it the whole md5 chain re-executes per branch
+    # (measured 3-4x slower).  At 100TB this is a checkpointed signature
+    # table on storage, not a cache.
+    sig = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            minhash_hashpair(token_shingles(F.col(text_col), shingle_n)).alias("_hs"),
+        )
+        .select(
+            "id", minhash_signature_from_pairs(F.col("_hs"), num_hashes).alias("sig")
+        )
+        .persist()
+    )
+    bands_df = sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = pairs.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return with_sigs.select("id_a", "id_b", est).filter(
+        F.col("est_jaccard") >= min_jaccard
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+
+def jaccard_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard via posting-list self-join:
+    |A∩B| from the join, |A|,|B| from per-doc sizes.  The shuffle key is the
+    shingle (uniform); pairs sharing no shingle never materialize."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash32_portable(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens, engine-portable:
+    token hash = first 8 hex digits of md5 (bit b = bit b of that 32-bit
+    value, MSB first); each token contributes +1/-1 per bit; simhash bit is
+    1 iff the sum is positive.  ONE md5 + one fold per token (array
+    arithmetic) — the DuckDB oracle reproduces it relationally.
+    Production path at scale: ``simhash64_native`` (xxhash64, one JVM op)."""
+    toks = F.filter(F.split(text, "\\s+"), lambda t: t != "")
+    # token -> array of 32 bits (hex digit d, bit k: (val >> (3-k)) & 1)
+    tok_bits = lambda t: F.flatten(  # noqa: E731
+        F.transform(
+            F.filter(F.split(F.substring(F.md5(t), 1, 8), ""), lambda c: c != ""),
+            lambda c: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda k: (
+                    F.floor(
+                        (F.instr(F.lit(HEX_DIGITS), c) - 1)
+                        / F.pow(F.lit(2.0), (3 - k).cast("double"))
+                    ).cast("int")
+                    % 2
+                ),
+            ),
+        )
+    )
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, t: F.zip_with(
+            acc, tok_bits(t), lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1)
+        ),
+    )
+    powers = F.array(*[F.lit(2 ** (31 - i)).cast("bigint") for i in range(32)])
+    return F.aggregate(
+        F.zip_with(sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash64_native(text: Column, shingle_n: int = 2) -> Column:
+    """Production SimHash: xxhash64 token-shingle hashes folded into 64 bits
+    via JVM-side bit ops — whole-stage codegen, no Python.  (Not DuckDB-
+    matchable: engine hash differs; oracle gets a rows-only check.)"""
+    sh = token_shingles(text, shingle_n)
+    out = F.lit(0).cast("bigint")
+    for b in range(64):
+        comp = F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out.bitwiseOR(
+            F.when(comp > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")) * F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
+        )
+    return out
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidates by 32-bit portable SimHash: bucket on each of 4
+    bytes (a pair within hamming distance 3 must agree on ≥1 of 4 bytes),
+    then verify exact hamming distance."""
+    h = docs.select(
+        F.col(id_col).alias("id"), simhash32_portable(F.col(text_col)).alias("sh")
+    )
+    byte_of = lambda c, i: F.floor(c / F.lit(2 ** (8 * i))).cast("bigint") % 256  # noqa: E731
+    buckets = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), byte_of(F.col("sh"), i).alias("v")) for i in range(4)])
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.i").alias("bi"), F.col("b.v").alias("bv"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(
+        F.col("sh_a").cast("bigint").bitwiseXOR(F.col("sh_b").cast("bigint"))
+    ).alias("hamming")
+    return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

@@ -58,6 +58,21 @@ TABLES = (
 ).split()
 
 
+def read_scaled(spark: SparkSession, path: str):
+    """Parquet scan that guarantees at least default-parallelism partitions.
+
+    The driver's test parquet files are single row groups, so a plain scan
+    yields ONE partition and serializes every CPU-bound expression/UDF.  On
+    a real 100TB table (thousands of row groups) the condition is false and
+    this is a zero-cost no-op — the repartition only fires for degenerate
+    small scans."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the driver's parquet tables and register temp views.
 

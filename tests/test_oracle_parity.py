@@ -1,0 +1,78 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() in DuckDB over the same parquet (sf0.001 for
+speed locally; the driver uses sf0.01), compare row count, column names, and
+order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+                    v = 0.0 if v == 0 else v
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+QUERIES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_oracle_parity(spark, name):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.oracle_sql()[name]).df()
+
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+
+    srows = _normalize(sdf.to_dict("records"), list(sdf.columns))
+    drows = _normalize(ddf.to_dict("records"), list(ddf.columns))
+    mism = [(a, b) for a, b in zip(srows, drows) if a != b]
+    assert not mism, f"{name}: first mismatches {mism[:5]}"
+
+
+def test_rows_only_queries_run(spark):
+    orc = set(entrymod.oracle_sql())
+    for name, fn in entrymod.queries().items():
+        if name in orc:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
