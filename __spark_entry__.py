@@ -137,7 +137,10 @@ def q_quality_signals(spark, sf_dir):
     n_tok = F.size(toks)
     safe_tok = F.greatest(n_tok, F.lit(1))
     n_chars = F.length("text")
-    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9\\x{4e00}-\\x{9fff}]", ""))
+    # positive class + length diff: Java negated unicode classes are ~5x slower
+    n_alnum = n_chars - F.length(
+        F.regexp_replace("text", "[A-Za-z0-9\\x{4e00}-\\x{9fff}]", "")
+    )
     n_stop = F.size(
         F.array_intersect(
             F.transform(toks, lambda t: F.lower(t)),
@@ -163,7 +166,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       round(length(regexp_replace(text, '[^A-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+       round((length(text) - length(regexp_replace(text, '[A-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))
              / greatest(length(text), 1), 6) AS alnum_ratio,
        round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS distinct_ratio,
        round(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)

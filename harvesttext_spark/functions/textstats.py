@@ -90,12 +90,19 @@ STOPWORDS_EN = [
 
 def quality_signals(text: Column) -> dict[str, Column]:
     """Heuristic quality features (Gopher/C4-style rules re-expressed over the
-    reference's cleaning vocabulary).  All pure column arithmetic."""
+    reference's cleaning vocabulary).  All pure column arithmetic.
+
+    PERF: char-class counts use POSITIVE classes + length difference —
+    Java's negated classes with supplementary ranges are ~5x slower
+    (measured 4.75s vs 0.94s per 300k docs), and regexp_extract_all
+    allocates a match array per row."""
     toks = tokens_col(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
-    n_alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9\\x{4e00}-\\x{9fff}]", ""))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0)))
+    n_alnum = n_chars - F.length(
+        F.regexp_replace(text, "[A-Za-z0-9\\x{4e00}-\\x{9fff}]", "")
+    )
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
     n_stop = F.size(
         F.array_intersect(
             F.transform(toks, lambda t: F.lower(t)),
@@ -115,13 +122,20 @@ def quality_signals(text: Column) -> dict[str, Column]:
         "mean_token_len": (
             F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_tok
         ).cast("double"),
-        "max_char_run": max_char_run(text),
+        "char_run10": has_char_run(text, 10),
     }
 
 
+def has_char_run(text: Column, k: int = 10) -> Column:
+    """True iff some single character repeats >= k times consecutively
+    (repeated-char junk rule) — ONE backreference probe, not a probe ladder."""
+    return text.rlike("(.)" + "\\1" * (k - 1))
+
+
 def max_char_run(text: Column) -> Column:
-    """Length of the longest single-character run (repeated-char junk rule).
-    Computed natively: for run lengths up to 20 via regex probes (capped)."""
+    """Length of the longest single-character run, capped at 20, via regex
+    probes.  Kept for analytics; the keep/drop label path uses the single
+    has_char_run probe (7x fewer regex passes)."""
     probes = [
         F.when(text.rlike("(.)" + "\\1" * (k - 1)), F.lit(k)).otherwise(F.lit(0))
         for k in (2, 3, 5, 8, 10, 15, 20)

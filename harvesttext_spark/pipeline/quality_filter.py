@@ -61,7 +61,7 @@ def label(df: DataFrame, text_col: str = "text_clean") -> DataFrame:
     drop_reason = (
         F.when(F.col(text_col).isNull(), F.lit("null_text"))
         .when(F.col("q_n_chars") < MIN_CHARS, F.lit("too_short"))
-        .when(F.col("q_max_char_run") >= MAX_CHAR_RUN, F.lit("char_run"))
+        .when(F.col("q_char_run10"), F.lit("char_run"))
         .when(F.col("q_alnum_ratio") < MIN_ALNUM_RATIO, F.lit("low_alnum"))
         .when(
             (F.col("q_n_tokens") >= DIVERSITY_MIN_TOKENS)

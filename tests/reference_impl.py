@@ -20,19 +20,7 @@ MIN_DISTINCT_RATIO = 0.30
 DIVERSITY_MIN_TOKENS = 20
 
 _ALNUM = re.compile(r"[A-Za-z0-9一-鿿]")
-_RUN = re.compile(r"(.)\1*", re.DOTALL)
-
-
-def max_char_run(text: str) -> int:
-    best = 1 if text else 0
-    # mirror the probe-capped Spark expression: runs count up to cap 20
-    for m in _RUN.finditer(text):
-        ln = len(m.group(0))
-        for k in (20, 15, 10, 8, 5, 3, 2):
-            if ln >= k:
-                best = max(best, k)
-                break
-    return min(best, 20)
+_RUN10 = re.compile(r"(.)\1{9}", re.DOTALL)
 
 
 def label_py(raw_text: str, **clean_flags):
@@ -43,7 +31,7 @@ def label_py(raw_text: str, **clean_flags):
     n_chars = len(clean)
     if n_chars < MIN_CHARS:
         return clean, False, "too_short"
-    if max_char_run(clean) >= MAX_CHAR_RUN:
+    if _RUN10.search(clean):
         return clean, False, "char_run"
     n_alnum = len(_ALNUM.findall(clean))
     if n_alnum / max(n_chars, 1) < MIN_ALNUM_RATIO:
