@@ -1,0 +1,67 @@
+"""Structured Streaming surfaces.
+
+The reference is batch-only; these are the engine's streaming variants:
+  * ``streaming_quality_filter`` — the full scrub+label pipeline over a
+    file stream.  Every stage is map-side (Arrow UDF + column expressions),
+    so it lifts to streaming unchanged; exactly-once comes from the
+    checkpointLocation + idempotent file sink.
+  * ``streaming_event_counts`` — watermarked sliding-window aggregation
+    over the events stream (late data bounded by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesttext_spark.pipeline.pages import PAGES_SCHEMA
+from harvesttext_spark.pipeline.quality_filter import label, scrub
+
+
+def streaming_quality_filter(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over a pages parquet directory -> labeled stream.
+    Caller attaches the sink (memory for tests, parquet+checkpoint in
+    production via ``.writeStream.option('checkpointLocation', ...)``)."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    )
+    out = label(scrub(pages.withColumn("raw_text", F.coalesce("text", F.decode("html", "UTF-8")))))
+    return out.select("url", "lang_pred", "text_clean", "keep", "drop_reason")
+
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select("win.start", "win.end", "event_type", "n", "sum_value")
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
+    """Drive a streaming DF to completion over the currently-available files
+    (test harness): memory sink + processAllAvailable.  Windowed aggregations
+    use mode='complete' (append would hold rows until the watermark passes,
+    which never happens on a finite file set)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,123 @@
+"""KB interchange format, idempotent resume, streaming, multimodal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesttext_spark.pipeline.pages import synthesize_pages
+from harvesttext_spark.pipeline.resume import committed_buckets, run_with_resume
+from harvesttext_spark.sources.kb_io import (
+    load_kb,
+    save_entity_text,
+    triples_from_text,
+)
+from harvesttext_spark.sources.multimodal import (
+    decode_metadata,
+    extract_features,
+    sample_frames,
+    synth_multimodal,
+)
+
+
+def test_kb_text_roundtrip(tmp_path):
+    triples = [
+        ("武磊", "武磊", "球员"),
+        ("武球王", "武磊", "球员"),
+        ("上港", "上海上港", "球队"),
+        ("上海上港", "上海上港", "球队"),
+    ]
+    p = str(tmp_path / "ents.txt")
+    save_entity_text(triples, p)
+    back = triples_from_text(p)
+    assert sorted(back) == sorted(triples)
+    # format parity: line looks like 'entity||type mention||type'
+    line = [l for l in open(p, encoding="utf-8") if l.startswith("武磊")][0]
+    assert line.strip() == "武磊||球员 武球王||球员"
+
+
+def test_load_kb_from_text(spark, tmp_path):
+    p = str(tmp_path / "ents.txt")
+    save_entity_text([("武球王", "武磊", "球员"), ("武磊", "武磊", "球员")], p)
+    kb = load_kb(spark, text_path=p)
+    assert kb.link("武球王来了")[0][2] == "武磊"
+
+
+def test_resume_idempotent(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = synthesize_pages(spark, n=400, seed=11, partitions=4)
+
+    # run 1: only 3 buckets (simulated interruption)
+    r1 = run_with_resume(spark, pages, out, n_buckets=8, max_buckets_this_run=3)
+    assert len(r1["processed"]) == 3
+    assert sorted(committed_buckets(spark, out)) == sorted(r1["processed"])
+
+    # run 2: resumes with the rest, skipping committed buckets
+    r2 = run_with_resume(spark, pages, out, n_buckets=8)
+    assert set(r1["processed"]).isdisjoint(r2["processed"])
+    assert r2["skipped"] == 3
+
+    # run 3: nothing left
+    r3 = run_with_resume(spark, pages, out, n_buckets=8)
+    assert r3["processed"] == []
+
+    # final output == single-shot ground truth, no dups no gaps
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == 400
+    assert data.select("url").distinct().count() == 400
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert manifest.agg(F.sum("n_docs")).first()[0] == 400
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_quality_filter,
+    )
+
+    src = str(tmp_path / "pages_stream")
+    synthesize_pages(spark, n=200, seed=5, partitions=2).write.mode("overwrite").parquet(src)
+    out = streaming_quality_filter(spark, src)
+    assert out.isStreaming
+    run_stream_to_memory(out, "sqf")
+    got = spark.sql("SELECT count(*) c, sum(CAST(keep AS INT)) k FROM sqf").first()
+    assert got["c"] == 200 and 0 < got["k"] < 200
+
+
+def test_streaming_event_counts(spark, tmp_path):
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_event_counts,
+    )
+
+    src = str(tmp_path / "events_stream")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(src)
+    agg = streaming_event_counts(spark, src, window="1 hour")
+    run_stream_to_memory(agg, "sec", mode="complete")
+    batch = spark.sql("SELECT sum(n) FROM sec").first()[0]
+    assert batch == 1000  # every event lands in exactly one window
+
+
+def test_multimodal_pipeline(spark):
+    mm = synth_multimodal(spark, n=60, seed=42).cache()
+    assert mm.count() == 60
+    meta = decode_metadata(mm)
+    rows = meta.filter("width IS NULL").count()
+    assert rows == 0
+    feats = extract_features(mm).select("item_id", "features").collect()
+    by_id = {r["item_id"]: r["features"] for r in feats}
+    assert all(len(v) == 16 for v in by_id.values())
+    # determinism
+    feats2 = extract_features(synth_multimodal(spark, n=60, seed=42)).collect()
+    assert {r["item_id"]: r["features"] for r in feats2} == by_id
+    frames = sample_frames(mm.filter("modality = 'video'"))
+    assert frames.count() > 0
+    assert frames.filter("frame_idx % 2 != 0").count() == 0
+
+
+def test_multimodal_real_engine_stubbed(spark):
+    mm = synth_multimodal(spark, n=5)
+    with pytest.raises(NotImplementedError):
+        decode_metadata(mm, engine="real")
