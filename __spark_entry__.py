@@ -612,6 +612,139 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# --- classic OLAP breadth (SURVEY §2.11 checklist: joins/aggs/windows) ------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: groupBy two flags + many aggregates, order by."""
+    from harvesttext_spark.session import read_scaled
+
+    li = read_scaled(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal sums: double addition is order-dependent across engines
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(avg(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + window top-k: top 3 customers by revenue per nation."""
+    from pyspark.sql.window import Window
+    from harvesttext_spark.session import read_scaled
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = read_scaled(spark, os.path.join(sf_dir, "orders.parquet"))
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "c_custkey", "revenue", "rank")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_nationkey, c.c_custkey, rev.revenue,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rank
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+)
+SELECT c_nationkey, c_custkey, revenue, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """Multi-join star rollup: revenue per region name."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r.r_name,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 # --- rows-only entries (no SQL oracle: UDF / iterative / banding) -----------
 
 def q_clean_text(spark, sf_dir):
@@ -645,6 +778,85 @@ def q_quality_filter_labels(spark, sf_dir):
     return label(scrub(d, text_col="raw")).select("doc_id", "keep", "drop_reason")
 
 
+def q_cut_sentences(spark, sf_dir):
+    from harvesttext_spark.functions.sentences import explode_sentences
+
+    return explode_sentences(_docs(spark, sf_dir))
+
+
+def q_seg_tokens(spark, sf_dir):
+    from harvesttext_spark.functions.tokenize import seg_documents
+
+    return seg_documents(_docs(spark, sf_dir).filter(F.col("doc_id") < 100)).select(
+        "doc_id", "words"
+    )
+
+
+def q_texttile_paragraphs(spark, sf_dir):
+    from harvesttext_spark.operators.texttile import cut_paragraphs
+
+    return cut_paragraphs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 50), align_boundary=False
+    )
+
+
+def q_summarize(spark, sf_dir):
+    from harvesttext_spark.operators.graph import summarize
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    # documents are single-"sentence" word soups: treat 20-token windows as
+    # pseudo-sentences to exercise the operator shape
+    sent = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.size(tokens_col(F.col("text"))) / 20).cast("int") - 1,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(tokens_col(F.col("text")), i * 20 + 1, 20), " "
+                ),
+            )
+        ).alias("sent_id", "sentence"),
+    ).withColumn("words", tokens_col(F.col("sentence")))
+    return summarize(sent, top_k=2)
+
+
+def q_pagerank_tokens(spark, sf_dir):
+    from harvesttext_spark.operators.graph import (
+        pagerank_edges,
+        word_cooccurrence_edges,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", tokens_col(F.col("text")).alias("words"))
+    edges = word_cooccurrence_edges(d, min_freq=10)
+    pr = pagerank_edges(edges, iters=8)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_pattern_entities(spark, sf_dir):
+    from harvesttext_spark.operators.patterns import (
+        all_english,
+        find_entities_with_rule,
+        with_length,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", tokens_col(F.col("text")).alias("words"))
+    return find_entities_with_rule(d, [(all_english, with_length(5))])
+
+
+SQL_PATTERN_ENTITIES = """
+SELECT DISTINCT t AS word
+FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS t
+      FROM documents)
+WHERE regexp_matches(t, '^[a-zA-Z]*$') AND length(t) = 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_stats": q_doc_stats,
@@ -664,11 +876,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_revenue": q_region_revenue,
+        "pattern_entities": q_pattern_entities,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
+        "cut_sentences": q_cut_sentences,
+        "seg_tokens": q_seg_tokens,
+        "texttile_paragraphs": q_texttile_paragraphs,
+        "summarize": q_summarize,
+        "pagerank_tokens": q_pagerank_tokens,
     }
 
 
@@ -691,4 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "region_revenue": SQL_REGION_REVENUE,
+        "pattern_entities": SQL_PATTERN_ENTITIES,
     }
