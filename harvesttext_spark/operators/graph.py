@@ -68,6 +68,18 @@ def word_cooccurrence_edges(
     return cooccurrence_edges(posting, min_freq=min_freq)
 
 
+def entity_ego_edges(
+    posting: DataFrame, center: str, min_freq: int = 0
+) -> DataFrame:
+    """Entity ego network (ent_network.py:84-123): restrict to docs
+    containing the center key (semi-join on its posting list), then
+    co-occurrence edges among the remaining keys."""
+    center_docs = posting.filter(F.col("key") == center).select("doc_id")
+    p = posting.join(F.broadcast(center_docs), "doc_id", "semi")
+    edges = cooccurrence_edges(p, min_freq=min_freq)
+    return edges.filter((F.col("u") == center) | (F.col("v") == center) | (F.col("weight") >= min_freq))
+
+
 # --- TF-IDF keywords (pure relational) ------------------------------------
 
 def tfidf_keywords(

@@ -47,6 +47,7 @@ class EntityKB:
     def __init__(self):
         self.root: dict = {}
         self.mention_entities: dict[str, list[tuple[str, str]]] = {}
+        self.entity_mentions: dict[str, set[str]] = {}
 
     @staticmethod
     def check_type_name(entity_type: str) -> None:
@@ -65,6 +66,7 @@ class EntityKB:
         pairs[:] = [(e, t) for (e, t) in pairs if e != entity]
         pairs.append((entity, type0))
         pairs.sort()
+        self.entity_mentions.setdefault(entity, set()).add(mention)
         node = self.root
         for ch in mention:
             node = node.setdefault(ch, {})
@@ -98,6 +100,29 @@ class EntityKB:
                 best_r, best_mention = i + 1, leaf
         return best_r, best_mention
 
+    def search_word_trie(self, word: str, tolerance: int = 1) -> list[str]:
+        """All registered mentions within ``tolerance`` single-char
+        substitutions of ``word`` (same length) — DFS over the trie
+        (harvesttext.py:309-330 semantics), used by the fuzzy recheck."""
+        results: set[str] = set()
+
+        def visit(node: dict, rest: str, tol: int) -> None:
+            if not rest:
+                if "leaf" in node:
+                    results.add(node["leaf"])
+                return
+            ch = rest[0]
+            child = node.get(ch)
+            if child is not None:
+                visit(child, rest[1:], tol)
+            if tol:
+                for other, child2 in node.items():
+                    if other not in (ch, "leaf"):
+                        visit(child2, rest[1:], tol - 1)
+
+        visit(self.root, word, tolerance)
+        return sorted(results)
+
     def link(
         self,
         sent: str,
@@ -105,15 +130,34 @@ class EntityKB:
         entity_freq: dict[str, int] | None = None,
     ) -> list[tuple[int, int, str, str]]:
         """Leftmost-longest scan with cursor jump; returns
-        [(l, r, entity, type)].  strategy 'freq' uses preset priors and
-        resolves overlapping spans by entity frequency."""
+        [(l, r, entity, type)].
+
+        Strategies (harvesttext.py:332-404, scoped per document — the
+        reference's cross-call mutable state is not distributable):
+          'None'   deterministic first candidate (lexicographic)
+          'freq'   preset priors + overlapping-span resolution
+          'latest' remember the mention->entity choice made earlier IN THIS
+                   DOCUMENT and reuse it for ambiguous later mentions
+        """
         freq = entity_freq or {}
+        latest: dict[str, tuple[str, str]] = {}
 
         def choose(mention: str) -> tuple[str, str]:
             cands = self.mention_entities[mention]
-            if strategy == "freq" and len(cands) > 1:
-                return max(cands, key=lambda et: (freq.get(et[0], 0), ))
-            return cands[0]
+            if len(cands) > 1:
+                if "latest" in strategy and mention in latest:
+                    return latest[mention]
+                if "freq" in strategy:
+                    return max(cands, key=lambda et: (freq.get(et[0], 0),))
+            chosen = cands[0]
+            return chosen
+
+        def record(et: tuple[str, str]) -> None:
+            # reference _link_record: remember the choice for EVERY mention
+            # of the linked entity (within this document)
+            if "latest" in strategy:
+                for m in self.entity_mentions.get(et[0], ()):
+                    latest[m] = et
 
         out = []
         l, n = 0, len(sent)
@@ -136,10 +180,12 @@ class EntityKB:
                     if c2 > best_cnt:
                         best, best_cnt = (ll, rr, e2, t2), c2
                 out.append(best)
+                record((best[2], best[3]))
                 l = best[1]
             else:
                 e, t = choose(mention)
                 out.append((l, r, e, t))
+                record((e, t))
                 l = r
         return out
 

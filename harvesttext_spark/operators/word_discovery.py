@@ -266,6 +266,7 @@ def word_discover(
     exclude_words: list[str] | None = None,
     exclude_number: bool = True,
     sort_by: str = "freq",
+    threshold_seeds: list[str] | None = None,
 ) -> DataFrame:
     """End-to-end new-word discovery: stats -> threshold filter -> exclusions
     -> score -> sort.  Exclusion list joins as a broadcast anti-join."""
@@ -293,4 +294,17 @@ def word_discover(
             [(w,) for w in set(exclude_words)], "word string"
         )
         out = out.join(F.broadcast(ex), "word", "left_anti")
+    if threshold_seeds:
+        # keep words scoring >= 0.9 * the worst seed found
+        # (word_discover.py:83-92); scalar aggregate then filter
+        seeds = docs.sparkSession.createDataFrame(
+            [(w,) for w in set(threshold_seeds)], "word string"
+        )
+        min_score = (
+            out.join(F.broadcast(seeds), "word", "semi")
+            .agg(F.min("score"))
+            .first()[0]
+        )
+        if min_score is not None:
+            out = out.filter(F.col("score") > 0.9 * min_score)
     return out.orderBy(F.desc(sort_by))

@@ -52,6 +52,36 @@ def streaming_event_counts(
     )
 
 
+def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: emit each document only the
+    first time its text digest appears, keeping the seen-digest set in
+    per-group state (``applyInPandasWithState``).  Groups by digest so
+    state per key is one flag — the streaming analog of exact dedup."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    keyed = pages.withColumn("digest", F.md5(F.coalesce("text", F.lit(""))))
+
+    def first_only(key, pdfs, state):
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.sort_values("url").iloc[[0]][["digest", "url", "text"]]
+        state.update((1,))
+        return iter(() if first is None else (first,))
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        first_only,
+        outputStructType="digest string, url string, text string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a streaming DF to completion over the currently-available files
     (test harness): memory sink + processAllAvailable.  Windowed aggregations

@@ -1,0 +1,112 @@
+"""Linking strategies (latest, fuzzy trie search), entity ego graph,
+threshold seeds, stateful streaming dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesttext_spark.operators.linking import EntityKB
+
+
+def test_search_word_trie_char_tolerance():
+    """Reference fixture (tests/test_functionality.py:281-297): 吴磊 within
+    1 char of mention 武磊."""
+    kb = EntityKB.from_triples([("武磊", "武磊", "球员"), ("武球王", "武磊", "球员")])
+    assert kb.search_word_trie("吴磊", tolerance=1) == ["武磊"]
+    assert kb.search_word_trie("吴力", tolerance=1) == []  # 2 edits away
+    assert kb.search_word_trie("武磊", tolerance=0) == ["武磊"]
+
+
+def test_latest_strategy_within_document():
+    """'经理' alone is ambiguous; after '张经理' links to 张三, later bare
+    mentions of an ambiguous surface reuse the latest choice
+    (harvesttext.py:339-344 semantics, scoped per document)."""
+    kb = EntityKB.from_triples(
+        [
+            ("张经理", "张三", "人名"),
+            ("经理", "张三", "人名"),
+            ("经理", "李四", "人名"),
+        ]
+    )
+    # without latest: lexicographic first -> 张三 anyway; build a case where
+    # lexicographic differs: make 李四 sort first
+    spans_none = kb.link("张经理说经理很忙")
+    assert [s[2] for s in spans_none] == ["张三", "张三"]  # 张三 < 李四? no...
+    spans_latest = kb.link("张经理说经理很忙", strategy="latest")
+    assert [s[2] for s in spans_latest] == ["张三", "张三"]
+
+
+def test_latest_vs_none_divergence():
+    kb = EntityKB.from_triples(
+        [
+            ("王主任", "王五", "人名"),
+            ("主任", "王五", "人名"),
+            ("主任", "丁一", "人名"),
+        ]
+    )
+    # lexicographic first candidate for bare 主任 is 丁一
+    assert [s[2] for s in kb.link("主任来了")] == ["丁一"]
+    # but after 王主任 appears, latest links the bare mention to 王五
+    assert [s[2] for s in kb.link("王主任说主任很忙", strategy="latest")] == [
+        "王五",
+        "王五",
+    ]
+
+
+def test_entity_ego_edges(spark):
+    from harvesttext_spark.operators.graph import entity_ego_edges
+
+    posting = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "C"), (3, "B"), (3, "C")],
+        "doc_id long, key string",
+    )
+    edges = {
+        (r["u"], r["v"]): r["weight"]
+        for r in entity_ego_edges(posting, "A").collect()
+    }
+    # only docs containing A (1,2) participate
+    assert edges == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 0} or edges == {
+        ("A", "B"): 1,
+        ("A", "C"): 1,
+    }
+
+
+def test_threshold_seeds(spark):
+    from harvesttext_spark.operators.word_discovery import word_discover
+
+    para = (
+        "上港的武磊和恒大的郜林，谁是中国最好的前锋？那当然是武磊武球王了，"
+        "他是射手榜第一，原来是弱点的单刀也有了进步"
+    )
+    docs = spark.createDataFrame([(0, para)], "doc_id long, text string")
+    out = word_discover(docs, auto=True, unit="char", threshold_seeds=["武磊"])
+    assert [r["word"] for r in out.collect()] == ["武磊"]
+    # a seed that is absent leaves results unfiltered
+    out2 = word_discover(docs, auto=True, unit="char", threshold_seeds=["不存在"])
+    assert out2.count() == 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import pandas as pd
+
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "dedup_stream")
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://x.com/p/{i}" for i in range(6)],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 6),
+            "html": [b""] * 6,
+            "text": ["AAA", "BBB", "AAA", "CCC", "BBB", "AAA"],
+            "lang": ["en"] * 6,
+        }
+    )
+    spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    out = streaming_exact_dedup(spark, src)
+    run_stream_to_memory(out, "sdd", mode="append")
+    rows = spark.sql("SELECT text FROM sdd").collect()
+    assert sorted(r["text"] for r in rows) == ["AAA", "BBB", "CCC"]
