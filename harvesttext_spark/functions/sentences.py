@@ -31,17 +31,31 @@ RE_ZH_ELLIPSIS = re.compile(r"(\…+)([^”’)\]）】….])")
 RE_CLOSE_QUOTE = re.compile(r"([。！？\?!]|\.{3,}|\…+)([”’)\]）】])([^，。！？\?….])")
 
 
+RE_EN_SENT = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])")
+
+
 def cut_sentences_py(
     para: str,
     drop_empty_line: bool = True,
     strip: bool = True,
     deduplicate: bool = False,
+    language: str = "zh",
 ) -> list[str]:
-    """Rule-based zh sentence splitter, pass order per the reference."""
+    """Rule-based sentence splitter, zh pass order per the reference.
+    The reference's en path uses nltk sent_tokenize (absent here): the en
+    fallback splits on terminator + whitespace + capital/opening — a
+    documented divergence with the same API."""
     if para is None:
         return []
     if deduplicate:
         para = RE_PUNCT_RUN.sub(r"\1", para)
+    if language == "en":
+        sents = RE_EN_SENT.split(para)
+        if strip:
+            sents = [s.strip() for s in sents]
+        if drop_empty_line:
+            sents = [s for s in sents if s.strip()]
+        return sents
     para = RE_ZH_SINGLE.sub(r"\1\n\2", para)
     para = RE_EN_ELLIPSIS.sub(r"\1\n\2", para)
     para = RE_ZH_ELLIPSIS.sub(r"\1\n\2", para)
