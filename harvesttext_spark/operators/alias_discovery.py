@@ -1,0 +1,146 @@
+"""Entity alias discovery — the statistical (NFL) mode of the reference's
+``entity_discover`` (``harvesttext/algorithms/entity_discoverer.py:12-191``)
+re-architected Spark-first.
+
+Reference shape: candidate mentions -> count filter -> fastText embeddings
+-> cosine-threshold graph -> Louvain communities -> canonical per cluster.
+gensim/fastText and python-louvain are not in this image, and neither is
+distributable as-is anyway; the Spark-native recast is:
+
+  1. candidates   — new-word discovery output (or a provided mention table)
+                    with occurrence counts; ``min_count`` filter
+  2. embeddings   — deterministic char-bigram hash vectors (dim d): each
+                    bigram increments bucket md5(bigram)%d; L2-normalized.
+                    Pure column arithmetic, reproducible on any engine.
+  3. pair graph   — bigram-bucket posting self-join proposes pairs (never
+                    the O(n²) cross join), cosine >= threshold keeps edges
+  4. clusters     — iterative min-label propagation over the edge
+                    DataFrame (connected components, the distributed
+                    stand-in for Louvain on these tiny alias cliques)
+  5. canonical    — highest-count mention per cluster (ties: lexicographic)
+
+Output: (mention, cnt, cluster_id, canonical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 256
+
+
+def _bigrams(col):
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    n = F.size(chars)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+        ),
+    ).otherwise(F.array(col))
+
+
+def _hash_bucket(col, dim: int = EMB_DIM):
+    return (F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("bigint") % dim).cast("int")
+
+
+def char_embedding(col, dim: int = EMB_DIM):
+    """L2-normalized char-bigram hash vector as array<double>."""
+    buckets = F.transform(_bigrams(col), lambda b: _hash_bucket(b, dim))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(buckets, lambda x: x == j)).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    return F.transform(raw, lambda v: v / F.greatest(norm, F.lit(1e-9)))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(u, v) -> (node, cluster_id) by iterative min-label propagation.
+    Alias cliques are tiny, so a handful of join+agg rounds converge; at
+    corpus scale each round is one shuffle (AQE-coalesced)."""
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = labels.join(neigh, "node", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label")
+        )
+        if i % 3 == 2:
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def discover_aliases(
+    mentions: DataFrame,
+    mention_col: str = "mention",
+    count_col: str = "cnt",
+    min_count: int = 2,
+    threshold: float = 0.3,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(mention, cnt) -> (mention, cnt, cluster_id, canonical)."""
+    cands = (
+        mentions.filter(F.col(count_col) >= min_count)
+        .select(F.col(mention_col).alias("mention"), F.col(count_col).alias("cnt"))
+        .withColumn("emb", char_embedding(F.col("mention"), dim))
+        .cache()
+    )
+    # candidate pairs via shared-bigram posting lists (blocking)
+    posting = cands.select(
+        "mention", F.explode(F.array_distinct(_bigrams(F.col("mention")))).alias("bg")
+    )
+    pairs = (
+        posting.alias("a")
+        .join(posting.alias("b"), "bg")
+        .filter(F.col("a.mention") < F.col("b.mention"))
+        .select(F.col("a.mention").alias("u"), F.col("b.mention").alias("v"))
+        .distinct()
+    )
+    ea = cands.select(F.col("mention").alias("u"), F.col("emb").alias("emb_u"))
+    eb = cands.select(F.col("mention").alias("v"), F.col("emb").alias("emb_v"))
+    cos = F.aggregate(
+        F.zip_with("emb_u", "emb_v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, vv: a + vv,
+    )
+    edges = (
+        pairs.join(ea, "u").join(eb, "v").select("u", "v", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    comps = connected_components(edges.select("u", "v"))
+    labeled = cands.join(
+        comps.withColumnRenamed("node", "mention"), "mention", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("mention")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), F.asc("mention"))
+    return (
+        labeled.withColumn("canonical", F.first("mention").over(w))
+        .select("mention", "cnt", "cluster_id", "canonical")
+    )

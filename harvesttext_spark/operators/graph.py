@@ -207,16 +207,40 @@ def _sent_sim_textrank(w1, w2):
     return len(set(w1) & set(w2)) / (math.log2(len(w1)) + math.log2(len(w2)))
 
 
+def _sent_sim_cos(words1, words2):
+    from collections import Counter
+
+    eps = 1e-5
+    b1, b2 = Counter(words1), Counter(words2)
+    n1 = sum(x * x for x in b1.values()) ** 0.5 + eps
+    n2 = sum(x * x for x in b2.values()) ** 0.5 + eps
+    return sum(b1[w] * b2[w] for w in set(b1) & set(b2)) / (n1 * n2)
+
+
+def _softmax(xs):
+    import math
+
+    m = max(xs)
+    es = [math.exp(x - m) for x in xs]
+    s = sum(es)
+    return [e / s for e in es]
+
+
 def summarize(
     sent_words: DataFrame,
     id_col: str = "doc_id",
     sent_col: str = "sentence",
     words_col: str = "words",
     top_k: int = 2,
+    maxlen: int | None = None,
+    avoid_repeat: bool = False,
 ) -> DataFrame:
-    """Extractive summary per document (summary.py:11-49, no-MMR path):
-    complete sentence-similarity graph (word-overlap/log-length), pagerank,
-    top-K by importance.  -> (doc_id, sentence, importance)."""
+    """Extractive summary per document (summary.py:11-79): complete
+    sentence-similarity graph (word-overlap/log-length), pagerank, top-K.
+    ``avoid_repeat`` adds the reference's MMR re-ranking:
+    0.6*softmax(importance) − 0.4*cosine-redundancy vs the summary so far.
+    -> (doc_id, sentence, importance)."""
+    budget = float("inf") if maxlen is None else maxlen
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = pdf[id_col].iloc[0]
@@ -224,28 +248,63 @@ def summarize(
         n = len(pdf)
         if n == 0:
             return pd.DataFrame({"doc_id": [], "sentence": [], "importance": []})
+        sents = list(pdf[sent_col])
+        toks = list(pdf[words_col])
         if n == 1:
             return pd.DataFrame(
-                {"doc_id": [doc_id], "sentence": [pdf[sent_col].iloc[0]], "importance": [1.0]}
+                {"doc_id": [doc_id], "sentence": [sents[0]], "importance": [1.0]}
             )
-        toks = list(pdf[words_col])
         adj: dict = {i: {} for i in range(n)}
         for u, v in combinations(range(n), 2):
             w = _sent_sim_textrank(toks[u], toks[v])
             adj[u][v] = w
             adj[v][u] = w
         pr = pagerank_dict(adj)
-        ranked = sorted(pr.items(), key=lambda kv: -kv[1])[:top_k]
+        ranked = sorted(pr.items(), key=lambda kv: -kv[1])
+
+        chosen: list[tuple[int, float]] = []
+        if not avoid_repeat:
+            curr = 0
+            for i, imp in ranked[:top_k]:
+                curr += len(sents[i])
+                if curr > budget:
+                    break
+                chosen.append((i, imp))
+        else:
+            cands = list(range(n))
+            i, imp = ranked[0]
+            curr = len(sents[i])
+            if curr <= budget:
+                chosen.append((i, imp))
+                summary_words = list(toks[i])
+                cands.remove(i)
+                for _ in range(top_k - 1):
+                    if not cands:
+                        break
+                    imps = [pr[j] for j in cands]
+                    norm = _softmax(imps)
+                    scores = [
+                        0.6 * norm[k] - 0.4 * _sent_sim_cos(summary_words, toks[j])
+                        for k, j in enumerate(cands)
+                    ]
+                    k_best = max(range(len(cands)), key=lambda k: scores[k])
+                    j = cands[k_best]
+                    curr += len(sents[j])
+                    if curr > budget:
+                        break
+                    chosen.append((j, pr[j]))
+                    summary_words.extend(toks[j])
+                    del cands[k_best]
         return pd.DataFrame(
             {
                 "doc_id": doc_id,
-                "sentence": [pdf[sent_col].iloc[i] for i, _ in ranked],
-                "importance": [imp for _, imp in ranked],
+                "sentence": [sents[i] for i, _ in chosen],
+                "importance": [imp for _, imp in chosen],
             }
         )
 
     return sent_words.groupBy(id_col).applyInPandas(
-        per_doc, schema=f"doc_id long, sentence string, importance double"
+        per_doc, schema="doc_id long, sentence string, importance double"
     )
 
 

@@ -100,6 +100,37 @@ class EntityKB:
                 best_r, best_mention = i + 1, leaf
         return best_r, best_mention
 
+    def remove_mention(self, mention: str) -> None:
+        """Delete one surface form (harvesttext.py:98-108)."""
+        node = self.root
+        for ch in mention:
+            node = node.get(ch)
+            if node is None:
+                return
+        node.pop("leaf", None)
+        self.mention_entities.pop(mention, None)
+        for ms in self.entity_mentions.values():
+            ms.discard(mention)
+
+    def remove_entity(self, entity: str) -> None:
+        """Delete an entity from every mention's candidate list; mentions
+        left with no candidates are removed (harvesttext.py:110-125)."""
+        for mention in list(self.entity_mentions.get(entity, ())):
+            pairs = self.mention_entities.get(mention, [])
+            pairs[:] = [(e, t) for (e, t) in pairs if e != entity]
+            if not pairs:
+                self.remove_mention(mention)
+        self.entity_mentions.pop(entity, None)
+
+    def mention2entity(self, mention: str) -> tuple[str, str] | tuple[None, None]:
+        """(entity, type) for a single surface, or (None, None)
+        (harvesttext.py:406-418)."""
+        cands = self.mention_entities.get(mention)
+        if not cands:
+            return None, None
+        e, t = cands[0]
+        return e, t[1:-1]
+
     def search_word_trie(self, word: str, tolerance: int = 1) -> list[str]:
         """All registered mentions within ``tolerance`` single-char
         substitutions of ``word`` (same length) — DFS over the trie
@@ -188,6 +219,50 @@ class EntityKB:
                 record((e, t))
                 l = r
         return out
+
+
+    def link_with_recheck(
+        self,
+        sent: str,
+        strategy: str = "None",
+        entity_freq: dict[str, int] | None = None,
+        char_tolerance: int = 1,
+    ) -> list[tuple[int, int, str, str]]:
+        """Exact scan + fuzzy recheck (harvesttext.py:441-456): windows in
+        the UNLINKED stretches within ``char_tolerance`` substitutions of a
+        registered mention get linked too.  The reference rechecks jieba
+        NOUN tokens; without a POS tagger we slide windows of the KB's
+        mention lengths over CJK stretches (documented divergence — a
+        superset of the noun heuristic)."""
+        spans = self.link(sent, strategy, entity_freq)
+        lengths = sorted(
+            {len(m) for m in self.mention_entities if len(m) >= 2}, reverse=True
+        )
+        extra = []
+        cursor = 0
+        segments = []
+        for l, r, _, _ in spans:
+            segments.append((cursor, sent[cursor:l]))
+            cursor = r
+        segments.append((cursor, sent[cursor:]))
+        for base, seg in segments:
+            i = 0
+            while i < len(seg):
+                matched = False
+                for L in lengths:
+                    word = seg[i : i + L]
+                    if len(word) < L or not all("一" <= c <= "鿿" for c in word):
+                        continue
+                    cands = self.search_word_trie(word, char_tolerance)
+                    if cands:
+                        e, t = self.mention_entities[cands[0]][0]
+                        extra.append((base + i, base + i + L, e, t))
+                        i += L
+                        matched = True
+                        break
+                if not matched:
+                    i += 1
+        return sorted(spans + extra)
 
 
 def decoref(sent: str, spans: list[tuple[int, int, str, str]]) -> str:
