@@ -612,6 +612,50 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """KenLM-style bigram stupid-backoff perplexity, self-trained on the
+    documents corpus (north_star quality signal)."""
+    from harvesttext_spark.operators.lm_perplexity import perplexity_signal
+
+    out = perplexity_signal(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_bigrams", F.round("ppl", 6).alias("ppl"))
+
+
+SQL_LM_PERPLEXITY = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+),
+valid AS (SELECT * FROM base WHERE len(toks) >= 2),
+uni AS (
+  SELECT t AS word, count(*) AS c1
+  FROM (SELECT unnest(toks) AS t FROM valid) GROUP BY t
+),
+total AS (SELECT sum(c1) AS tt FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT toks[i] AS w1, toks[i+1] AS w2
+    FROM (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM valid)
+  ) GROUP BY w1, w2
+),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM valid)
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c2 IS NOT NULL THEN ln(b.c2 * 1.0 / u1.c1)
+              ELSE ln(0.4 * coalesce(u2.c1, 1) / (SELECT tt FROM total)) END AS lp
+  FROM pairs p
+  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u1 ON p.w1 = u1.word
+  LEFT JOIN uni u2 ON p.w2 = u2.word
+)
+SELECT doc_id, count(*) AS n_bigrams, round(exp(-avg(lp)), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- classic OLAP breadth (SURVEY §2.11 checklist: joins/aggs/windows) ------
 
 def q_pricing_summary(spark, sf_dir):
@@ -826,6 +870,32 @@ def q_summarize(spark, sf_dir):
     return summarize(sent, top_k=2)
 
 
+def q_langid_trained(spark, sf_dir):
+    """Hashed char-trigram NB language ID trained on the documents table's
+    own labels, scored back over it (rows-only: the 16k-bucket weight
+    pipeline is expressible but impractically slow in the oracle)."""
+    from harvesttext_spark.operators.langid_model import predict_langid, train_langid
+
+    d = _docs(spark, sf_dir)
+    weights, stats = train_langid(d)
+    out = predict_langid(d, weights, stats)
+    return out.select("doc_id", "lang_pred", F.round("margin", 4).alias("margin"))
+
+
+def q_alias_discovery(spark, sf_dir):
+    """Alias clusters over frequent document tokens (rows-only)."""
+    from harvesttext_spark.operators.alias_discovery import discover_aliases
+
+    d = _docs(spark, sf_dir)
+    mentions = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("mention"))
+        .groupBy("mention")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+    )
+    return discover_aliases(mentions, min_count=20, threshold=0.5)
+
+
 def q_pagerank_tokens(spark, sf_dir):
     from harvesttext_spark.operators.graph import (
         pagerank_edges,
@@ -880,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "pattern_entities": q_pattern_entities,
+        "lm_perplexity": q_lm_perplexity,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -890,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
+        "langid_trained": q_langid_trained,
+        "alias_discovery": q_alias_discovery,
     }
 
 
@@ -916,4 +989,5 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": SQL_TOP_CUSTOMERS,
         "region_revenue": SQL_REGION_REVENUE,
         "pattern_entities": SQL_PATTERN_ENTITIES,
+        "lm_perplexity": SQL_LM_PERPLEXITY,
     }

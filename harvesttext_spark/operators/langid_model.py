@@ -1,0 +1,127 @@
+"""fastText-style language ID: a linear model over HASHED char n-gram
+features (BASELINE.json north_star), trained deterministically on a labeled
+corpus — here as multinomial Naive Bayes, whose training IS two groupBy
+counts (the distributable closed form; no SGD nondeterminism).
+
+    feature  = bucket b = conv(md5(char_trigram),16,10) % n_buckets
+    weight   = logp(b | lang) = ln( (count(lang,b)+1) / (count(lang)+B) )
+    prior    = ln( docs(lang) / docs )
+    score(doc, lang) = prior + Σ_b∈doc logp(b|lang)
+                       + (|doc| − matched) * default(lang)     [unseen mass]
+    pred     = argmax lang
+
+TRAIN: explode trigram buckets -> groupBy (lang, bucket) counts -> weights
+dim table.  SCORE: explode doc buckets -> broadcast-join weights ->
+groupBy (doc, lang) -> argmax window.  One pass over text either way.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BUCKETS = 1 << 14
+MAX_GRAMS_PER_DOC = 300
+
+
+def _tri_buckets(text, n_buckets: int = N_BUCKETS):
+    """Array of hashed char-trigram buckets (capped for bound per-doc cost)."""
+    chars = F.filter(F.split(F.lower(text), ""), lambda c: c != "")
+    n = F.size(chars)
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.least(n - 2, F.lit(MAX_GRAMS_PER_DOC))),
+            lambda i: F.concat(
+                F.element_at(chars, i),
+                F.element_at(chars, i + 1),
+                F.element_at(chars, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.lower(text)))
+    return F.transform(
+        tris,
+        lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % n_buckets).cast("int"),
+    )
+
+
+def train_langid(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_buckets: int = N_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (weights(lang, bucket, logp), lang_stats(lang, prior, default_logp))."""
+    feats = docs.select(
+        F.col(label_col).alias("lang"),
+        F.explode(_tri_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("c"))
+    lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    weights = counts.join(lang_tot, "lang").select(
+        "lang",
+        "bucket",
+        F.log((F.col("c") + 1) / (F.col("tot") + n_buckets)).alias("logp"),
+    )
+    n_docs = docs.count()
+    stats = (
+        docs.groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count("*").alias("nd"))
+        .join(lang_tot, "lang")
+        .select(
+            "lang",
+            F.log(F.col("nd") / F.lit(float(n_docs))).alias("prior"),
+            F.log(F.lit(1.0) / (F.col("tot") + n_buckets)).alias("default_logp"),
+        )
+    )
+    return weights, stats
+
+
+def predict_langid(
+    docs: DataFrame,
+    weights: DataFrame,
+    lang_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """-> (doc_id, lang_pred, margin).  Weights broadcast-joined."""
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tri_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    sizes = feats.groupBy("doc_id").agg(F.count("*").alias("n_feats"))
+    matched = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("logp").alias("sum_logp"), F.count("*").alias("n_match"))
+    )
+    # every doc must be scored against every language (missing grams use the
+    # default); build the doc x lang frame from sizes x stats
+    grid = sizes.crossJoin(F.broadcast(lang_stats))
+    scored = grid.join(matched, ["doc_id", "lang"], "left").select(
+        "doc_id",
+        "lang",
+        (
+            F.col("prior")
+            + F.coalesce("sum_logp", F.lit(0.0))
+            + (F.col("n_feats") - F.coalesce("n_match", F.lit(0)))
+            * F.col("default_logp")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    best = ranked.filter(F.col("rk") == 1).select(
+        "doc_id", F.col("lang").alias("lang_pred"), F.col("score").alias("s1")
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("score").alias("s2")
+    )
+    return best.join(second, "doc_id", "left").select(
+        "doc_id",
+        "lang_pred",
+        (F.col("s1") - F.coalesce("s2", F.col("s1"))).alias("margin"),
+    )

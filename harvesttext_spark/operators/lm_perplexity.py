@@ -1,0 +1,139 @@
+"""KenLM-style n-gram language-model perplexity as a document-quality
+signal (BASELINE.json north_star: "a KenLM-style n-gram perplexity scorer").
+
+Model: bigram LM with stupid backoff (Brants et al. 2007 — the standard
+web-scale choice because it needs no discount tuning and distributes as
+plain counts):
+
+    S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1})   if bigram seen
+                     = alpha * count(w_i) / total_tokens      otherwise
+
+    doc score = exp(-mean_i ln S(w_i | w_{i-1}))   (perplexity; lower = more
+    natural text under the training corpus)
+
+Everything is relational:
+  * TRAIN: two groupBy counts over the corpus token stream -> a unigram
+    table and a bigram table (the "ARPA file" equivalent, stored as
+    parquet/broadcast dims).
+  * SCORE: explode each doc's bigrams, left-join the LM tables, aggregate
+    mean log-prob per doc.  At 100TB the LM tables are the small side —
+    broadcast (or bucketed) joins; the scan stays one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.4  # stupid-backoff constant
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """-> (unigrams(word, c1), bigrams(w1, w2, c2), total_tokens)."""
+    base = _doc_tokens(docs, text_col, id_col)
+    uni = (
+        base.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        base.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    total = uni.agg(F.sum("c1")).first()[0]
+    return uni, big, int(total)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """-> (doc_id, n_bigrams, ppl).  LM tables join broadcast."""
+    base = _doc_tokens(docs, text_col, id_col)
+    pairs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("pos", "bg"),
+    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    joined = (
+        pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(unigrams.select(F.col("word").alias("w1"), F.col("c1").alias("c1_prev"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(unigrams.select(F.col("word").alias("w2"), F.col("c1").alias("c1_cur"))),
+            "w2",
+            "left",
+        )
+    )
+    # stupid backoff; unseen unigrams get a 1-count floor (OOV)
+    prob = F.when(
+        F.col("c2").isNotNull(), F.col("c2") / F.col("c1_prev")
+    ).otherwise(
+        F.lit(alpha)
+        * F.coalesce(F.col("c1_cur"), F.lit(1))
+        / F.lit(float(total_tokens))
+    )
+    return (
+        joined.select("doc_id", F.log(prob).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.exp(-F.avg("lp")).alias("ppl"),
+        )
+    )
+
+
+def perplexity_signal(
+    train_docs: DataFrame,
+    score_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on one corpus, score (possibly the same) docs: the self-scored
+    variant is the quality signal — boilerplate and word-soup rank high-ppl
+    relative to in-domain prose."""
+    uni, big, total = train_bigram_lm(train_docs, text_col, id_col)
+    return score_perplexity(
+        score_docs if score_docs is not None else train_docs,
+        uni,
+        big,
+        total,
+        text_col,
+        id_col,
+    )

@@ -1,0 +1,68 @@
+"""Perplexity LM + trained language ID over synthetic pages."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesttext_spark.operators.langid_model import predict_langid, train_langid
+from harvesttext_spark.operators.lm_perplexity import (
+    perplexity_signal,
+    score_perplexity,
+    train_bigram_lm,
+)
+from harvesttext_spark.pipeline.pages import synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def lang_pages(spark):
+    """Synthetic pages restricted to the latin-script languages (their text
+    actually reflects the label; zh rows mix markup noise)."""
+    pages = synthesize_pages(spark, n=3000, seed=42, partitions=8)
+    return pages.filter(F.col("lang") != "zh").select(
+        F.monotonically_increasing_id().alias("doc_id"), "text", "lang"
+    ).cache()
+
+
+def test_langid_model_accuracy(spark, lang_pages):
+    weights, stats = train_langid(lang_pages)
+    pred = predict_langid(lang_pages, weights, stats)
+    joined = pred.join(lang_pages, "doc_id")
+    acc = joined.filter(F.col("lang_pred") == F.col("lang")).count() / joined.count()
+    assert acc >= 0.95, acc
+    assert pred.filter(F.col("margin") < 0).count() == 0
+
+
+def test_bigram_lm_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "c a d")], "doc_id long, text string"
+    )
+    uni, big, total = train_bigram_lm(docs)
+    u = {r["word"]: r["c1"] for r in uni.collect()}
+    b = {(r["w1"], r["w2"]): r["c2"] for r in big.collect()}
+    assert total == 8 and u["a"] == 3 and b[("a", "b")] == 2
+    ppl = score_perplexity(docs, uni, big, total)
+    rows = {r["doc_id"]: r for r in ppl.collect()}
+    assert rows[0]["n_bigrams"] == 4
+    # hand-computed stupid-backoff perplexities:
+    # doc0: (3/2 * 2 * 3/2 * 2)^(1/4) = 9^(1/4); doc1: (2*3)^(1/2)
+    assert rows[0]["ppl"] == pytest.approx(9 ** 0.25)
+    assert rows[1]["ppl"] == pytest.approx(6 ** 0.5)
+    assert rows[0]["ppl"] < rows[1]["ppl"]
+
+
+def test_perplexity_flags_word_soup(spark):
+    """Repeated natural sentences score lower ppl than shuffled word soup
+    under a model trained on the natural corpus."""
+    natural = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    soup = [(100, "dog the over quick lazy fox jumps brown the")]
+    docs = spark.createDataFrame(natural + soup, "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl"] for r in perplexity_signal(docs).collect()}
+    natural_ppl = out[0]
+    assert out[100] > natural_ppl * 5
+
+
+def test_perplexity_handles_oov(spark):
+    train = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    uni, big, total = train_bigram_lm(train)
+    test = spark.createDataFrame([(9, "zz yy xx ww")], "doc_id long, text string")
+    row = score_perplexity(test, uni, big, total).first()
+    assert row["ppl"] > 0  # OOV floor path, no nulls/crash
