@@ -623,10 +623,14 @@ def q_lm_perplexity(spark, sf_dir):
 
 SQL_LM_PERPLEXITY = """
 WITH base AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS ws,
+         CASE WHEN len(ws) < 2 AND length(text) >= 2
+              THEN list_filter(string_split(text, ''), c -> c != '' AND c != ' ')
+              ELSE ws END AS toks
   FROM documents
 ),
-valid AS (SELECT * FROM base WHERE len(toks) >= 2),
+valid AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
 uni AS (
   SELECT t AS word, count(*) AS c1
   FROM (SELECT unnest(toks) AS t FROM valid) GROUP BY t

@@ -29,7 +29,14 @@ ALPHA = 0.4  # stupid-backoff constant
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    """Whitespace tokens; unsegmented text (zh prose — one giant 'token')
+    falls back to char symbols so CJK documents get a char-bigram LM
+    instead of silently skipping the signal."""
+    ws = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: (c != "") & (c != " "))
+    toks = F.when(
+        (F.size(ws) < 2) & (F.length(F.col(text_col)) >= 2), chars
+    ).otherwise(ws)
     return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
         F.size("toks") >= 2
     )

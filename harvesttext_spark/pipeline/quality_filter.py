@@ -81,6 +81,58 @@ def quality_filter(pages: DataFrame, **clean_flags) -> DataFrame:
     return label(scrub(extract_text(pages), **clean_flags))
 
 
+def quality_filter_full(
+    pages: DataFrame,
+    ppl_threshold: float | None = None,
+    langid_weights=None,
+    langid_stats=None,
+    **clean_flags,
+) -> DataFrame:
+    """Extended pipeline (north_star): heuristics + KenLM-style perplexity
+    + (optionally) the trained hashed-ngram language ID.
+
+    * ppl over text_clean, self-trained on the kept-candidate corpus; docs
+      with ppl above `ppl_threshold` (or above the 99th percentile when
+      None) get drop_reason 'high_ppl' unless already dropped.
+    * when a trained langid model is provided, lang_pred comes from it
+      (margin column included); else the marker heuristic stands.
+    The base keep/drop contract (F1 vs reference labels) is unchanged for
+    docs the heuristics already decide; the LM only ADDS drops.
+    """
+    labeled = quality_filter(pages, **clean_flags)
+
+    from harvesttext_spark.operators.lm_perplexity import perplexity_signal
+
+    docs = labeled.select(F.col("url").alias("doc_id"), F.col("text_clean").alias("text"))
+    ppl = perplexity_signal(docs, text_col="text", id_col="doc_id").withColumnRenamed(
+        "doc_id", "url"
+    )
+    out = labeled.join(ppl.select("url", "ppl"), "url", "left")
+    if ppl_threshold is None:
+        ppl_threshold = out.approxQuantile("ppl", [0.99], 0.01)[0] or float("inf")
+    out = out.withColumn(
+        "drop_reason",
+        F.when(
+            F.col("keep") & (F.col("ppl") > ppl_threshold), F.lit("high_ppl")
+        ).otherwise(F.col("drop_reason")),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+
+    if langid_weights is not None and langid_stats is not None:
+        from harvesttext_spark.operators.langid_model import predict_langid
+
+        pred = predict_langid(
+            out.select(F.col("url").alias("doc_id"), F.col("text_clean").alias("text")),
+            langid_weights,
+            langid_stats,
+            text_col="text",
+            id_col="doc_id",
+        ).withColumnRenamed("doc_id", "url")
+        out = out.drop("lang_pred").join(
+            pred.select("url", "lang_pred", "margin"), "url", "left"
+        )
+    return out
+
+
 # --- metrics / lineage ----------------------------------------------------
 
 DOMAIN_RE = "^https?://([^/]+)/.*$"

@@ -60,6 +60,20 @@ def test_perplexity_flags_word_soup(spark):
     assert out[100] > natural_ppl * 5
 
 
+def test_quality_filter_full_high_ppl(spark):
+    from harvesttext_spark.pipeline.quality_filter import quality_filter_full
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+
+    out = quality_filter_full(
+        synthesize_pages(spark, n=500, seed=42), ppl_threshold=12.0
+    )
+    reasons = {r["drop_reason"] for r in out.select("drop_reason").distinct().collect()}
+    assert "high_ppl" in reasons
+    # heuristic drops unchanged: LM only ADDS drops
+    assert out.filter("drop_reason = 'too_short'").count() > 0
+    assert out.filter("keep AND ppl > 12.0").count() == 0
+
+
 def test_perplexity_handles_oov(spark):
     train = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
     uni, big, total = train_bigram_lm(train)
