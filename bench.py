@@ -24,6 +24,8 @@ HEADLINE = [
     "quality_filter_labels",  # full clean battery + signals + labels (UDF+native)
     "clean_text",             # battery alone (Arrow UDF throughput)
     "lang_id",                # native marker scoring
+    "langid_trained",         # hashed-ngram NB train + predict
+    "lm_perplexity",          # bigram LM train + score
     "doc_stats",              # token/piece counting
     "exact_dup_groups",       # digest shuffle
     "minhash_lsh_pairs",      # signature + band join
@@ -34,6 +36,8 @@ HEADLINE = [
     "embedding_topk",         # vector math, broadcast cross join
     "events_sessionize",      # lag window + running sum
 ]
+
+REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))
 
 
 def main() -> None:
@@ -52,9 +56,13 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(REPEAT):  # best-of-N: the host shows 2x steal noise
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     # flagship docs/sec: quality-filter pipeline end to end
@@ -62,11 +70,14 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_docs = docs.count()
-    t0 = time.time()
-    qs["quality_filter_labels"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    pipe_s = time.time() - t0
+    pipe_s = None
+    for _ in range(REPEAT):
+        t0 = time.time()
+        qs["quality_filter_labels"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        pipe_s = dt if pipe_s is None else min(pipe_s, dt)
 
     total = round(sum(times.values()), 3)
     print(

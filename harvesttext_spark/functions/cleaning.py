@@ -138,35 +138,41 @@ def make_cleaner(
         stop_str = None
 
     def clean(text: str) -> str:
+        # Short-circuit guards: each regex pass runs only when a NECESSARY
+        # literal of its pattern occurs in the text (str containment is ~10x
+        # cheaper than a failed regex scan); semantics are exactly the
+        # reference's — a pass that cannot match is a no-op.
         if text is None:
             return None
         text = RE_ZERO_WIDTH.sub("", text)
-        text = RE_ZERO_WIDTH_ESCAPED.sub("", text)
+        if "\\u200" in text:
+            text = RE_ZERO_WIDTH_ESCAPED.sub("", text)
         for pat in custom_compiled:
             text = pat.sub("", text)
         if norm_html:
             text = html.unescape(text)
         if to_url:
             text = urllib.parse.quote(text)
-        if remove_tags:
+        if remove_tags and "<" in text:
             text = RE_HTML_TAG.sub("", text)
-        if markdown_hyperlink:
+        if markdown_hyperlink and "](" in text:
             text = RE_MARKDOWN_LINK.sub(r"\1", text)
-        if weibo_topic:
+        if weibo_topic and "#" in text:
             text = RE_WEIBO_TOPIC.sub("", text)
         if emoji:
-            text = bracket_re.sub("", text)
+            if "[" in text:
+                text = bracket_re.sub("", text)
             text = RE_EMOJI_CODEPOINTS.sub("", text)
-        if remove_url:
+        if remove_url and "http" in text.lower():
             try:
                 text = RE_URL_PRIMARY.sub("", text)
             except Exception:  # reference keeps a backtracking fallback
                 text = RE_URL_FALLBACK.sub("", text)
         if norm_url:
             text = urllib.parse.unquote(text)
-        if email:
+        if email and "@" in text:
             text = RE_EMAIL.sub("", text)
-        if weibo_at:
+        if weibo_at and "@" in text:
             text = RE_WEIBO_AT.sub(" ", text)
         if linesep2space:
             text = text.replace("\n", " ")

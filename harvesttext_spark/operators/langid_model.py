@@ -27,24 +27,32 @@ N_BUCKETS = 1 << 14
 MAX_GRAMS_PER_DOC = 300
 
 
-def _tri_buckets(text, n_buckets: int = N_BUCKETS):
-    """Array of hashed char-trigram buckets (capped for bound per-doc cost)."""
-    chars = F.filter(F.split(F.lower(text), ""), lambda c: c != "")
-    n = F.size(chars)
+def _feature_rows(
+    docs: DataFrame, text_col: str, keep_cols: list[str], n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """One row per hashed char-trigram bucket (capped per doc).
+
+    PERF: the lowered text is materialized as a COLUMN first — expression
+    trees inside transform() lambdas get no common-subexpression
+    elimination, so deriving trigrams from an inline split(text) expression
+    re-evaluates it per element (measured O(n²): 18.6s vs 1.4s for this
+    stage at sf0.1).  Bound column references are evaluated once per row."""
+    lowered = docs.select(*keep_cols, F.lower(F.col(text_col)).alias("_lt"))
+    n = F.length("_lt")
     tris = F.when(
         n >= 3,
         F.transform(
             F.sequence(F.lit(1), F.least(n - 2, F.lit(MAX_GRAMS_PER_DOC))),
-            lambda i: F.concat(
-                F.element_at(chars, i),
-                F.element_at(chars, i + 1),
-                F.element_at(chars, i + 2),
-            ),
+            lambda i: F.col("_lt").substr(i, F.lit(3)),
         ),
-    ).otherwise(F.array(F.lower(text)))
-    return F.transform(
-        tris,
-        lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % n_buckets).cast("int"),
+    ).otherwise(F.array(F.col("_lt")))
+    return lowered.select(
+        *keep_cols, F.explode(tris).alias("_tri")
+    ).select(
+        *keep_cols,
+        (F.conv(F.substring(F.md5("_tri"), 1, 8), 16, 10).cast("bigint") % n_buckets)
+        .cast("int")
+        .alias("bucket"),
     )
 
 
@@ -55,9 +63,8 @@ def train_langid(
     n_buckets: int = N_BUCKETS,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (weights(lang, bucket, logp), lang_stats(lang, prior, default_logp))."""
-    feats = docs.select(
-        F.col(label_col).alias("lang"),
-        F.explode(_tri_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    feats = _feature_rows(
+        docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
     )
     counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("c"))
     lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
@@ -89,10 +96,9 @@ def predict_langid(
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """-> (doc_id, lang_pred, margin).  Weights broadcast-joined."""
-    feats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tri_buckets(F.col(text_col), n_buckets)).alias("bucket"),
-    )
+    feats = _feature_rows(
+        docs.withColumnRenamed(id_col, "doc_id"), text_col, ["doc_id"], n_buckets
+    ).cache()
     sizes = feats.groupBy("doc_id").agg(F.count("*").alias("n_feats"))
     matched = (
         feats.join(F.broadcast(weights), "bucket")
