@@ -874,6 +874,39 @@ def q_summarize(spark, sf_dir):
     return summarize(sent, top_k=2)
 
 
+_DEMO_KB_TRIPLES = [
+    ("spark", "apache_spark", "engine"),
+    ("flink", "apache_flink", "engine"),
+    ("hash join", "hash_join", "operator"),
+    ("merge join", "merge_join", "operator"),
+    ("sort merge", "sort_merge", "operator"),
+    ("window", "window_op", "operator"),
+    ("customer", "customer_table", "table"),
+    ("lineitem", "lineitem_table", "table"),
+]
+
+
+def q_entity_linking(spark, sf_dir):
+    """Dictionary entity linking over the documents corpus with a demo KB
+    (rows-only: longest-match scan is not SQL-expressible)."""
+    from harvesttext_spark.operators.linking import EntityKB, link_entities
+
+    kb = EntityKB.from_triples(_DEMO_KB_TRIPLES)
+    out = link_entities(_docs(spark, sf_dir), kb)
+    return out.select(
+        "doc_id", F.explode("entities").alias("e")
+    ).select("doc_id", "e.l", "e.r", "e.entity", "e.type")
+
+
+def q_scrub_text(spark, sf_dir):
+    """Sensitive-term scrub: every KB match replaced by its #type#
+    placeholder (rows-only)."""
+    from harvesttext_spark.operators.linking import EntityKB, scrub_text
+
+    kb = EntityKB.from_triples(_DEMO_KB_TRIPLES)
+    return scrub_text(_docs(spark, sf_dir), kb).select("doc_id", "text_scrubbed")
+
+
 def q_langid_trained(spark, sf_dir):
     """Hashed char-trigram NB language ID trained on the documents table's
     own labels, scored back over it (rows-only: the 16k-bucket weight
@@ -967,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_tokens": q_pagerank_tokens,
         "langid_trained": q_langid_trained,
         "alias_discovery": q_alias_discovery,
+        "entity_linking": q_entity_linking,
+        "scrub_text": q_scrub_text,
     }
 
 
