@@ -1,0 +1,87 @@
+"""Word2Vec embeddings + embedding-cosine dedup; streaming checkpoint
+restart (exactly-once file processing across stream restarts)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from harvesttext_spark.operators.embeddings import (
+    embed_documents,
+    embedding_dup_pairs,
+    train_word2vec,
+)
+
+
+@pytest.fixture(scope="module")
+def embedded(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog".split()),
+        (1, "the quick brown fox jumps over the lazy dog".split()),  # dup
+        (2, "the quick brown fox leaps over the lazy dog".split()),  # near
+        (3, "spark engines shuffle data across many executors".split()),
+    ] + [(10 + i, f"filler doc number {i} with common words the and of".split()) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, words array<string>")
+    model = train_word2vec(docs, dim=16, min_count=1)
+    return embed_documents(model, docs).cache()
+
+
+def test_embed_documents_shape(embedded):
+    row = embedded.first()
+    assert len(row["embedding"]) == 16
+
+
+def test_embedding_dup_pairs(embedded):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_dup_pairs(embedded, dim=16, min_cos=0.999).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)  # identical docs
+    assert (0, 3) not in pairs
+
+
+def test_streaming_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across restarts: files processed before the stop are
+    not reprocessed when the stream restarts from the checkpoint."""
+    from harvesttext_spark.pipeline.pages import PAGES_SCHEMA
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(tag, n):
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://x.com/{tag}/{i}" for i in range(n)],
+                "warc_ts": pd.to_datetime(["2024-01-01"] * n),
+                "html": [b""] * n,
+                "text": [f"document body {tag} {i} with enough text here" for i in range(n)],
+                "lang": ["en"] * n,
+            }
+        )
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        from harvesttext_spark.streaming.stream_filter import streaming_quality_filter
+
+        q = (
+            streaming_quality_filter(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch("a", 5)
+    run_once()
+    assert spark.read.parquet(sink).count() == 5
+
+    write_batch("b", 3)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 8  # 5 + 3, nothing reprocessed
+    assert out.select("url").distinct().count() == 8
