@@ -80,20 +80,21 @@ def main() -> None:
         pipe_s = dt if pipe_s is None else min(pipe_s, dt)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / pipe_s, 1),
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipe_s, 1),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    # attach the latest N-vs-4N scaling evidence (bench_scaling.py output)
+    if os.path.exists("scaling_results.json"):
+        with open("scaling_results.json") as f:
+            payload["scaling"] = json.load(f)
+    print(json.dumps(payload))
     spark.stop()
 
 

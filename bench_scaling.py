@@ -132,6 +132,8 @@ def main() -> None:
         "efficiency_vs_hardware_ceiling": round(eff / hw, 3),
     }
     print(json.dumps(out))
+    with open("scaling_results.json", "w") as f:
+        json.dump(out, f)
 
     table = (
         "## Scaling evidence (flagship quality-filter pipeline)\n\n"
