@@ -195,6 +195,32 @@ def minhash_dup_pairs(
     )
 
 
+def drop_near_dups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production dedup tail: near-dup PAIRS (from MinHash/SimHash/embedding
+    candidates) -> transitive duplicate CLUSTERS (connected components) ->
+    keep the min-id survivor per cluster, drop the rest.
+
+    Components run on the pair graph only (docs with no near-dup never
+    enter the iteration), so the loop is tiny even at corpus scale."""
+    from harvesttext_spark.operators.alias_discovery import connected_components
+
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    losers = (
+        comps.groupBy("cluster_id")
+        .agg(F.min("node").alias("keep_id"))
+        .join(comps, "cluster_id")
+        .filter(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 # --- exact n-gram Jaccard ----------------------------------------------------
 
 

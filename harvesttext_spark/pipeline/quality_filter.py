@@ -146,10 +146,17 @@ def domain_col(url: str = "url") -> F.Column:
 def domain_metrics(labeled: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
     """Per-domain keep/drop stats via salted two-level aggregation.
 
-    Level 1 groups on (domain, salt) — the hot Zipf-head domain is split
-    across `n_salts` reducers; level 2 merges the tiny partial rows.  At
-    local scale this looks like overkill; at 10^12 docs the head domain
-    would otherwise pin one reducer.
+    Level 1 groups on (domain, salt) — the Zipf-head domain's rows split
+    across `n_salts` reducers; level 2 merges the tiny partials.
+
+    Honest scope note: for ALGEBRAIC aggregates (count/sum/avg) Spark's
+    map-side partial aggregation already collapses hot keys before the
+    shuffle, so the salt mainly buys insurance when partial agg is
+    ineffective (very high per-partition key cardinality causes hash-map
+    fallback) — and it is the REQUIRED pattern for the non-algebraic
+    per-domain aggregates this table grows at scale (exact distinct
+    snapshots, reservoir samples, collect_set of drop reasons).  AQE's
+    skew handling covers joins, not groupBy keys.
     """
     salted = labeled.select(
         domain_col().alias("domain"),

@@ -80,6 +80,17 @@ def test_jaccard_pairs_exact(docs):
     assert (0, 3) not in pairs
 
 
+def test_drop_near_dups_transitive(spark, docs):
+    """A-B and B-C pairs must collapse into ONE cluster keeping only A."""
+    from harvesttext_spark.operators.dedup import drop_near_dups
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 4, 0.8)], "id_a long, id_b long, est_jaccard double"
+    )
+    kept = sorted(r["doc_id"] for r in drop_near_dups(docs, pairs).collect())
+    assert kept == [0, 2, 3]
+
+
 def test_simhash_portable(docs):
     vals = {
         r["doc_id"]: r["sh"]
