@@ -32,8 +32,8 @@ def _distinct_tokens(docs: DataFrame, words_col: str, id_col: str) -> DataFrame:
 
 def build_sent_dict(
     docs: DataFrame,
-    pos_seeds: list[str],
-    neg_seeds: list[str],
+    pos_seeds: list[str] | None = None,
+    neg_seeds: list[str] | None = None,
     words_col: str = "words",
     id_col: str = "doc_id",
     min_times: int = 5,
@@ -42,7 +42,16 @@ def build_sent_dict(
 ) -> DataFrame:
     """-> (word, senti).  ``docs`` carries a token-array column (the output
     of the tokenize stage); empty docs are dropped as the reference does
-    after stopword removal."""
+    after stopword removal.  When both seed lists are None, the packaged
+    sentiment-lexicon subset applies (reference default: Tsinghua lexicon,
+    ``sentiment.py:33-35``)."""
+    if pos_seeds is None and neg_seeds is None:
+        from harvesttext_spark.functions.resources import get_senti_seeds
+
+        seeds0 = get_senti_seeds()
+        pos_seeds, neg_seeds = seeds0["pos"], seeds0["neg"]
+    pos_seeds = pos_seeds or []
+    neg_seeds = neg_seeds or []
     spark = docs.sparkSession
     if stopwords:
         sw = F.array(*[F.lit(w) for w in set(stopwords)])
