@@ -72,6 +72,32 @@ class EntityKB:
             node = node.setdefault(ch, {})
         node["leaf"] = mention
 
+    def add_new_words(self, words: Iterable[str], type0: str = "添加词") -> None:
+        """Register plain words (their own entity/mention; default type
+        添加词 — harvesttext.py:211-220)."""
+        for w in words:
+            self.add(w, w, type0)
+
+    def add_new_entity(
+        self, entity: str, mention0: str | None = None, type0: str = "添加词"
+    ) -> None:
+        """harvesttext.py:231-244: entity with an initial mention."""
+        self.add(mention0 or entity, entity, type0)
+        if mention0 and mention0 != entity:
+            self.add(entity, entity, type0)
+
+    def add_new_mentions(self, entity: str, mentions: Iterable[str]) -> None:
+        """Attach extra surfaces to an existing entity, keeping its type."""
+        pairs = [
+            (e, t)
+            for m in self.entity_mentions.get(entity, ())
+            for (e, t) in self.mention_entities.get(m, ())
+            if e == entity
+        ]
+        type0 = pairs[0][1][1:-1] if pairs else "添加词"
+        for m in mentions:
+            self.add(m, entity, type0)
+
     @classmethod
     def from_triples(cls, triples: Iterable[tuple[str, str, str]]) -> "EntityKB":
         kb = cls()

@@ -52,6 +52,21 @@ def streaming_event_counts(
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession, input_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` gap-merges each
+    user's events; watermark bounds state (the streaming sibling of the
+    batch lag-window sessionize in __spark_entry__)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select("user_id", "win.start", "win.end", "n_events", "sum_value")
+    )
+
+
 def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator: emit each document only the
     first time its text digest appears, keeping the seen-digest set in

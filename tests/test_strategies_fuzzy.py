@@ -85,6 +85,50 @@ def test_threshold_seeds(spark):
     assert out2.count() == 1
 
 
+def test_kb_convenience_apis():
+    kb = EntityKB()
+    kb.add_new_words(["落叶球", "666"])
+    assert kb.mention2entity("落叶球") == ("落叶球", "添加词")
+    kb.add_new_entity("武磊", mention0="武球王", type0="球员")
+    assert kb.mention2entity("武球王") == ("武磊", "球员")
+    assert kb.mention2entity("武磊") == ("武磊", "球员")
+    kb.add_new_mentions("武磊", ["吴球王"])
+    assert kb.mention2entity("吴球王") == ("武磊", "球员")
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    import pandas as pd
+
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "sess_stream")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00", "2024-01-01 00:10",  # session 1
+                    "2024-01-01 02:00", "2024-01-01 02:05",  # session 2
+                    "2024-01-01 00:01",                      # user 2 s1
+                    "2024-01-01 05:00",                      # user 2 s2
+                ]
+            ),
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_type": ["a"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    agg = streaming_sessionize(spark, src, gap="30 minutes")
+    run_stream_to_memory(agg, "ssz", mode="complete")
+    rows = spark.sql("SELECT user_id, n_events FROM ssz ORDER BY user_id, n_events").collect()
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2), (1, 2), (2, 1), (2, 1)]
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     import pandas as pd
 
