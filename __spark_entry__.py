@@ -911,11 +911,17 @@ def q_langid_trained(spark, sf_dir):
     """Hashed char-trigram NB language ID trained on the documents table's
     own labels, scored back over it (rows-only: the 16k-bucket weight
     pipeline is expressible but impractically slow in the oracle)."""
-    from harvesttext_spark.operators.langid_model import predict_langid, train_langid
+    from harvesttext_spark.operators.langid_model import (
+        _feature_rows,
+        predict_from_features,
+        train_langid,
+    )
 
     d = _docs(spark, sf_dir)
-    weights, stats = train_langid(d)
-    out = predict_langid(d, weights, stats)
+    # one shared feature extraction for train AND predict (same corpus)
+    feats = _feature_rows(d, "text", ["doc_id", "lang"]).cache()
+    weights, stats = train_langid(d, feats=feats)
+    out = predict_from_features(feats.select("doc_id", "bucket"), weights, stats)
     return out.select("doc_id", "lang_pred", F.round("margin", 4).alias("margin"))
 
 

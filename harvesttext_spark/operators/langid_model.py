@@ -61,11 +61,15 @@ def train_langid(
     text_col: str = "text",
     label_col: str = "lang",
     n_buckets: int = N_BUCKETS,
+    feats: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (weights(lang, bucket, logp), lang_stats(lang, prior, default_logp))."""
-    feats = _feature_rows(
-        docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
-    )
+    """-> (weights(lang, bucket, logp), lang_stats(lang, prior, default_logp)).
+    Pass precomputed ``feats`` (from _feature_rows, with a 'lang' column)
+    to share the extraction with a predict pass over the same corpus."""
+    if feats is None:
+        feats = _feature_rows(
+            docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
+        )
     counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("c"))
     lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     weights = counts.join(lang_tot, "lang").select(
@@ -99,6 +103,13 @@ def predict_langid(
     feats = _feature_rows(
         docs.withColumnRenamed(id_col, "doc_id"), text_col, ["doc_id"], n_buckets
     ).cache()
+    return predict_from_features(feats, weights, lang_stats)
+
+
+def predict_from_features(
+    feats: DataFrame, weights: DataFrame, lang_stats: DataFrame
+) -> DataFrame:
+    """Score precomputed (doc_id, bucket) feature rows."""
     sizes = feats.groupBy("doc_id").agg(F.count("*").alias("n_feats"))
     matched = (
         feats.join(F.broadcast(weights), "bucket")
