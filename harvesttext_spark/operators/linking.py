@@ -180,6 +180,20 @@ class EntityKB:
         visit(self.root, word, tolerance)
         return sorted(results)
 
+    def link_all_candidates(self, sent: str) -> list[tuple[int, int, list]]:
+        """keep_all=True semantics (harvesttext.py:489-491): every span with
+        its full candidate set, no disambiguation."""
+        out = []
+        l, n = 0, len(sent)
+        while l < n:
+            r, mention = self.longest_match(sent, l)
+            if r == -1:
+                l += 1
+                continue
+            out.append((l, r, list(self.mention_entities[mention])))
+            l = r
+        return out
+
     def link(
         self,
         sent: str,

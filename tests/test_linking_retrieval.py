@@ -103,6 +103,17 @@ def test_entity_cooccurrence_edges(posting):
     assert edges[("武磊", "郜林")] == 1  # doc 3
 
 
+def test_link_all_candidates():
+    kb = EntityKB.from_triples(
+        [("经理", "张三", "人名"), ("经理", "李四", "人名")]
+    )
+    spans = kb.link_all_candidates("经理来了")
+    assert len(spans) == 1
+    l, r, cands = spans[0]
+    assert (l, r) == (0, 2)
+    assert {e for e, _ in cands} == {"张三", "李四"}
+
+
 def test_freq_strategy_overlap():
     """set_linking_strategy 'freq' overlap case (harvesttext.py:347):
     'xx市长江yy' + freq{xx市长:5, 长江yy:3} -> xx市长 wins."""
