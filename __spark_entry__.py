@@ -575,6 +575,41 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each 'click' event picks up the value of the user's most
+    recent prior 'signup' event (union+window strategy; oracle = DuckDB's
+    native ASOF JOIN)."""
+    from harvesttext_spark.operators.asof import as_of_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("click_value")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.round("value", 4).alias("signup_value")
+    )
+    out = as_of_join(clicks, signups, "user_id", "ts", ["signup_value"])
+    return out.select(
+        "event_id", "user_id", "click_value",
+        F.col("asof_signup_value").alias("signup_value"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, round(value, 4) AS click_value
+  FROM events WHERE event_type = 'click'
+),
+signups AS (
+  SELECT user_id, ts, round(value, 4) AS signup_value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT c.event_id, c.user_id, c.click_value, s.signup_value
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: per user, a new session starts after a >30min gap;
     emits per-session event counts — lag window + running sum."""
@@ -989,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -1030,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_asof": SQL_EVENTS_ASOF,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "region_revenue": SQL_REGION_REVENUE,
