@@ -647,6 +647,57 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_doc_coherence(spark, sf_dir):
+    """Corpus n-gram cohesion repurposed as a per-document quality signal
+    (north_star wording: word-discovery statistics as doc-quality signals)."""
+    from harvesttext_spark.operators.word_discovery import doc_coherence
+
+    out = doc_coherence(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_known",
+        F.round("coverage", 6).alias("coverage"),
+        F.round("mean_log_agg", 6).alias("mean_log_agg"),
+    )
+
+
+SQL_DOC_COHERENCE = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS syms
+  FROM documents WHERE length(trim(text)) > 0
+),
+meta AS (SELECT sum(len(syms)) + count(*) - 1 AS L FROM base),
+uni AS (
+  SELECT t AS word, count(*) AS c1
+  FROM (SELECT unnest(syms) AS t FROM base) GROUP BY t
+),
+big AS (
+  SELECT w1 || ' ' || w2 AS word, w1, w2, count(*) AS c2 FROM (
+    SELECT syms[i] AS w1, syms[i+1] AS w2
+    FROM (SELECT syms, unnest(generate_series(1, len(syms)-1)) AS i FROM base WHERE len(syms) >= 2)
+  ) GROUP BY w1, w2
+),
+known AS (
+  SELECT b.word, ln(b.c2 * (SELECT L FROM meta) * 1.0 / (u1.c1 * u2.c1)) AS log_agg
+  FROM big b JOIN uni u1 ON b.w1 = u1.word JOIN uni u2 ON b.w2 = u2.word
+  WHERE b.c2 >= 3 AND b.c2 * (SELECT L FROM meta) * 1.0 / (u1.c1 * u2.c1) > 0
+),
+pairs AS (
+  SELECT doc_id, syms[i] || ' ' || syms[i+1] AS word
+  FROM (SELECT doc_id, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM base WHERE len(syms) >= 2)
+)
+SELECT p.doc_id,
+       count(*) AS n_bigrams,
+       count(k.log_agg) AS n_known,
+       round(count(k.log_agg) * 1.0 / count(*), 6) AS coverage,
+       round(avg(k.log_agg), 6) AS mean_log_agg
+FROM pairs p LEFT JOIN known k USING (word)
+GROUP BY p.doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """KenLM-style bigram stupid-backoff perplexity, self-trained on the
     documents corpus (north_star quality signal)."""
@@ -1030,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "pattern_entities": q_pattern_entities,
         "lm_perplexity": q_lm_perplexity,
+        "doc_coherence": q_doc_coherence,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1072,4 +1124,5 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": SQL_REGION_REVENUE,
         "pattern_entities": SQL_PATTERN_ENTITIES,
         "lm_perplexity": SQL_LM_PERPLEXITY,
+        "doc_coherence": SQL_DOC_COHERENCE,
     }

@@ -237,6 +237,50 @@ def ngram_stats(
     return stats, corpus_len
 
 
+def doc_coherence(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+) -> DataFrame:
+    """Per-document coherence from corpus n-gram statistics (the north-star
+    repurposing: word-discovery cohesion as a QUALITY SIGNAL).
+
+    For each doc: its token bigrams join the corpus stats table; output
+        mean_log_agg — mean ln(aggregation) of its known bigrams (how
+                       collocation-like the doc's word pairs are)
+        coverage     — fraction of its bigrams frequent enough to be known.
+    Low coverage + low cohesion = shuffled word soup / boilerplate.
+    -> (doc_id, n_bigrams, n_known, coverage, mean_log_agg)."""
+    stats, _ = ngram_stats(docs, text_col, id_col, max_word_len=2, unit="token")
+    known = stats.filter(
+        (F.col("cnt") >= min_count) & (F.col("agg") > 0)
+    ).select("word", F.log("agg").alias("log_agg"))
+
+    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("word"),
+    )
+    joined = pairs.join(known, "word", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count("log_agg").alias("n_known"),
+        (F.count("log_agg") / F.count("*")).alias("coverage"),
+        F.avg("log_agg").alias("mean_log_agg"),
+    )
+
+
 @dataclass
 class DiscoverParams:
     max_word_len: int = 5
