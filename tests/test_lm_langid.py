@@ -16,7 +16,7 @@ from harvesttext_spark.pipeline.pages import synthesize_pages
 def lang_pages(spark):
     """Synthetic pages restricted to the latin-script languages (their text
     actually reflects the label; zh rows mix markup noise)."""
-    pages = synthesize_pages(spark, n=3000, seed=42, partitions=8)
+    pages = synthesize_pages(spark, n=1500, seed=42, partitions=8)
     return pages.filter(F.col("lang") != "zh").select(
         F.monotonically_increasing_id().alias("doc_id"), "text", "lang"
     ).cache()
