@@ -48,9 +48,30 @@ def extract_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def scrub(df: DataFrame, text_col: str = "raw_text", **clean_flags) -> DataFrame:
+def scrub(
+    df: DataFrame, text_col: str = "raw_text", fast_path: bool = False, **clean_flags
+) -> DataFrame:
+    """Cleaning battery.  ``fast_path=True`` (default battery flags only)
+    routes pure-ASCII rows through the Catalyst-native regexp chain —
+    zero Python for the latin majority of a real crawl — and only the
+    non-ASCII remainder through the Arrow UDF.  Equivalence of the two
+    paths on ASCII input is property-tested (tests/test_fast_path.py);
+    byte-parity holds because every divergent corner (astral planes, zh
+    @mention classes, CJK stop terms) requires a non-ASCII char."""
     clean_udf = make_clean_text_udf(**clean_flags)
-    return df.withColumn("text_clean", clean_udf(F.col(text_col)))
+    if not fast_path or clean_flags:
+        return df.withColumn("text_clean", clean_udf(F.col(text_col)))
+
+    from harvesttext_spark.functions.cleaning import clean_text_native
+
+    is_ascii = F.col(text_col).rlike("^[\\x00-\\x7F]*$")
+    fast = df.filter(F.col(text_col).isNotNull() & is_ascii).withColumn(
+        "text_clean", clean_text_native(F.col(text_col))
+    )
+    slow = df.filter(F.col(text_col).isNull() | ~is_ascii).withColumn(
+        "text_clean", clean_udf(F.col(text_col))
+    )
+    return fast.unionByName(slow)
 
 
 def label(df: DataFrame, text_col: str = "text_clean") -> DataFrame:
