@@ -746,6 +746,103 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_domain_quality(spark, sf_dir):
+    """Per-source (domain analog) quality rollup: mean LM perplexity and
+    n-gram coherence — the salted-partition metrics tables the pipeline
+    writes alongside its output at scale."""
+    from harvesttext_spark.operators.lm_perplexity import perplexity_signal
+    from harvesttext_spark.operators.word_discovery import doc_coherence
+
+    d = _docs(spark, sf_dir)
+    ppl = perplexity_signal(d)
+    coh = doc_coherence(d)
+    joined = (
+        d.select("doc_id", "source")
+        .join(ppl.select("doc_id", "ppl"), "doc_id", "left")
+        .join(coh.select("doc_id", "coverage", "mean_log_agg"), "doc_id", "left")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        F.round(F.avg("coverage"), 6).alias("avg_coverage"),
+        F.round(F.avg("mean_log_agg"), 6).alias("avg_coherence"),
+    )
+
+
+SQL_DOMAIN_QUALITY = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS ws,
+         CASE WHEN len(ws) < 2 AND length(text) >= 2
+              THEN list_filter(string_split(text, ''), c -> c != '' AND c != ' ')
+              ELSE ws END AS toks
+  FROM documents
+),
+valid AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+uni AS (SELECT t AS word, count(*) AS c1 FROM (SELECT unnest(toks) AS t FROM valid) GROUP BY t),
+total AS (SELECT sum(c1) AS tt FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT toks[i] AS w1, toks[i+1] AS w2
+    FROM (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM valid)
+  ) GROUP BY w1, w2
+),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM valid)
+),
+ppl AS (
+  SELECT doc_id, exp(-avg(lp)) AS ppl FROM (
+    SELECT p.doc_id,
+           CASE WHEN b.c2 IS NOT NULL THEN ln(b.c2 * 1.0 / u1.c1)
+                ELSE ln(0.4 * coalesce(u2.c1, 1) / (SELECT tt FROM total)) END AS lp
+    FROM pairs p
+    LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+    LEFT JOIN uni u1 ON p.w1 = u1.word
+    LEFT JOIN uni u2 ON p.w2 = u2.word
+  ) GROUP BY doc_id
+),
+cbase AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS syms
+  FROM documents WHERE length(trim(text)) > 0
+),
+cmeta AS (SELECT sum(len(syms)) + count(*) - 1 AS L FROM cbase),
+cuni AS (SELECT t AS word, count(*) AS c1 FROM (SELECT unnest(syms) AS t FROM cbase) GROUP BY t),
+cbig AS (
+  SELECT w1 || ' ' || w2 AS word, w1, w2, count(*) AS c2 FROM (
+    SELECT syms[i] AS w1, syms[i+1] AS w2
+    FROM (SELECT syms, unnest(generate_series(1, len(syms)-1)) AS i FROM cbase WHERE len(syms) >= 2)
+  ) GROUP BY w1, w2
+),
+known AS (
+  SELECT b.word, ln(b.c2 * (SELECT L FROM cmeta) * 1.0 / (u1.c1 * u2.c1)) AS log_agg
+  FROM cbig b JOIN cuni u1 ON b.w1 = u1.word JOIN cuni u2 ON b.w2 = u2.word
+  WHERE b.c2 >= 3 AND b.c2 * (SELECT L FROM cmeta) * 1.0 / (u1.c1 * u2.c1) > 0
+),
+cpairs AS (
+  SELECT doc_id, syms[i] || ' ' || syms[i+1] AS word
+  FROM (SELECT doc_id, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM cbase WHERE len(syms) >= 2)
+),
+coh AS (
+  SELECT p.doc_id,
+         count(k.log_agg) * 1.0 / count(*) AS coverage,
+         avg(k.log_agg) AS mean_log_agg
+  FROM cpairs p LEFT JOIN known k USING (word)
+  GROUP BY p.doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(ppl.ppl), 4) AS avg_ppl,
+       round(avg(coh.coverage), 6) AS avg_coverage,
+       round(avg(coh.mean_log_agg), 6) AS avg_coherence
+FROM documents d
+LEFT JOIN ppl ON d.doc_id = ppl.doc_id
+LEFT JOIN coh ON d.doc_id = coh.doc_id
+GROUP BY d.source
+"""
+
+
 # --- classic OLAP breadth (SURVEY §2.11 checklist: joins/aggs/windows) ------
 
 def q_pricing_summary(spark, sf_dir):
@@ -1082,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_entities": q_pattern_entities,
         "lm_perplexity": q_lm_perplexity,
         "doc_coherence": q_doc_coherence,
+        "domain_quality": q_domain_quality,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1125,4 +1223,5 @@ def oracle_sql() -> dict[str, str]:
         "pattern_entities": SQL_PATTERN_ENTITIES,
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "doc_coherence": SQL_DOC_COHERENCE,
+        "domain_quality": SQL_DOMAIN_QUALITY,
     }
