@@ -126,6 +126,100 @@ def score_perplexity(
     )
 
 
+def train_trigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """-> (unigrams, bigrams, trigrams(w1,w2,w3,c3), total_tokens)."""
+    uni, big, total = train_bigram_lm(docs, text_col, id_col)
+    base = _doc_tokens(docs, text_col, id_col).filter(F.size("toks") >= 3)
+    tri = (
+        base.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                        F.element_at("toks", i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("tg")
+        )
+        .groupBy(
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .agg(F.count("*").alias("c3"))
+    )
+    return uni, big, tri, total
+
+
+def score_perplexity_trigram(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Three-level stupid backoff:
+        S(w3|w1w2) = c3/c2(w1,w2)                  if trigram seen
+                   = a * c2(w2,w3)/c1(w2)          elif bigram seen
+                   = a^2 * c1(w3)/total  (1 floor) else
+    -> (doc_id, n_trigrams, ppl)."""
+    base = _doc_tokens(docs, text_col, id_col).filter(F.size("toks") >= 3)
+    tg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                    F.element_at("toks", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+
+    big12 = bigrams.select(
+        F.col("w1"), F.col("w2"), F.col("c2").alias("c2_ctx")
+    )
+    big23 = bigrams.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2_next")
+    )
+    uni2 = unigrams.select(F.col("word").alias("w2"), F.col("c1").alias("c1_mid"))
+    uni3 = unigrams.select(F.col("word").alias("w3"), F.col("c1").alias("c1_last"))
+
+    joined = (
+        tg.join(F.broadcast(trigrams), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(big12), ["w1", "w2"], "left")
+        .join(F.broadcast(big23), ["w2", "w3"], "left")
+        .join(F.broadcast(uni2), "w2", "left")
+        .join(F.broadcast(uni3), "w3", "left")
+    )
+    prob = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2_ctx"))
+        .when(
+            F.col("c2_next").isNotNull(),
+            F.lit(alpha) * F.col("c2_next") / F.col("c1_mid"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * F.coalesce(F.col("c1_last"), F.lit(1))
+            / F.lit(float(total_tokens))
+        )
+    )
+    return (
+        joined.select("doc_id", F.log(prob).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"), F.exp(-F.avg("lp")).alias("ppl"))
+    )
+
+
 def perplexity_signal(
     train_docs: DataFrame,
     score_docs: DataFrame | None = None,

@@ -74,6 +74,43 @@ def test_quality_filter_full_high_ppl(spark):
     assert out.filter("keep AND ppl > 12.0").count() == 0
 
 
+def test_trigram_lm_backoff_levels(spark):
+    from harvesttext_spark.operators.lm_perplexity import (
+        score_perplexity_trigram,
+        train_trigram_lm,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    uni, big, tri, total = train_trigram_lm(docs)
+    t = {(r["w1"], r["w2"], r["w3"]): r["c3"] for r in tri.collect()}
+    assert t[("a", "b", "c")] == 2 and t[("a", "b", "d")] == 1
+    out = {r["doc_id"]: r for r in score_perplexity_trigram(docs, uni, big, tri, total).collect()}
+    # doc 0 trigrams: abc(2/3 of ab ctx... c3=2, c2(ab)=3), bca(1/2), cab(1/1), abc(2/3)
+    expected0 = math.exp(-(math.log(2 / 3) + math.log(1 / 2) + math.log(1) + math.log(2 / 3)) / 4)
+    assert out[0]["ppl"] == pytest.approx(expected0)
+    # doc 1: single trigram abd seen once: c3=1 / c2(ab)=3
+    assert out[1]["ppl"] == pytest.approx(3.0)
+    # trigram model separates the repetitive doc better than soup
+    assert out[0]["ppl"] < out[1]["ppl"]
+
+
+def test_trigram_backoff_unseen(spark):
+    from harvesttext_spark.operators.lm_perplexity import (
+        score_perplexity_trigram,
+        train_trigram_lm,
+    )
+
+    train = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    uni, big, tri, total = train_trigram_lm(train)
+    # "b c e": trigram unseen, bigram (c,e) unseen -> unigram floor path
+    test = spark.createDataFrame([(9, "b c e")], "doc_id long, text string")
+    row = score_perplexity_trigram(test, uni, big, tri, total).first()
+    assert row["n_trigrams"] == 1 and row["ppl"] > 0
+
+
 def test_perplexity_handles_oov(spark):
     train = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
     uni, big, total = train_bigram_lm(train)
