@@ -129,16 +129,17 @@ def predict_from_features(
             * F.col("default_logp")
         ).alias("score"),
     )
+    # one window + conditional aggregation (two filtered branches over the
+    # same window would compute it twice and add a self-join)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    ranked = scored.withColumn("rk", F.row_number().over(w))
-    best = ranked.filter(F.col("rk") == 1).select(
-        "doc_id", F.col("lang").alias("lang_pred"), F.col("score").alias("s1")
-    )
-    second = ranked.filter(F.col("rk") == 2).select(
-        "doc_id", F.col("score").alias("s2")
-    )
-    return best.join(second, "doc_id", "left").select(
-        "doc_id",
-        "lang_pred",
-        (F.col("s1") - F.coalesce("s2", F.col("s1"))).alias("margin"),
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    return ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang_pred"),
+        (
+            F.max(F.when(F.col("rk") == 1, F.col("score")))
+            - F.coalesce(
+                F.max(F.when(F.col("rk") == 2, F.col("score"))),
+                F.max(F.when(F.col("rk") == 1, F.col("score"))),
+            )
+        ).alias("margin"),
     )
