@@ -290,6 +290,18 @@ class DiscoverParams:
     ent_threshold: str = "both"  # or "avg"
 
 
+def mentions_of_types(kb, excluding_types: list[str]) -> list[str]:
+    """word_discover's excluding_types (word_discover.py:65-71): every
+    mention of every entity registered under the given types — feed the
+    result to word_discover(exclude_words=...)."""
+    wanted = {f"#{t}#" for t in excluding_types} | set(excluding_types)
+    out = []
+    for mention, pairs in kb.mention_entities.items():
+        if any(t in wanted or t[1:-1] in excluding_types for _, t in pairs):
+            out.append(mention)
+    return out
+
+
 def auto_params(corpus_len: int, max_word_len: int = 5) -> DiscoverParams:
     """word_discover.py:46-53 empirical parameter schedule."""
     return DiscoverParams(

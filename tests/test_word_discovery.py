@@ -71,3 +71,16 @@ def test_token_mode_stats(spark):
 def test_exclusions(para_df):
     out = word_discover(para_df, auto=True, unit="char", exclude_words=["武磊"])
     assert out.count() == 0
+
+
+def test_excluding_types(para_df):
+    from harvesttext_spark.operators.linking import EntityKB
+    from harvesttext_spark.operators.word_discovery import mentions_of_types
+
+    kb = EntityKB.from_triples(
+        [("武磊", "武磊", "球员"), ("武球王", "武磊", "球员"), ("上港", "上海上港", "球队")]
+    )
+    ex = mentions_of_types(kb, ["球员"])
+    assert sorted(ex) == ["武球王", "武磊"]
+    out = word_discover(para_df, auto=True, unit="char", exclude_words=ex)
+    assert out.count() == 0  # 武磊 excluded via its registered type

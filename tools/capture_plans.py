@@ -2,6 +2,10 @@
 
 import contextlib
 import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from harvesttext_spark.session import get_spark
 import __spark_entry__ as e
