@@ -129,6 +129,39 @@ def test_cut_paragraphs_operator(spark):
     assert [r["para_id"] for r in out] == [0, 1]
 
 
+def test_find_with_rules_reference_golden(spark):
+    """Reference test_find_with_rules (tests/test_functionality.py:209-233):
+    the segmentation-independent assertions — AllEnglish finds
+    {Python, requests}; (AllEnglish AND UpperFirst) finds {Python}; found
+    entities registered into the KB get their type as posseg tag."""
+    from harvesttext_spark.operators.patterns import (
+        all_english as _ae,
+        upper_first as _uf,
+    )
+
+    text0 = "我喜欢Python，因为requests库很适合爬虫"
+    df = spark.createDataFrame([(0, text0)], "doc_id long, text string")
+    toks = seg_documents(df, None).select("doc_id", "words")
+
+    found = {
+        r["word"] for r in find_entities_with_rule(toks, [_ae], words_col="words").collect()
+    }
+    assert found == {"Python", "requests"}
+
+    found2 = {
+        r["word"]
+        for r in find_entities_with_rule(toks, [(_ae, _uf)], words_col="words").collect()
+    }
+    assert found2 == {"Python"}
+
+    # register found entities -> posseg tags them with the type
+    kb = EntityKB()
+    for w in found:
+        kb.add(w, w, "英文名")
+    pairs = dict(seg_py(text0, kb, with_pos=True))
+    assert pairs["Python"] == "英文名" and pairs["requests"] == "英文名"
+
+
 def test_find_entities_with_rule(spark):
     df = spark.createDataFrame(
         [(1, ["Alice", "bob", "ab12", "武磊", "Zz"])], "doc_id long, words array<string>"
