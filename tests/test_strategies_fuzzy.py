@@ -85,6 +85,18 @@ def test_threshold_seeds(spark):
     assert out2.count() == 1
 
 
+def test_entity_error_check_reference_golden():
+    """Reference golden (tests/test_entity_error_check_expected, char path):
+    '武磊和吴磊只差一个字' with char_tolerance=1 links BOTH 武磊 (exact,
+    0-2) and 吴磊 (fuzzy, 3-5) to 武磊#人名#."""
+    kb = EntityKB.from_triples([("武磊", "武磊", "人名")])
+    spans = kb.link_with_recheck("武磊和吴磊只差一个字", char_tolerance=1)
+    assert [(l, r, e, t) for l, r, e, t in spans] == [
+        (0, 2, "武磊", "#人名#"),
+        (3, 5, "武磊", "#人名#"),
+    ]
+
+
 def test_kb_convenience_apis():
     kb = EntityKB()
     kb.add_new_words(["落叶球", "666"])
