@@ -194,11 +194,20 @@ class EntityKB:
             l = r
         return out
 
+    def entity_type(self, entity: str) -> str | None:
+        for m in self.entity_mentions.get(entity, ()):
+            for e, t in self.mention_entities.get(m, ()):
+                if e == entity:
+                    return t[1:-1]
+        return None
+
     def link(
         self,
         sent: str,
         strategy: str = "None",
         entity_freq: dict[str, int] | None = None,
+        latest_mention: dict[str, str] | None = None,
+        type_freq: dict[str, int] | None = None,
     ) -> list[tuple[int, int, str, str]]:
         """Leftmost-longest scan with cursor jump; returns
         [(l, r, entity, type)].
@@ -206,12 +215,25 @@ class EntityKB:
         Strategies (harvesttext.py:332-404, scoped per document — the
         reference's cross-call mutable state is not distributable):
           'None'   deterministic first candidate (lexicographic)
-          'freq'   preset priors + overlapping-span resolution
+          'freq'   preset priors (entity_freq and/or type_freq, which adds
+                   its value to every entity of the type) + overlapping-
+                   span resolution
           'latest' remember the mention->entity choice made earlier IN THIS
-                   DOCUMENT and reuse it for ambiguous later mentions
+                   DOCUMENT (seedable via latest_mention presets) and reuse
+                   it for ambiguous later mentions
         """
-        freq = entity_freq or {}
+        freq = dict(entity_freq or {})
+        if type_freq:
+            for entity in self.entity_mentions:
+                t = self.entity_type(entity)
+                if t in type_freq:
+                    freq[entity] = freq.get(entity, 0) + type_freq[t]
         latest: dict[str, tuple[str, str]] = {}
+        for surface, entity in (latest_mention or {}).items():
+            for e, t in self.mention_entities.get(surface, ()):
+                if e == entity:
+                    latest[surface] = (e, t)
+                    break
 
         def choose(mention: str) -> tuple[str, str]:
             cands = self.mention_entities[mention]

@@ -85,6 +85,43 @@ def test_threshold_seeds(spark):
     assert out2.count() == 1
 
 
+def test_linking_strategy_reference_goldens():
+    """All five cases of the reference golden
+    tests/test_linking_strategy_expected, span- and entity-exact."""
+    # 1. latest: first X老师 teaches the bare 老师 mention
+    kb = EntityKB.from_triples(
+        [("X老师", "X老师", "添加词"), ("老师", "X老师", "添加词"),
+         ("Y老师", "Y老师", "添加词"), ("老师", "Y老师", "添加词")]
+    )
+    spans = kb.link("X老师您好。请问老师这题怎么做？", strategy="latest")
+    assert [(l, r, e) for l, r, e, _ in spans] == [(0, 3, "X老师"), (8, 10, "X老师")]
+
+    # 2. latest with preset mention
+    spans = kb.link("谢谢老师", strategy="latest", latest_mention={"老师": "X老师"})
+    assert [(l, r, e) for l, r, e, _ in spans] == [(2, 4, "X老师")]
+
+    # 3. freq single surface
+    kb3 = EntityKB.from_triples(
+        [("市长", "A市长", "添加词"), ("长江", "B市长", "添加词")]
+    )
+    spans = kb3.link("市长", strategy="freq", entity_freq={"A市长": 5, "B市长": 3})
+    assert [(l, r, e) for l, r, e, _ in spans] == [(0, 2, "A市长")]
+
+    # 4. freq overlapping surfaces
+    kb4 = EntityKB.from_triples(
+        [("xx市长", "xx市长", "添加词"), ("长江yy", "长江yy", "添加词")]
+    )
+    spans = kb4.link("xx市长江yy", strategy="freq", entity_freq={"xx市长": 3, "长江yy": 5})
+    assert [(l, r, e) for l, r, e, _ in spans] == [(3, 7, "长江yy")]
+
+    # 5. freq via negative type prior
+    kb5 = EntityKB.from_triples(
+        [("沈阳", "沈阳", "地名"), ("小沈阳", "小沈阳", "人名")]
+    )
+    spans = kb5.link("我叫小沈阳", strategy="freq", type_freq={"地名": -1})
+    assert [(l, r, e) for l, r, e, _ in spans] == [(2, 5, "小沈阳")]
+
+
 def test_entity_error_check_reference_golden():
     """Reference golden (tests/test_entity_error_check_expected, char path):
     '武磊和吴磊只差一个字' with char_tolerance=1 links BOTH 武磊 (exact,
