@@ -114,6 +114,38 @@ def test_link_all_candidates():
     assert {e for e, _ in cands} == {"张三", "李四"}
 
 
+def test_entity_network_reference_golden(spark):
+    """Reference test_entity_network values (edge weights over 2 docs),
+    full graph and used_types=['球员'] restriction."""
+    kb = EntityKB.from_triples(TRIPLES + [("颜骏凌", "颜骏凌", "球员")])
+    docs = spark.createDataFrame(
+        [(0, "武磊和颜骏凌是队友"), (1, "武磊和郜林都是国内顶尖前锋")],
+        "doc_id long, text string",
+    )
+    linked = link_entities(docs, kb)
+    posting = build_posting(linked, with_type=False)
+    edges = {
+        (r["u"], r["v"]): r["weight"]
+        for r in cooccurrence_edges(posting).collect()
+    }
+    expect = {
+        ("武磊", "颜骏凌"): 1,
+        ("武磊", "郜林"): 1,
+        ("前锋", "武磊"): 1,
+        ("前锋", "郜林"): 1,
+    }
+    assert edges == expect
+
+    players = spark.createDataFrame(
+        [("武磊",), ("郜林",), ("颜骏凌",)], "key string"
+    )
+    edges2 = {
+        (r["u"], r["v"]): r["weight"]
+        for r in cooccurrence_edges(posting, keys=players).collect()
+    }
+    assert edges2 == {("武磊", "颜骏凌"): 1, ("武磊", "郜林"): 1}
+
+
 def test_freq_strategy_overlap():
     """set_linking_strategy 'freq' overlap case (harvesttext.py:347):
     'xx市长江yy' + freq{xx市长:5, 长江yy:3} -> xx市长 wins."""
