@@ -52,7 +52,14 @@ def run_with_resume(
     / bound a run).  Returns {'processed': [...], 'skipped': n}."""
     done = set(committed_buckets(spark, out_dir))
     bucketed = _with_bucket(pages, n_buckets)
-    todo_df = bucketed.filter(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
+    if done:
+        # anti-join the manifest rather than a driver-side isin list —
+        # with thousands of committed buckets the literal list bloats the
+        # plan; the manifest side is tiny and broadcasts
+        done_df = spark.createDataFrame([(b,) for b in sorted(done)], "bucket bigint")
+        todo_df = bucketed.join(F.broadcast(done_df), "bucket", "left_anti")
+    else:
+        todo_df = bucketed
 
     todo = sorted(
         r["bucket"] for r in todo_df.select("bucket").distinct().collect()
