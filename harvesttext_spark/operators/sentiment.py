@@ -123,15 +123,24 @@ def analyse_sent(
     sent_dict: DataFrame,
     words_col: str = "words",
     id_col: str = "doc_id",
+    avg: bool = True,
 ) -> DataFrame:
-    """Mean lexicon value over each doc's distinct in-dict tokens, 0 when
-    none match (``sent_dict.py:39-47``).  -> (doc_id, senti)."""
+    """Lexicon values over each doc's distinct in-dict tokens
+    (``sent_dict.py:39-47``): mean (0 when none match) by default, or the
+    raw value list with ``avg=False`` -> (doc_id, senti | sentis)."""
     tokens = _distinct_tokens(docs, words_col, id_col)
-    scored = (
-        tokens.join(sent_dict, "word")
-        .groupBy("doc_id")
-        .agg(F.avg("senti").alias("s"))
+    matched = tokens.join(sent_dict, "word")
+    if avg:
+        scored = matched.groupBy("doc_id").agg(F.avg("senti").alias("s"))
+        return docs.select(F.col(id_col).alias("doc_id")).join(
+            scored, "doc_id", "left"
+        ).select("doc_id", F.coalesce("s", F.lit(0.0)).alias("senti"))
+    scored = matched.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("senti")).alias("sentis")
     )
     return docs.select(F.col(id_col).alias("doc_id")).join(
         scored, "doc_id", "left"
-    ).select("doc_id", F.coalesce("s", F.lit(0.0)).alias("senti"))
+    ).select(
+        "doc_id",
+        F.coalesce("sentis", F.array().cast("array<double>")).alias("sentis"),
+    )

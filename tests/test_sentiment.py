@@ -38,6 +38,31 @@ def test_sentence_score(spark, sent_dict):
     assert got == pytest.approx(0.6)
 
 
+def test_analyse_sent_value_list(spark, sent_dict):
+    sent = spark.createDataFrame(SENT, "doc_id long, words array<string>")
+    vals = analyse_sent(sent, sent_dict, avg=False).first()["sentis"]
+    assert vals == sorted(vals) and len(vals) == 5
+    assert sum(vals) / len(vals) == pytest.approx(0.6)
+
+
+def test_new_word_register_partial_golden(spark):
+    """Reference test_new_word_register: registered words act as single
+    tokens with their types in posseg (jieba-free partial parity: entity
+    tokens exact, base segmentation divergence documented)."""
+    from harvesttext_spark.functions.tokenize import seg_py
+    from harvesttext_spark.operators.linking import EntityKB
+
+    kb = EntityKB()
+    kb.add_new_words(["落叶球", "666"])
+    kb.add_new_entity("落叶球", mention0="落叶球", type0="术语")
+    pairs = seg_py("这个落叶球踢得真是666", kb, with_pos=True)
+    d = dict(pairs)
+    assert d["落叶球"] == "术语"  # typed registration wins (last)
+    assert "666" in d
+    toks = [w for w, _ in pairs]
+    assert "".join(toks) == "这个落叶球踢得真是666"
+
+
 def test_no_match_doc_scores_zero(spark, sent_dict):
     sent = spark.createDataFrame(
         [(1, ["完全", "无关", "词语"])], "doc_id long, words array<string>"
