@@ -325,6 +325,28 @@ GROUP BY t HAVING count(*) >= 5
 """
 
 
+def q_token_docfreq(spark, sf_dir):
+    """Doc-frequency posting counts (get_entity_counts analog over the token
+    posting table: number of documents containing each token)."""
+    d = _docs(spark, sf_dir)
+    posting = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("key")
+    )
+    return (
+        posting.groupBy(F.col("key").alias("word"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+SQL_TOKEN_DOCFREQ = """
+SELECT t AS word, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS t
+      FROM documents)
+GROUP BY t HAVING count(DISTINCT doc_id) >= 3
+"""
+
+
 def q_bigram_stats(spark, sf_dir):
     from harvesttext_spark.operators.word_discovery import ngram_stats
 
@@ -1164,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "token_freq": q_token_freq,
+        "token_docfreq": q_token_docfreq,
         "bigram_stats": q_bigram_stats,
         "tfidf_topk": q_tfidf_topk,
         "so_pmi": q_so_pmi,
@@ -1208,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "simhash": SQL_SIMHASH,
         "token_freq": SQL_TOKEN_FREQ,
+        "token_docfreq": SQL_TOKEN_DOCFREQ,
         "bigram_stats": SQL_BIGRAM_STATS,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "so_pmi": SQL_SO_PMI,
