@@ -197,6 +197,32 @@ def textrank_keywords(
     )
 
 
+def extract_keywords(
+    docs: DataFrame,
+    method: str = "tfidf",
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    top_k: int = 5,
+    stopwords: list[str] | None = None,
+    window: int = 2,
+) -> DataFrame:
+    """API-parity dispatcher for the reference's ``extract_keywords``
+    (``word_discover.py:243-301``): method 'tfidf' (jieba_tfidf analog —
+    relational TF-IDF over the corpus instead of jieba's packaged IDF) or
+    'textrank' (per-doc window graph).  -> (doc_id, word, score)."""
+    if method == "tfidf":
+        out = tfidf_keywords(docs, words_col, id_col, top_k, stopwords)
+        return out.select(id_col, "word", F.col("tfidf").alias("score"))
+    if method == "textrank":
+        d = docs
+        if stopwords:
+            sw = F.array(*[F.lit(w) for w in set(stopwords)])
+            d = d.withColumn(words_col, F.array_except(F.col(words_col), sw))
+        sent = d.select(F.col(id_col), F.lit(0).alias("sent_id"), F.col(words_col))
+        return textrank_keywords(sent, id_col, words_col, top_k, window)
+    raise ValueError(f"unknown method {method!r} (tfidf|textrank)")
+
+
 # --- summarization ----------------------------------------------------------
 
 def _sent_sim_textrank(w1, w2):

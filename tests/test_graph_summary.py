@@ -53,6 +53,23 @@ def test_tfidf_keywords(spark):
     assert d1 <= {"郜林", "看来", "不行", "已经", "到", "上限", "了", "。"}
 
 
+def test_extract_keywords_dispatch(spark):
+    from harvesttext_spark.operators.graph import extract_keywords
+
+    docs = spark.createDataFrame(
+        [(i, w) for _, i, _, w in SENTS], "doc_id long, words array<string>"
+    )
+    tf = extract_keywords(docs, method="tfidf", top_k=2)
+    tr = extract_keywords(docs, method="textrank", top_k=2, stopwords=["，", "！", "？", "。"])
+    assert set(tf.columns) == set(tr.columns) == {"doc_id", "word", "score"}
+    assert tf.count() == 8
+    assert tr.filter("word in ('，','！','？','。')").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_keywords(docs, method="nope")
+
+
 def test_word_ego_edges(spark):
     docs = spark.createDataFrame(
         [(i, w) for _, i, _, w in SENTS], "doc_id long, words array<string>"
