@@ -58,6 +58,11 @@ def run_at(cores: int) -> dict:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(512 * 1024),
             "spark.sql.files.openCostInBytes": str(256 * 1024),
+            # the flagship filter is a single map stage — no shuffle exists
+            # for AQE to adapt, it only adds per-query planning overhead
+            # (measured 0.9s at local[32]); production jobs with shuffles
+            # keep AQE on (session default)
+            "spark.sql.adaptive.enabled": "false",
         },
     )
     # same input split for BOTH runs; only the thread count differs
