@@ -196,7 +196,7 @@ engine's battery, both single-core over the synthetic page mix:
 | --- | --- |
 | reference-structure battery | ~21,300 |
 | engine battery (short-circuit guards) | ~37,600 (1.76x) |
-| engine, full pipeline, 32 cores (local[32], 1.2M pages) | ~140,000-145,000 |
+| engine, full pipeline, 32 cores (local[32], 1.2M pages) | ~165,000 |
 
 i.e. the engine beats reference single-node throughput per core and then
 scales it across executors.
