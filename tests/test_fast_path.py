@@ -53,6 +53,29 @@ def test_native_equals_python_on_ascii(spark):
     assert not bad, bad[:5]
 
 
+def test_native_path_diverges_on_non_ascii(spark):
+    """Negative control: the gate exists because Java and CPython regex
+    genuinely disagree outside ASCII — e.g. Java's \\S+? quantifier over a
+    supplementary (astral-plane) character inside the bracket-emoticon rule
+    counts UTF-16 code units, CPython counts codepoints.  At least one
+    non-ASCII case must differ, else the routing condition is dead code."""
+    cases = [
+        ("[𝄞]",),  # astral-plane char inside brackets
+        ("[😀😀😀😀]",),
+        ("回复@用户: 正文",),  # zh @mention rule
+        ("a  b",),  # non-breaking-space runs
+    ]
+    df = spark.createDataFrame(cases, "raw string")
+    out = df.select(
+        "raw",
+        clean_text_native(F.col("raw")).alias("native"),
+        make_clean_text_udf()(F.col("raw")).alias("py"),
+    ).collect()
+    assert any(r["native"] != r["py"] for r in out), (
+        "no divergence found — fast path could be promoted to all rows"
+    )
+
+
 def test_fast_path_pipeline_equivalence(spark):
     """quality_filter with fast_path must produce identical rows to the
     pure-UDF path over the mixed-language synthetic corpus."""
