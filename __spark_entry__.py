@@ -597,6 +597,32 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: event counts/sums at
+    (type, day) and (type) levels in one pass — ROLLUP grouping sets."""
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        e.rollup(F.col("event_type"), day)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .filter(F.col("event_type").isNotNull())  # drop the grand-total row
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, day, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)
+HAVING event_type IS NOT NULL
+"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: each 'click' event picks up the value of the user's most
     recent prior 'signup' event (union+window strategy; oracle = DuckDB's
@@ -1196,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_rollup": q_events_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -1241,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
+        "events_rollup": SQL_EVENTS_ROLLUP,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "region_revenue": SQL_REGION_REVENUE,
