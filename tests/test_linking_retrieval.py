@@ -67,6 +67,37 @@ def test_longest_match_and_linking(kb):
     ]
 
 
+PARA = (
+    "上港的武磊和恒大的郜林，谁是中国最好的前锋？那当然是武磊武球王了，"
+    "他是射手榜第一，原来是弱点的单刀也有了进步"
+)
+
+
+def test_entity_linking_span_golden(kb):
+    """Reference golden tests/test_entity_segmentation_expected — the full
+    entity_linking span list over the fixture paragraph, position-exact."""
+    spans = kb.link(PARA)
+    assert [(l, r, e, t) for l, r, e, t in spans] == [
+        (0, 2, "上海上港", "#球队#"),
+        (3, 5, "武磊", "#球员#"),
+        (6, 8, "广州恒大", "#球队#"),
+        (9, 11, "郜林", "#球员#"),
+        (19, 21, "前锋", "#位置#"),
+        (26, 28, "武磊", "#球员#"),
+        (28, 31, "武磊", "#球员#"),
+        (47, 49, "单刀球", "#术语#"),
+    ]
+
+
+def test_sentence_split_golden():
+    from harvesttext_spark.functions.sentences import cut_sentences_py
+
+    assert cut_sentences_py(PARA) == [
+        "上港的武磊和恒大的郜林，谁是中国最好的前锋？",
+        "那当然是武磊武球王了，他是射手榜第一，原来是弱点的单刀也有了进步",
+    ]
+
+
 def test_entity_counts_golden(posting):
     got = {r["entity"]: r["n_docs"] for r in entity_counts(posting).collect()}
     assert got == {"武磊": 3, "郜林": 2, "前锋": 2}
