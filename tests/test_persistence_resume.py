@@ -43,6 +43,18 @@ def test_load_kb_from_text(spark, tmp_path):
     assert kb.link("武球王来了")[0][2] == "武磊"
 
 
+def test_kb_parquet_roundtrip(spark, tmp_path):
+    """save/load analog of saveHT/loadHT: KB -> parquet dimension -> KB
+    produces identical links (and clear() == fresh instance)."""
+    from harvesttext_spark.sources.kb_io import mentions_df, save_kb_parquet
+
+    triples = [("武磊", "武磊", "球员"), ("武球王", "武磊", "球员")]
+    p = str(tmp_path / "kb.parquet")
+    save_kb_parquet(mentions_df(spark, triples), p)
+    kb = load_kb(spark, parquet_path=p)
+    assert [s[2] for s in kb.link("武球王和武磊")] == ["武磊", "武磊"]
+
+
 def test_resume_idempotent(spark, tmp_path):
     out = str(tmp_path / "out")
     pages = synthesize_pages(spark, n=400, seed=11, partitions=4)
