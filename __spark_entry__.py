@@ -250,9 +250,12 @@ FROM hp
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    """df-capped exact Jaccard: the cap (50 of 500 docs at driver scale)
+    is ACTIVE so the oracle value-verifies the candidate-generation
+    mechanism, not just the uncapped self-join."""
     from harvesttext_spark.operators.dedup import jaccard_dup_pairs
 
-    p = jaccard_dup_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
+    p = jaccard_dup_pairs(_docs(spark, sf_dir), min_jaccard=0.2, max_shingle_df=50)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -266,10 +269,21 @@ WITH sh AS (
         FROM documents)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh
+  ) WHERE df <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b USING (s) WHERE a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh pa ON pa.doc_id = c.id_a
+  JOIN sh pb ON pb.doc_id = c.id_b AND pb.s = pa.s
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b,
        round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -1041,6 +1055,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    """64-bit SimHash near-dup candidates, Manku 4×16-bit block buckets
+    (bounded bucket sizes at corpus scale).  xxhash64-based — engine hash,
+    rows-only check."""
+    from harvesttext_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_textrank_keywords(spark, sf_dir):
     from harvesttext_spark.operators.graph import textrank_keywords
 
@@ -1064,11 +1087,34 @@ def q_cut_sentences(spark, sf_dir):
 
 
 def q_seg_tokens(spark, sf_dir):
+    """seg over the (KB-less) documents table, EXPLODED to sortable scalars
+    (doc_id, pos, word) — array columns break the driver's canonical sort.
+    With no KB the cutter is exactly the _FALLBACK_TOKEN regex + strip
+    filter, which DuckDB regexp_extract_all reproduces (full oracle)."""
     from harvesttext_spark.functions.tokenize import seg_documents
 
-    return seg_documents(_docs(spark, sf_dir).filter(F.col("doc_id") < 100)).select(
-        "doc_id", "words"
-    )
+    segged = seg_documents(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    return segged.select(
+        "doc_id", F.posexplode("words").alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+
+
+SQL_SEG_TOKENS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_extract_all(text,
+             '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+(?:\\.[0-9]+)?|[一-鿿]|\\s+|.'),
+           x -> trim(x, ' \t\n\r\f\v') != '') AS toks
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(s.pos AS INT) AS pos, s.word AS word
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(toks, (x, i) -> struct_pack(pos := i - 1, word := x))) AS s
+  FROM t
+)
+"""
 
 
 def q_texttile_paragraphs(spark, sf_dir):
@@ -1230,13 +1276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "doc_coherence": q_doc_coherence,
         "domain_quality": q_domain_quality,
+        "seg_tokens": q_seg_tokens,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
         "cut_sentences": q_cut_sentences,
-        "seg_tokens": q_seg_tokens,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
@@ -1276,4 +1323,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "doc_coherence": SQL_DOC_COHERENCE,
         "domain_quality": SQL_DOMAIN_QUALITY,
+        "seg_tokens": SQL_SEG_TOKENS,
     }

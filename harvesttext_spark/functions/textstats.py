@@ -128,8 +128,10 @@ def quality_signals(text: Column) -> dict[str, Column]:
 
 def has_char_run(text: Column, k: int = 10) -> Column:
     """True iff some single character repeats >= k times consecutively
-    (repeated-char junk rule) — ONE backreference probe, not a probe ladder."""
-    return text.rlike("(.)" + "\\1" * (k - 1))
+    (repeated-char junk rule) — ONE backreference probe, not a probe ladder.
+    (?s) makes Java's '.' match line terminators so newline/CR runs count,
+    agreeing with the re.DOTALL cross-check in tests/reference_impl.py."""
+    return text.rlike("(?s)(.)" + "\\1" * (k - 1))
 
 
 def max_char_run(text: Column) -> Column:
@@ -137,7 +139,7 @@ def max_char_run(text: Column) -> Column:
     probes.  Kept for analytics; the keep/drop label path uses the single
     has_char_run probe (7x fewer regex passes)."""
     probes = [
-        F.when(text.rlike("(.)" + "\\1" * (k - 1)), F.lit(k)).otherwise(F.lit(0))
+        F.when(text.rlike("(?s)(.)" + "\\1" * (k - 1)), F.lit(k)).otherwise(F.lit(0))
         for k in (2, 3, 5, 8, 10, 15, 20)
     ]
     return F.greatest(F.least(F.length(text), F.lit(1)), *probes)

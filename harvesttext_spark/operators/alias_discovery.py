@@ -59,10 +59,14 @@ def char_embedding(col, dim: int = EMB_DIM):
     return F.transform(raw, lambda v: v / F.greatest(norm, F.lit(1e-9)))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
-    """(u, v) -> (node, cluster_id) by iterative min-label propagation.
-    Alias cliques are tiny, so a handful of join+agg rounds converge; at
-    corpus scale each round is one shuffle (AQE-coalesced)."""
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(u, v) -> (node, cluster_id) by iterative min-label propagation,
+    run to CONVERGENCE (checked every 3rd round to amortize the count
+    shuffle), raising if ``max_iter`` rounds were not enough — a silent
+    early stop would split long near-dup chains (templated pages) and
+    under-dedup without any signal.  Min-label propagation converges in
+    O(component diameter) rounds; 50 covers any realistic dup chain, and
+    the raise tells the caller to widen the budget rather than lie."""
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -71,6 +75,7 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for i in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
@@ -80,7 +85,7 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         new_labels = labels.join(neigh, "node", "left").select(
             "node", F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label")
         )
-        if i % 3 == 2:
+        if i % 3 == 2 or i == max_iter - 1:
             new_labels = new_labels.localCheckpoint()
             changed = (
                 new_labels.alias("n")
@@ -90,9 +95,15 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
         else:
             labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "raise max_iter (component diameter exceeds the round budget)"
+        )
     return labels.withColumnRenamed("label", "cluster_id")
 
 
@@ -103,8 +114,17 @@ def discover_aliases(
     min_count: int = 2,
     threshold: float = 0.3,
     dim: int = EMB_DIM,
+    max_posting_df: int = 200,
 ) -> DataFrame:
-    """(mention, cnt) -> (mention, cnt, cluster_id, canonical)."""
+    """(mention, cnt) -> (mention, cnt, cluster_id, canonical).
+
+    Blocking is df-capped: a char-bigram shared by more than
+    ``max_posting_df`` mentions (的/了-style hot bigrams) is dropped from
+    the posting table BEFORE the self-join — a df-D bigram alone would
+    emit D² candidate pairs, the classic quadratic skew blowup.  True
+    alias pairs share a *rare* bigram (the shared name stem), so the cap
+    costs no recall on alias cliques while bounding every join bucket at
+    max_posting_df² rows."""
     cands = (
         mentions.filter(F.col(count_col) >= min_count)
         .select(F.col(mention_col).alias("mention"), F.col(count_col).alias("cnt"))
@@ -114,6 +134,13 @@ def discover_aliases(
     # candidate pairs via shared-bigram posting lists (blocking)
     posting = cands.select(
         "mention", F.explode(F.array_distinct(_bigrams(F.col("mention")))).alias("bg")
+    )
+    from pyspark.sql.window import Window
+
+    posting = (
+        posting.withColumn("df", F.count("*").over(Window.partitionBy("bg")))
+        .filter(F.col("df") <= max_posting_df)
+        .drop("df")
     )
     pairs = (
         posting.alias("a")

@@ -25,16 +25,26 @@ def as_of_join(
     value_cols: list[str],
 ) -> DataFrame:
     """left rows + the latest right ``value_cols`` with right.time <=
-    left.time per key (NULLs when no prior right row)."""
+    left.time per key (NULLs when no prior right row).
+
+    All value_cols are packed into ONE struct before the window's
+    last(..., ignorenulls=True): per-column last() would skip a NULL in
+    one right column (an older row's value leaking through) and could mix
+    columns from different right rows — DuckDB's native ASOF JOIN (the
+    oracle) picks exactly one right row, NULL fields included."""
     lcols = left.columns
-    l = left.withColumn("_src", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r = right.select(
-        key,
-        time_col,
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-    ).withColumn("_src", F.lit(0))
+    row_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    l = left.withColumn("_src", F.lit(1)).withColumn(
+        "_r",
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+            + ">"
+        ),
+    )
+    r = right.select(key, time_col, row_struct.alias("_r")).withColumn(
+        "_src", F.lit(0)
+    )
     for c in lcols:
         if c not in (key, time_col):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -45,11 +55,8 @@ def as_of_join(
         .orderBy(F.col(time_col), F.col("_src"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        unioned = unioned.withColumn(
-            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
+    unioned = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     return (
         unioned.filter(F.col("_src") == 1)
-        .select(*lcols, *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols])
+        .select(*lcols, *[F.col(f"_r.{c}").alias(f"asof_{c}") for c in value_cols])
     )

@@ -190,9 +190,15 @@ def minhash_dup_pairs(
         )
         / F.lit(float(num_hashes))
     ).alias("est_jaccard")
-    return with_sigs.select("id_a", "id_b", est).filter(
+    out = with_sigs.select("id_a", "id_b", est).filter(
         F.col("est_jaccard") >= min_jaccard
     )
+    # materialize the (small) pair result, then RELEASE the signature cache —
+    # a long-lived session calling this repeatedly must not accumulate
+    # cached signature blocks in executor memory.
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def drop_near_dups(
@@ -230,21 +236,53 @@ def jaccard_dup_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.8,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard via posting-list self-join:
-    |A∩B| from the join, |A|,|B| from per-doc sizes.  The shuffle key is the
-    shingle (uniform); pairs sharing no shingle never materialize."""
+    """Exact shingle-set Jaccard with a document-frequency cap on candidate
+    generation — the 100 TB guard this operator was missing:
+
+      1. postings (id, s); per-doc set sizes.
+      2. df per shingle (window count, one shuffle on s); shingles with
+         df > ``max_shingle_df`` are dropped from CANDIDATE generation
+         only — a boilerplate shingle shared by 10⁵ docs would emit 10¹⁰
+         join rows by itself.
+      3. candidate pairs = rare-posting self-join (every bucket ≤ cap ⇒
+         ≤ cap² rows per shingle, bounded).
+      4. EXACT |A∩B| recomputed over the FULL postings for candidate
+         pairs only, so reported jaccard values are true values, hot
+         shingles included.
+
+    A qualifying pair is missed only when ALL of its shared shingles have
+    df > cap (pure-boilerplate overlap — exactly the pairs a dedup
+    pipeline wants judged by content, not template)."""
+    from pyspark.sql.window import Window
+
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    rare = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, "s")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact intersection over full postings, restricted to candidate pairs:
+    # explode id_a's shingles per pair, semi-match against id_b's postings.
+    pa = sh.select(F.col("id").alias("id_a"), "s")
+    pb = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -309,20 +347,43 @@ def simhash32_portable(text: Column) -> Column:
 def simhash64_native(text: Column, shingle_n: int = 2) -> Column:
     """Production SimHash: xxhash64 token-shingle hashes folded into 64 bits
     via JVM-side bit ops — whole-stage codegen, no Python.  (Not DuckDB-
-    matchable: engine hash differs; oracle gets a rows-only check.)"""
-    sh = token_shingles(text, shingle_n)
-    out = F.lit(0).cast("bigint")
-    for b in range(64):
-        comp = F.aggregate(
-            sh,
-            F.lit(0),
-            lambda acc, s: acc
-            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        out = out.bitwiseOR(
-            F.when(comp > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")) * F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
-        )
-    return out
+    matchable: engine hash differs; oracle gets a rows-only check.)
+
+    ONE aggregate pass: each shingle's xxhash64 is materialized once, then
+    folded into a 64-length ±1 count array (zip_with), and the counts fold
+    to bits at the end.  The previous shape — 64 independent F.aggregate
+    expressions — re-evaluated the shingle array 64× (no CSE across
+    Catalyst expression trees)."""
+    hs = F.transform(token_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            # h is the lambda-bound element: xxhash64 evaluated ONCE per
+            # shingle, 64 literal-shift bit tests over it
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(64)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    # bit 63 is the sign bit of the signed bigint: contributes -(2^63)
+    powers = F.array(
+        *[F.lit(2**b if b < 63 else -(2**63)).cast("bigint") for b in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_dup_pairs(
@@ -330,19 +391,43 @@ def simhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    shingle_n: int = 2,
 ) -> DataFrame:
-    """Near-dup candidates by 32-bit portable SimHash: bucket on each of 4
-    bytes (a pair within hamming distance 3 must agree on ≥1 of 4 bytes),
-    then verify exact hamming distance."""
+    """Near-dup candidates by 64-bit native SimHash, Manku-style blocking:
+    split the 64 bits into ``max_hamming + 1`` blocks — by pigeonhole a
+    pair within hamming distance h must agree exactly on ≥1 of h+1 blocks
+    — bucket-join on (block_idx, block_value), then verify exact hamming.
+
+    At the default h=3 the blocks are 4×16 bits ⇒ 65,536 distinct bucket
+    values per block, so bucket size stays O(n/65k) at corpus scale.  The
+    previous 32-bit/4×8-bit shape had only 256 values per block ⇒ ~n²/1024
+    candidate pairs — the scale-killer this replaces.  Larger h shrinks
+    block width (9 blocks × 7 bits at h=8): inherent to SimHash blocking,
+    warn-documented rather than hidden."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
     h = docs.select(
-        F.col(id_col).alias("id"), simhash32_portable(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash64_native(F.col(text_col), shingle_n).alias("sh"),
     )
-    byte_of = lambda c, i: F.floor(c / F.lit(2 ** (8 * i))).cast("bigint") % 256  # noqa: E731
+    mask = F.lit((1 << width) - 1).cast("bigint")
+
+    def block_of(c, i):
+        # shiftrightunsigned: the sign bit must not smear into block values
+        return F.shiftrightunsigned(c, width * i).bitwiseAND(mask)
+
     buckets = h.select(
         "id",
         "sh",
         F.explode(
-            F.array(*[F.struct(F.lit(i).alias("i"), byte_of(F.col("sh"), i).alias("v")) for i in range(4)])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), block_of(F.col("sh"), i).alias("v")
+                    )
+                    for i in range(nblocks)
+                ]
+            )
         ).alias("b"),
     ).select("id", "sh", F.col("b.i").alias("bi"), F.col("b.v").alias("bv"))
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -357,7 +442,5 @@ def simhash_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(
-        F.col("sh_a").cast("bigint").bitwiseXOR(F.col("sh_b").cast("bigint"))
-    ).alias("hamming")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

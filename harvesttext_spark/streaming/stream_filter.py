@@ -79,14 +79,21 @@ def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     keyed = pages.withColumn("digest", F.md5(F.coalesce("text", F.lit(""))))
 
     def first_only(key, pdfs, state):
+        # Concatenate ALL chunks before picking the min-url survivor:
+        # taking the first non-empty chunk would make the survivor depend
+        # on chunk iteration order (nondeterministic — breaks the repo's
+        # resume-determinism rule).  State is one flag per digest and is
+        # deliberately unbounded (NoTimeout): exact dedup must remember
+        # every digest forever; production bounds it with a digest TTL
+        # (processing-time timeout) when eventual re-emission is allowed.
         if state.exists:
             return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.sort_values("url").iloc[[0]][["digest", "url", "text"]]
+        all_rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
         state.update((1,))
-        return iter(() if first is None else (first,))
+        if len(all_rows) == 0:
+            return iter(())
+        first = all_rows.sort_values("url").iloc[[0]][["digest", "url", "text"]]
+        return iter((first,))
 
     return keyed.groupBy("digest").applyInPandasWithState(
         first_only,

@@ -131,3 +131,74 @@ def test_lsh_topk_recall(spark):
     approx_top = {(r["query_id"], r["vec_id"]) for r in approx}
     # rank-1 is the query itself (same bucket by construction) — must survive
     assert exact_top == approx_top
+
+
+def test_jaccard_df_cap_bounds_and_exact_values(spark):
+    """The df-cap drops hot shingles from CANDIDATE generation only:
+    reported jaccard values stay TRUE values (hot shingles included in the
+    intersection); pairs sharing ONLY over-cap shingles are not proposed."""
+    # 6 docs share boilerplate 'x y z'; docs 0/1 also share rare content.
+    rows = [(i, f"x y z unique{i} a{i} b{i}") for i in range(2, 6)]
+    rows += [(0, "x y z alpha beta gamma"), (1, "x y z alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=5 < 6 docs containing 'x y z' -> boilerplate shingle never joins
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_dup_pairs(
+            docs, min_jaccard=0.05, max_shingle_df=5
+        ).collect()
+    }
+    # 0-1 share rare shingles ('y z alpha', ...) -> proposed; jaccard is the
+    # TRUE value over ALL shingles: |A∩B|=4 ('x y z','y z alpha','z alpha
+    # beta','alpha beta gamma'), |A|=4,|B|=5 -> 4/(4+5-4)=0.8
+    assert (0, 1) in got
+    assert abs(got[(0, 1)] - 0.8) < 1e-9
+    # pairs among 2..5 share ONLY the boilerplate shingle -> dropped
+    assert all(a == 0 and b == 1 for a, b in got)
+    # uncapped control: the boilerplate-only pairs appear
+    uncapped = jaccard_dup_pairs(docs, min_jaccard=0.05, max_shingle_df=10**6)
+    assert uncapped.count() > len(got)
+
+
+def test_simhash_block_buckets_bounded(docs):
+    """Manku blocking: 4×16-bit blocks at max_hamming=3 — every block value
+    is in [0, 2^16) so bucket keys have 65,536 distinct values per block
+    (the 8-bit/256-value shape this replaced is the n²/1024 scale-killer)."""
+    from harvesttext_spark.operators.dedup import simhash64_native
+
+    h = docs.select(simhash64_native(F.col("text"), 2).alias("sh"))
+    width = 16
+    blocks = h.select(
+        *[
+            F.shiftrightunsigned(F.col("sh"), width * i)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"b{i}")
+            for i in range(4)
+        ]
+    ).collect()
+    for r in blocks:
+        for i in range(4):
+            assert 0 <= r[f"b{i}"] < (1 << width)
+
+
+def test_simhash64_native_one_pass_matches_reference_fold(spark):
+    """The one-aggregate rewrite must equal a plain-Python xxhash64 fold.
+    Spark's xxhash64 isn't importable in Python, so instead verify
+    invariants: identical text -> identical hash; hamming to a 1-token
+    change is small; hamming to unrelated text is large."""
+    from harvesttext_spark.operators.dedup import simhash64_native
+
+    rows = [
+        (0, "spark engines process big data with shuffles and joins"),
+        (1, "spark engines process big data with shuffles and joins"),
+        (2, "spark engines process big data with shuffles and sorts"),
+        (3, "totally unrelated poem about quiet rivers and morning fog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vals = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash64_native(F.col("text"), 2).alias("sh")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert vals[0] == vals[1]
+    assert ham(vals[0], vals[2]) < ham(vals[0], vals[3])
