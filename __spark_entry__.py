@@ -1083,7 +1083,41 @@ def q_quality_filter_labels(spark, sf_dir):
 def q_cut_sentences(spark, sf_dir):
     from harvesttext_spark.functions.sentences import explode_sentences
 
-    return explode_sentences(_docs(spark, sf_dir))
+    out = explode_sentences(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("sent_id").cast("int").alias("sent_id"), "sentence"
+    )
+
+
+# the zh splitter is 4 regex passes + split — fully DuckDB-expressible
+# (verified byte-exact on all sf0.01 docs), so this is a value oracle for
+# the pandas-UDF path, not a rows-only check.
+SQL_CUT_SENTENCES = r"""
+WITH s1 AS (
+  SELECT doc_id,
+    regexp_replace(text, '([。！？?!])([^”’)\]）】])', '\1' || chr(10) || '\2', 'g') AS t
+  FROM documents
+), s2 AS (
+  SELECT doc_id, regexp_replace(t, '(\.{3,})([^”’)\]）】….])', '\1' || chr(10) || '\2', 'g') AS t FROM s1
+), s3 AS (
+  SELECT doc_id, regexp_replace(t, '(…+)([^”’)\]）】….])', '\1' || chr(10) || '\2', 'g') AS t FROM s2
+), s4 AS (
+  SELECT doc_id, regexp_replace(t, '([。！？?!]|\.{3,}|…+)([”’)\]）】])([^，。！？?….])', '\1\2' || chr(10) || '\3', 'g') AS t FROM s3
+), cut AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split(rtrim(t, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), chr(10)),
+                     x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))),
+      x -> x != '') AS sents
+  FROM s4
+)
+SELECT doc_id, CAST(s.sent_id AS INT) AS sent_id, s.sentence AS sentence
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(sents, (x, i) -> struct_pack(sent_id := i - 1, sentence := x))) AS s
+  FROM cut
+)
+"""
 
 
 def q_seg_tokens(spark, sf_dir):
@@ -1277,13 +1311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_coherence": q_doc_coherence,
         "domain_quality": q_domain_quality,
         "seg_tokens": q_seg_tokens,
+        "cut_sentences": q_cut_sentences,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
-        "cut_sentences": q_cut_sentences,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
@@ -1324,4 +1358,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_coherence": SQL_DOC_COHERENCE,
         "domain_quality": SQL_DOMAIN_QUALITY,
         "seg_tokens": SQL_SEG_TOKENS,
+        "cut_sentences": SQL_CUT_SENTENCES,
     }
