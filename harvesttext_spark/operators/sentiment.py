@@ -42,13 +42,14 @@ def build_sent_dict(
 ) -> DataFrame:
     """-> (word, senti).  ``docs`` carries a token-array column (the output
     of the tokenize stage); empty docs are dropped as the reference does
-    after stopword removal.  When both seed lists are None, the packaged
-    sentiment-lexicon subset applies (reference default: Tsinghua lexicon,
-    ``sentiment.py:33-35``)."""
+    after stopword removal.  When both seed lists are None, the FULL
+    bundled 清华 sentiment lexicon applies — the reference default
+    (``harvesttext/harvesttext.py`` build_sent_dict falls back to
+    get_qh_sent_dict)."""
     if pos_seeds is None and neg_seeds is None:
-        from harvesttext_spark.functions.resources import get_senti_seeds
+        from harvesttext_spark.functions.resources import get_qh_sent_dict
 
-        seeds0 = get_senti_seeds()
+        seeds0 = get_qh_sent_dict()
         pos_seeds, neg_seeds = seeds0["pos"], seeds0["neg"]
     pos_seeds = pos_seeds or []
     neg_seeds = neg_seeds or []

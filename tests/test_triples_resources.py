@@ -43,3 +43,62 @@ def test_en_sentence_split():
         "Hello world. This is fine! Is it? Yes.", language="en"
     )
     assert sents == ["Hello world.", "This is fine!", "Is it?", "Yes."]
+
+
+def test_full_resource_lexicons_reference_golden():
+    """Port of the reference test_load_resources golden
+    (/root/reference/tests/test_functionality.py:147-162): deterministic
+    JSON list slices must match byte-for-byte; set-ordered prints are
+    checked by membership instead."""
+    from harvesttext_spark.functions.resources import (
+        get_baidu_stopwords,
+        get_qh_sent_dict,
+        get_qh_typed_words,
+        get_sanguo,
+        get_sanguo_entity_dict,
+        get_english_senti_lexicon,
+        get_pinyin_adjlist,
+    )
+
+    sdict = get_qh_sent_dict()
+    assert list(sdict["pos"])[10:15] == ["宰相肚里好撑船", "查实", "忠实", "名手", "聪明"]
+    assert list(sdict["neg"])[5:10] == ["散漫", "谗言", "迂执", "肠肥脑满", "出卖"]
+    assert len(sdict["pos"]) == 5567 and len(sdict["neg"]) == 4470
+
+    stopwords = get_baidu_stopwords()
+    assert {"哎呀", "而况", "me", "哇", "某个"} <= stopwords
+    assert len(stopwords) == 1412
+
+    docs = get_sanguo()
+    assert docs[-1][-16:] == "鼎足三分已成梦，后人凭吊空牢骚。"
+    mention, etype = get_sanguo_entity_dict()
+    assert mention["刘备"] == ["刘备", "刘玄德", "玄德", "使君"]
+    assert etype["刘备"] == "人名"
+    assert etype["蜀"] == "势力"
+    assert etype["益州"] == "州名"
+
+    typed = get_qh_typed_words()
+    assert set(typed) == {"IT", "动物", "医药", "历史人名", "地名", "成语", "法律", "财经", "食物"}
+    assert "字符串" in typed["IT"]
+
+    lh = get_english_senti_lexicon()
+    assert "good" in lh["pos"] and "bad" in lh["neg"]
+
+    adj = get_pinyin_adjlist()
+    assert "zhui" in adj["zui"]
+
+
+def test_default_sent_dict_uses_full_qh_lexicon(spark):
+    """build_sent_dict with no seeds must use the FULL 清华 lexicon
+    (reference default), not the subset fixture."""
+    from harvesttext_spark.operators.sentiment import build_sent_dict
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, ["名手", "发挥", "出色"]), (1, ["散漫", "表现", "堪忧"])],
+        "doc_id long, words array<string>",
+    )
+    sd = {r["word"]: r["senti"] for r in build_sent_dict(docs, min_times=1).collect()}
+    # 名手 is pos-seed only in the FULL lexicon (not in the subset fixture)
+    assert sd["发挥"] > 0
+    assert sd["表现"] < 0
