@@ -1127,7 +1127,9 @@ def q_seg_tokens(spark, sf_dir):
     filter, which DuckDB regexp_extract_all reproduces (full oracle)."""
     from harvesttext_spark.functions.tokenize import seg_documents
 
-    segged = seg_documents(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    segged = seg_documents(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100), cutter="regex"
+    )
     return segged.select(
         "doc_id", F.posexplode("words").alias("pos", "word")
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "word")

@@ -3,13 +3,18 @@
 
 The reference tokenizes the decoref'd sentence with jieba and splices the
 linked entity surface/standard names back in order.  jieba is not in this
-image, so the base cutter is gated:
-  * ``jieba`` if importable (exact reference behavior),
-  * else a deterministic fallback: latin/digit runs as single tokens, CJK
-    chars as single-char tokens, punct as single tokens (documented
-    divergence — entity tokens and their order are still EXACT because
-    linking happens before cutting and spans are spliced around, never
-    through, an entity).
+image, so the base cutter is selectable (``cutter=``):
+  * ``"auto"`` (default): jieba if importable, else the from-scratch
+    dict-DAG max-prob segmenter (``zh_cutter.py`` — curated lexicon +
+    THUOCL, reproduces the reference seg/posseg goldens for the test
+    vocabulary; OOV handling is a deterministic HMM stand-in),
+  * ``"dict"``: force the dict-DAG segmenter,
+  * ``"regex"``: the portable fallback — latin/digit runs as single
+    tokens, CJK chars as single-char tokens, punct as single tokens.
+    This mode is DuckDB-expressible and backs the seg_tokens oracle.
+  Entity tokens and their order are EXACT in every mode because linking
+  happens before cutting and spans are spliced around, never through,
+  an entity.
 
 Spark surface: ``seg_documents`` — one ``mapInPandas`` stage holding the
 broadcast KB; emits token arrays (and (word,pos) structs for posseg).
@@ -37,11 +42,9 @@ _FALLBACK_TOKEN = re.compile(
 )
 
 
-def base_cut(text: str) -> list[str]:
+def base_cut(text: str, cutter: str = "auto") -> list[str]:
     """Base segmentation of entity-free text."""
-    if HAS_JIEBA:
-        return [t for t in jieba.cut(text) if t.strip()]
-    return [t for t in _FALLBACK_TOKEN.findall(text) if t.strip()]
+    return [w for w, _ in base_posseg(text, cutter)]
 
 
 def _base_pos(tok: str) -> str:
@@ -54,12 +57,29 @@ def _base_pos(tok: str) -> str:
     return "x"
 
 
+def base_posseg(text: str, cutter: str = "auto") -> list[tuple[str, str]]:
+    """(word, pos) pairs from the selected base cutter (module docstring)."""
+    if cutter == "auto" and HAS_JIEBA:  # pragma: no cover - jieba absent
+        import jieba.posseg as pseg  # type: ignore
+
+        return [(w, p) for w, p in pseg.cut(text) if w.strip()]
+    if cutter in ("auto", "dict"):
+        from harvesttext_spark.functions.zh_cutter import default_cutter
+
+        return default_cutter().posseg(text)
+    if cutter == "regex":
+        toks = [t for t in _FALLBACK_TOKEN.findall(text) if t.strip()]
+        return [(t, _base_pos(t)) for t in toks]
+    raise ValueError(f"unknown cutter {cutter!r} (use auto|dict|regex)")
+
+
 def seg_py(
     sent: str,
     kb: EntityKB | None = None,
     standard_name: bool = False,
     stopwords: Iterable[str] | None = None,
     with_pos: bool = False,
+    cutter: str = "auto",
 ):
     """Reference seg/posseg splice semantics: link entities first, cut the
     text BETWEEN spans, emit the entity surface (or standard name) as one
@@ -71,19 +91,19 @@ def seg_py(
     pos_out = []
     cursor = 0
     for l, r, entity, type0 in spans:
-        for tok in base_cut(sent[cursor:l]):
+        for tok, pos in base_posseg(sent[cursor:l], cutter):
             if tok in sw:
                 continue
             out.append(tok)
-            pos_out.append(_base_pos(tok))
+            pos_out.append(pos)
         out.append(entity if standard_name else sent[l:r])
         pos_out.append(type0[1:-1])  # '#球员#' -> '球员'
         cursor = r
-    for tok in base_cut(sent[cursor:]):
+    for tok, pos in base_posseg(sent[cursor:], cutter):
         if tok in sw:
             continue
         out.append(tok)
-        pos_out.append(_base_pos(tok))
+        pos_out.append(pos)
     if with_pos:
         return list(zip(out, pos_out))
     return out
@@ -97,25 +117,34 @@ def seg_documents(
     stopwords: Iterable[str] | None = None,
     with_pos: bool = False,
     out_col: str = "words",
+    cutter: str = "auto",
 ) -> DataFrame:
     """Adds a token-array column (or array<struct<word,pos>> when
-    ``with_pos``).  KB + stopwords broadcast once per executor."""
+    ``with_pos``).  KB + stopwords broadcast once per executor; the dict
+    cutter's lexicon is built once per Python worker from the packaged
+    resources (lru_cache) rather than broadcast — same one-time
+    deserialization cost, no 10 MB broadcast payload."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((kb, standard_name, tuple(stopwords or ()), with_pos))
+    bc = spark.sparkContext.broadcast(
+        (kb, standard_name, tuple(stopwords or ()), with_pos, cutter)
+    )
 
     def run(batches):
-        kb_, std, sw, wp = bc.value
+        kb_, std, sw, wp, cutter_ = bc.value
         for pdf in batches:
             if wp:
                 pdf[out_col] = [
-                    [{"word": w, "pos": p} for w, p in seg_py(s, kb_, std, sw, True)]
+                    [
+                        {"word": w, "pos": p}
+                        for w, p in seg_py(s, kb_, std, sw, True, cutter_)
+                    ]
                     if isinstance(s, str)
                     else []
                     for s in pdf[text_col]
                 ]
             else:
                 pdf[out_col] = [
-                    seg_py(s, kb_, std, sw) if isinstance(s, str) else []
+                    seg_py(s, kb_, std, sw, cutter=cutter_) if isinstance(s, str) else []
                     for s in pdf[text_col]
                 ]
             yield pdf

@@ -72,9 +72,9 @@ class EntityKB:
             node = node.setdefault(ch, {})
         node["leaf"] = mention
 
-    def add_new_words(self, words: Iterable[str], type0: str = "添加词") -> None:
+    def add_new_words(self, words: Iterable[str], type0: str = "新词") -> None:
         """Register plain words (their own entity/mention; default type
-        添加词 — harvesttext.py:211-220)."""
+        新词 — harvesttext.py:211-221)."""
         for w in words:
             self.add(w, w, type0)
 

@@ -137,7 +137,7 @@ def test_entity_error_check_reference_golden():
 def test_kb_convenience_apis():
     kb = EntityKB()
     kb.add_new_words(["落叶球", "666"])
-    assert kb.mention2entity("落叶球") == ("落叶球", "添加词")
+    assert kb.mention2entity("落叶球") == ("落叶球", "新词")
     kb.add_new_entity("武磊", mention0="武球王", type0="球员")
     assert kb.mention2entity("武球王") == ("武磊", "球员")
     assert kb.mention2entity("武磊") == ("武磊", "球员")

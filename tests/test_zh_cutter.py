@@ -1,0 +1,107 @@
+"""Dict-DAG zh cutter: reference seg/posseg goldens + unit behavior.
+
+Goldens are ported verbatim from the reference test suite
+(/root/reference/tests/test_entity_segmentation_expected and
+test_new_word_register_expected) — the curated lexicon covers the test
+vocabulary, so the from-scratch max-prob segmenter reproduces jieba's
+output byte-for-byte on these sentences (tags cite the golden as the
+observable spec).
+"""
+
+import pytest
+
+from harvesttext_spark.functions.tokenize import seg_py
+from harvesttext_spark.functions.zh_cutter import ZhCutter, ZhDict, default_cutter
+from harvesttext_spark.operators.linking import EntityKB
+
+PARA = (
+    "上港的武磊和恒大的郜林，谁是中国最好的前锋？"
+    "那当然是武磊武球王了，他是射手榜第一，原来是弱点的单刀也有了进步"
+)
+
+
+@pytest.fixture(scope="module")
+def kb():
+    kb = EntityKB()
+    mentions = {
+        "武磊": ["武磊", "武球王"],
+        "郜林": ["郜林", "郜飞机"],
+        "前锋": ["前锋"],
+        "上海上港": ["上港"],
+        "广州恒大": ["恒大"],
+        "单刀球": ["单刀"],
+    }
+    types = {
+        "武磊": "球员", "郜林": "球员", "前锋": "位置",
+        "上海上港": "球队", "广州恒大": "球队", "单刀球": "术语",
+    }
+    for ent, ms in mentions.items():
+        for m in ms:
+            kb.add(m, ent, types[ent])
+    return kb
+
+
+def test_entity_segmentation_seg_golden(kb):
+    """reference tests/test_functionality.py:37-61 'Word segmentation'."""
+    expected = (
+        "上港 的 武磊 和 恒大 的 郜林 ， 谁 是 中国 最好 的 前锋 ？ "
+        "那 当然 是 武磊 武球王 了 ， 他 是 射手榜 第一 ， 原来 是 "
+        "弱点 的 单刀 也 有 了 进步"
+    )
+    assert " ".join(seg_py(PARA, kb)) == expected
+
+
+def test_entity_segmentation_posseg_golden(kb):
+    """reference 'POS tagging with entity types' line, tag-exact."""
+    expected = (
+        "上港:球队 的:uj 武磊:球员 和:c 恒大:球队 的:uj 郜林:球员 ，:x "
+        "谁:r 是:v 中国:ns 最好:a 的:uj 前锋:位置 ？:x 那:r 当然:d 是:v "
+        "武磊:球员 武球王:球员 了:ul ，:x 他:r 是:v 射手榜:n 第一:m ，:x "
+        "原来:d 是:v 弱点:n 的:uj 单刀:术语 也:d 有:v 了:ul 进步:d"
+    )
+    got = " ".join(f"{w}:{p}" for w, p in seg_py(PARA, kb, with_pos=True))
+    assert got == expected
+
+
+def test_new_word_register_golden():
+    """reference tests/test_functionality.py:26-36: add_new_words type 新词,
+    add_new_entity re-types 落叶球 as 术语; seg + posseg goldens."""
+    kb = EntityKB()
+    kb.add_new_words(["落叶球", "666"])
+    kb.add_new_entity("落叶球", mention0="落叶球", type0="术语")
+    sent = "这个落叶球踢得真是666"
+    assert " ".join(seg_py(sent, kb)) == "这个 落叶球 踢 得 真是 666"
+    got = " ".join(f"{w}:{p}" for w, p in seg_py(sent, kb, with_pos=True))
+    assert got == "这个:r 落叶球:术语 踢:v 得:ud 真是:d 666:新词"
+
+
+def test_dag_prefers_dict_words_over_singles():
+    c = default_cutter()
+    assert c.cut("谁是中国最好的") == ["谁", "是", "中国", "最好", "的"]
+    assert c.cut("原来是弱点") == ["原来", "是", "弱点"]
+
+
+def test_oov_run_merging():
+    c = default_cutter()
+    # 2-3 char OOV runs become one token
+    assert "郜林" in c.cut("郜林进球")
+    # >3-char runs chunk as 2+...(+3 tail)
+    pairs = c._merge_oov("甲乙丙丁戊")
+    assert [w for w, _ in pairs] == ["甲乙", "丙丁戊"]
+
+
+def test_nonhan_passthrough():
+    c = default_cutter()
+    assert c.posseg("GDP增长3.5%")[0] == ("GDP", "eng")
+    assert ("3.5", "m") in c.posseg("GDP增长3.5%")
+
+
+def test_custom_dict_route():
+    d = ZhDict([("阿爸", 100, "n"), ("阿", 10, "n"), ("爸", 10, "n")])
+    assert ZhCutter(d).cut("阿爸") == ["阿爸"]
+
+
+def test_thuocl_vocab_loaded():
+    c = default_cutter()
+    # THUOCL idiom segment as one word
+    assert c.cut("他一马当先冲了出去")[1] == "一马当先"
