@@ -157,6 +157,50 @@ class EntityKB:
         e, t = cands[0]
         return e, t[1:-1]
 
+    # --- pinyin fuzzy matching ---------------------------------------------
+
+    def pinyin_mention_dict(self) -> dict[tuple[str, ...], set[str]]:
+        """pinyin-sequence -> mentions (harvesttext.py:41,83), rebuilt when
+        the mention set changes (the reference maintains it incrementally;
+        a generation-checked rebuild is equivalent and keeps add() lean)."""
+        from harvesttext_spark.functions.pinyin import lazy_pinyin
+
+        gen = len(self.mention_entities)
+        cached = getattr(self, "_pinyin_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        d: dict[tuple[str, ...], set[str]] = {}
+        for m in self.mention_entities:
+            d.setdefault(tuple(lazy_pinyin(m)), set()).add(m)
+        self._pinyin_cache = (gen, d)
+        return d
+
+    def get_pinyin_correct_candidates(
+        self, word: str, tolerance: int = 1
+    ) -> list[str]:
+        """Mentions whose pinyin equals ``word``'s with at most ``tolerance``
+        similar-pinyin substitutions (adjacency list data)
+        — harvesttext.py:420-433 semantics."""
+        assert tolerance in (0, 1)
+        from harvesttext_spark.functions.pinyin import lazy_pinyin
+        from harvesttext_spark.functions.resources import get_pinyin_adjlist
+
+        adj = get_pinyin_adjlist()
+        pinyins = lazy_pinyin(word)
+        cands = {tuple(pinyins)}
+        if tolerance == 1:
+            for i, py in enumerate(pinyins):
+                if py in adj:
+                    cands |= {
+                        tuple(pinyins[:i] + [nb] + pinyins[i + 1 :])
+                        for nb in adj[py]
+                    }
+        pmd = self.pinyin_mention_dict()
+        mentions: set[str] = set()
+        for key in cands & set(pmd):
+            mentions |= pmd[key]
+        return sorted(mentions)
+
     def search_word_trie(self, word: str, tolerance: int = 1) -> list[str]:
         """All registered mentions within ``tolerance`` single-char
         substitutions of ``word`` (same length) — DFS over the trie
@@ -283,48 +327,111 @@ class EntityKB:
         return out
 
 
+    @staticmethod
+    def _placeholder_tag(type0: str) -> str:
+        """POS tag the reference registers for a #type# placeholder
+        (harvesttext.py:246-258)."""
+        if "人名" in type0:
+            return "nr"
+        if "地名" in type0:
+            return "ns"
+        if "机构" in type0:
+            return "nt"
+        if "其他专名" in type0:
+            return "nz"
+        return "n"
+
+    def _posseg_decoref(self, sent2: str, cutter: str = "auto"):
+        """posseg over a decoref'd sentence: each #type# placeholder is one
+        token with its registered tag (the reference adds placeholders to
+        jieba's dictionary; we split them out before cutting)."""
+        from harvesttext_spark.functions.tokenize import base_posseg
+
+        out: list[tuple[str, str]] = []
+        for piece in re.split(r"(#[^#\s]+#)", sent2):
+            if not piece:
+                continue
+            if piece.startswith("#") and piece.endswith("#") and len(piece) > 2:
+                out.append((piece, self._placeholder_tag(piece[1:-1])))
+            else:
+                out.extend(base_posseg(piece, cutter))
+        return out
+
+    def _fuzzy_candidates(
+        self,
+        word: str,
+        pinyin_tolerance: int | None,
+        char_tolerance: int | None,
+    ) -> list[str]:
+        cands: list[str] = []
+        if pinyin_tolerance is not None:
+            cands += self.get_pinyin_correct_candidates(word, pinyin_tolerance)
+        if char_tolerance is not None:
+            cands += self.search_word_trie(word, char_tolerance)
+        return cands
+
     def link_with_recheck(
         self,
         sent: str,
         strategy: str = "None",
         entity_freq: dict[str, int] | None = None,
-        char_tolerance: int = 1,
+        char_tolerance: int | None = 1,
+        pinyin_tolerance: int | None = None,
+        cutter: str = "auto",
     ) -> list[tuple[int, int, str, str]]:
-        """Exact scan + fuzzy recheck (harvesttext.py:441-456): windows in
-        the UNLINKED stretches within ``char_tolerance`` substitutions of a
-        registered mention get linked too.  The reference rechecks jieba
-        NOUN tokens; without a POS tagger we slide windows of the KB's
-        mention lengths over CJK stretches (documented divergence — a
-        superset of the noun heuristic)."""
+        """Exact scan + fuzzy recheck — the reference ``_entity_recheck``
+        (harvesttext.py:441-456): decoref the linked sentence, posseg it
+        (placeholders are single tokens), and for every NOUN-tagged token
+        look up mentions within ``char_tolerance`` substitutions and/or
+        ``pinyin_tolerance`` similar-pinyin edits; matches are linked at
+        ``sent.find(word)`` (the reference's own position rule, quirks
+        included)."""
         spans = self.link(sent, strategy, entity_freq)
-        lengths = sorted(
-            {len(m) for m in self.mention_entities if len(m) >= 2}, reverse=True
-        )
+        sent2 = decoref(sent, spans)
         extra = []
-        cursor = 0
-        segments = []
-        for l, r, _, _ in spans:
-            segments.append((cursor, sent[cursor:l]))
-            cursor = r
-        segments.append((cursor, sent[cursor:]))
-        for base, seg in segments:
-            i = 0
-            while i < len(seg):
-                matched = False
-                for L in lengths:
-                    word = seg[i : i + L]
-                    if len(word) < L or not all("一" <= c <= "鿿" for c in word):
-                        continue
-                    cands = self.search_word_trie(word, char_tolerance)
-                    if cands:
-                        e, t = self.mention_entities[cands[0]][0]
-                        extra.append((base + i, base + i + L, e, t))
-                        i += L
-                        matched = True
-                        break
-                if not matched:
-                    i += 1
+        for word, flag in self._posseg_decoref(sent2, cutter):
+            if not flag.startswith("n"):
+                continue
+            cands = self._fuzzy_candidates(word, pinyin_tolerance, char_tolerance)
+            if not cands:
+                continue
+            e, t = self.mention_entities[cands[0]][0]
+            l = sent.find(word)
+            if l >= 0:
+                extra.append((l, l + len(word), e, t))
         return sorted(spans + extra)
+
+    def get_linking_mention_candidates(
+        self,
+        sent: str,
+        pinyin_tolerance: int | None = None,
+        char_tolerance: int | None = None,
+        strategy: str = "None",
+        cutter: str = "auto",
+    ) -> tuple[str, dict[tuple[int, int], set[str]]]:
+        """The reference ``get_linking_mention_candidates``
+        (harvesttext.py:522-546): link, decoref, posseg; linked placeholders
+        are replaced by their entity names; every noun token's fuzzy mention
+        candidates are returned keyed by its (l, r) span in the
+        RECONSTRUCTED sentence."""
+        spans = self.link(sent, strategy)
+        sent2 = decoref(sent, spans)
+        mention_cands: dict[tuple[int, int], set[str]] = {}
+        cut_result: list[str] = []
+        l = 0
+        i = 0
+        for word, flag in self._posseg_decoref(sent2, cutter):
+            if word.startswith("#") and word.endswith("#") and len(word) > 2:
+                if i < len(spans):
+                    word = spans[i][2]  # linked entity name
+                    i += 1
+            cut_result.append(word)
+            if flag.startswith("n"):
+                cands = self._fuzzy_candidates(word, pinyin_tolerance, char_tolerance)
+                if cands:
+                    mention_cands[(l, l + len(word))] = set(cands)
+            l += len(word)
+        return "".join(cut_result), mention_cands
 
 
 def decoref(sent: str, spans: list[tuple[int, int, str, str]]) -> str:

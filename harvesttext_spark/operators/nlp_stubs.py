@@ -48,10 +48,6 @@ triple_extraction = _stub(
     "per sentence; output feeds operators/triples.py",
 )
 
-get_pinyin_correct_candidates = _stub(
-    "get_pinyin_correct_candidates",
-    "pypinyin (lazy_pinyin) + the pinyin_adjlist resource",
-    "broadcast {pinyin_tuple: mentions} index; candidates = exact-pinyin or "
-    "1-syllable-neighbor lookups (char-tolerance recheck IS implemented: "
-    "EntityKB.search_word_trie / link_with_recheck)",
-)
+# get_pinyin_correct_candidates is IMPLEMENTED (no longer a stub):
+# EntityKB.get_pinyin_correct_candidates over the committed char->pinyin
+# table (functions/pinyin.py) + the bundled pinyin_adjlist resource.

@@ -92,7 +92,6 @@ def test_stubs_raise():
         nlp_stubs.named_entity_recognition,
         nlp_stubs.dependency_parse,
         nlp_stubs.triple_extraction,
-        nlp_stubs.get_pinyin_correct_candidates,
     ):
         with pytest.raises(NotImplementedError):
             fn("任何输入")
