@@ -114,11 +114,15 @@ def make_cleaner(
     """
     if norm_url and to_url:
         raise Exception("norm_url和to_url是矛盾的设置")
+    t2s_table = None
     if t2s:
-        raise NotImplementedError(
-            "t2s requires OpenCC, not present in this environment; "
-            "gate the flag off or install opencc on the cluster image"
-        )
+        # OpenCC is absent; the committed char map (resources/zh_t2s.tsv,
+        # 2200+ pairs of public orthographic data) replaces it via one
+        # C-level str.translate pass.  OpenCC's phrase-level exceptions
+        # are a documented divergence.
+        from harvesttext_spark.functions.t2s import t2s_translate_table
+
+        t2s_table = t2s_translate_table()
     if custom_regex is not None and isinstance(custom_regex, str):
         custom_regex = [custom_regex]
     custom_compiled = [re.compile(p) for p in (custom_regex or [])]
@@ -178,6 +182,10 @@ def make_cleaner(
             text = text.replace("\n", " ")
         if deduplicate_space:
             text = RE_SPACE_RUNS.sub(r"\1", text)
+        if t2s_table is not None:
+            # reference pass position: after space dedup, before stop_terms
+            # (harvesttext.py:826-828)
+            text = text.translate(t2s_table)
         if stop_str is not None:
             text = text.replace(stop_str, "")
         else:

@@ -114,3 +114,28 @@ def test_native_fast_path_on_simple_corpus(spark):
     ).collect()
     for r in got:
         assert r["native"] == r["py"]
+
+
+def test_t2s_flag_battery():
+    """Battery pass 16 (t2s) — un-stubbed via the committed char map;
+    runs in the reference's pass position (after space dedup)."""
+    from harvesttext_spark.functions.cleaning import clean_text_py
+
+    assert clean_text_py("這是繁體中文測試", t2s=True) == "这是繁体中文测试"
+    # combined with other passes: URL removed, then converted
+    got = clean_text_py("請看 http://example.com 這裡的內容", t2s=True)
+    assert got == "请看 这里的内容"
+    # default flag off leaves traditional text untouched
+    assert clean_text_py("這是") == "這是"
+
+
+def test_t2s_catalyst_column(spark):
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.t2s import t2s_col, t2s_py
+
+    texts = ["漢語轉換", "繁體與簡體混合 mixed ascii 123", "纯简体不变"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["out"] for r in df.select(t2s_col(F.col("text")).alias("out")).collect()]
+    assert got == [t2s_py(t) for t in texts]
+    assert got[0] == "汉语转换"
