@@ -48,6 +48,9 @@ class EntityKB:
         self.root: dict = {}
         self.mention_entities: dict[str, list[tuple[str, str]]] = {}
         self.entity_mentions: dict[str, set[str]] = {}
+        # monotonic mutation counter: invalidates the compiled automaton
+        # and pinyin index (len() alone misses add-then-remove sequences)
+        self._gen = 0
 
     @staticmethod
     def check_type_name(entity_type: str) -> None:
@@ -66,6 +69,7 @@ class EntityKB:
         pairs[:] = [(e, t) for (e, t) in pairs if e != entity]
         pairs.append((entity, type0))
         pairs.sort()
+        self._gen += 1
         self.entity_mentions.setdefault(entity, set()).add(mention)
         node = self.root
         for ch in mention:
@@ -112,9 +116,79 @@ class EntityKB:
 
     # --- matching ---------------------------------------------------------
 
+    def _automaton(self):
+        """Compiled Aho-Corasick automaton (goto/fail/leaf-length lists),
+        rebuilt only when the mention set changes (generation check).
+        SURVEY §4 prescribed this: the per-char dict-trie rescan is
+        O(len × depth) per document and was the 100 TB linker bottleneck;
+        AC scans each document once, O(len + matches)."""
+        gen = self._gen
+        cached = getattr(self, "_ac_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        goto: list[dict[str, int]] = [{}]
+        leaf_len: list[int] = [0]  # mention length ending exactly here
+        for m in self.mention_entities:
+            node = 0
+            for ch in m:
+                nxt = goto[node].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    leaf_len.append(0)
+                    nxt = len(goto) - 1
+                    goto[node][ch] = nxt
+                node = nxt
+            leaf_len[node] = len(m)
+        # BFS fail links + dictionary suffix links (nearest fail-chain
+        # ancestor that is itself a mention end) so the scan emits EVERY
+        # match in O(n + matches) — shorter suffix mentions have LATER
+        # starts, and the freq-strategy overlap resolution needs those.
+        fail = [0] * len(goto)
+        dict_fail = [0] * len(goto)
+        from collections import deque
+
+        q = deque(goto[0].values())
+        while q:
+            u = q.popleft()
+            for ch, v in goto[u].items():
+                q.append(v)
+                f = fail[u]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                nxt = goto[f].get(ch, 0)
+                fail[v] = nxt if nxt != v else 0
+                dict_fail[v] = (
+                    fail[v] if leaf_len[fail[v]] else dict_fail[fail[v]]
+                )
+        auto = (goto, fail, dict_fail, leaf_len)
+        self._ac_cache = (gen, auto)
+        return auto
+
+    def scan_matches(self, sent: str) -> dict[int, int]:
+        """ONE automaton pass -> {start: end} of the LONGEST mention
+        starting at each position (identical to longest_match at every l,
+        computed once instead of per-cursor rescans — this is also the
+        memo the freq-strategy overlap resolution reads)."""
+        goto, fail, dict_fail, leaf_len = self._automaton()
+        best: dict[int, int] = {}
+        st = 0
+        for i, ch in enumerate(sent):
+            while st and ch not in goto[st]:
+                st = fail[st]
+            st = goto[st].get(ch, 0)
+            f = st if leaf_len[st] else dict_fail[st]
+            while f:
+                s = i + 1 - leaf_len[f]
+                if best.get(s, 0) < i + 1:
+                    best[s] = i + 1
+                f = dict_fail[f]
+        return best
+
     def longest_match(self, sent: str, l: int) -> tuple[int, str | None]:
         """Longest mention starting at l, remembering the last complete
-        mention passed (backtracking record)."""
+        mention passed (backtracking record).  Retained as the simple
+        trie reference semantics (property-tested equal to scan_matches)
+        and for single-word probes; the hot path uses the automaton."""
         node = self.root
         best_r, best_mention = -1, None
         for i in range(l, len(sent)):
@@ -134,6 +208,7 @@ class EntityKB:
             if node is None:
                 return
         node.pop("leaf", None)
+        self._gen += 1
         self.mention_entities.pop(mention, None)
         for ms in self.entity_mentions.values():
             ms.discard(mention)
@@ -165,7 +240,7 @@ class EntityKB:
         a generation-checked rebuild is equivalent and keeps add() lean)."""
         from harvesttext_spark.functions.pinyin import lazy_pinyin
 
-        gen = len(self.mention_entities)
+        gen = self._gen
         cached = getattr(self, "_pinyin_cache", None)
         if cached is not None and cached[0] == gen:
             return cached[1]
@@ -228,13 +303,14 @@ class EntityKB:
         """keep_all=True semantics (harvesttext.py:489-491): every span with
         its full candidate set, no disambiguation."""
         out = []
+        matches = self.scan_matches(sent)
         l, n = 0, len(sent)
         while l < n:
-            r, mention = self.longest_match(sent, l)
+            r = matches.get(l, -1)
             if r == -1:
                 l += 1
                 continue
-            out.append((l, r, list(self.mention_entities[mention])))
+            out.append((l, r, list(self.mention_entities[sent[l:r]])))
             l = r
         return out
 
@@ -297,22 +373,26 @@ class EntityKB:
                     latest[m] = et
 
         out = []
+        # ONE Aho-Corasick pass memoizes the longest match at every start;
+        # the cursor walk and the freq-overlap rescan are dict lookups.
+        matches = self.scan_matches(sent)
         l, n = 0, len(sent)
         while l < n:
-            r, mention = self.longest_match(sent, l)
+            r = matches.get(l, -1)
             if r == -1:
                 l += 1
                 continue
+            mention = sent[l:r]
             if strategy == "freq":
                 # consider matches starting inside [l+1, r) and keep the one
                 # whose chosen entity has the highest prior (first wins ties)
                 best = (l, r, *choose(mention))
                 best_cnt = freq.get(best[2], 0)
                 for ll in range(l + 1, r):
-                    rr, m2 = self.longest_match(sent, ll)
+                    rr = matches.get(ll, -1)
                     if rr == -1:
                         continue
-                    e2, t2 = choose(m2)
+                    e2, t2 = choose(sent[ll:rr])
                     c2 = freq.get(e2, 0)
                     if c2 > best_cnt:
                         best, best_cnt = (ll, rr, e2, t2), c2

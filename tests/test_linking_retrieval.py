@@ -212,3 +212,35 @@ def test_pii_regex_scrub(spark):
     )
     got = df.select(scrub_pii_regex(F.col("text")).alias("s")).first()["s"]
     assert got == "电话<PHONE>邮箱<EMAIL>身份证<IDNUM>完"
+
+
+def test_ac_scan_equals_trie_longest_match():
+    """Property: scan_matches (one AC pass) == longest_match at every
+    position, on random KBs over a tiny alphabet (dense overlaps)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(60):
+        kb = EntityKB()
+        for _ in range(rng.randint(1, 12)):
+            m = "".join(rng.choice("abc") for _ in range(rng.randint(1, 4)))
+            kb.add(m, m, "T")
+        sent = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 40)))
+        got = kb.scan_matches(sent)
+        want = {}
+        for l in range(len(sent)):
+            r, _ = kb.longest_match(sent, l)
+            if r != -1:
+                want[l] = r
+        assert got == want, (sorted(kb.mention_entities), sent)
+
+
+def test_ac_cache_invalidation_add_remove():
+    kb = EntityKB()
+    kb.add("ab", "ab", "T")
+    assert kb.scan_matches("ab") == {0: 2}
+    kb.add("abc", "abc", "T")
+    assert kb.scan_matches("abc") == {0: 3}
+    kb.remove_mention("abc")
+    kb.add("bc", "bc", "T")  # same mention count as before removal
+    assert kb.scan_matches("abc") == {0: 2, 1: 3}
