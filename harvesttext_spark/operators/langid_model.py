@@ -21,7 +21,6 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 N_BUCKETS = 1 << 14
 MAX_GRAMS_PER_DOC = 300
@@ -129,17 +128,27 @@ def predict_from_features(
             * F.col("default_logp")
         ).alias("score"),
     )
-    # one window + conditional aggregation (two filtered branches over the
-    # same window would compute it twice and add a self-join)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
-    return ranked.groupBy("doc_id").agg(
-        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang_pred"),
-        (
-            F.max(F.when(F.col("rk") == 1, F.col("score")))
-            - F.coalesce(
-                F.max(F.when(F.col("rk") == 2, F.col("score"))),
-                F.max(F.when(F.col("rk") == 1, F.col("score"))),
+    # ONE-PASS argmax+runner-up: fold each doc's per-lang scores (a handful
+    # of rows) into a sorted array inside a single groupBy — the previous
+    # window-rank + regroup shape paid a second shuffle AND a per-partition
+    # sort over the full doc x lang grid (measured 4.7s -> target <2.5s at
+    # sf0.1).  Sort key struct(-score, lang) reproduces the window's
+    # (score DESC, lang ASC) tie-break exactly.
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                F.col("lang").alias("lang"),
+                F.col("score").alias("score"),
             )
-        ).alias("margin"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(arr.alias("_a")).select(
+        "doc_id",
+        F.col("_a")[0]["lang"].alias("lang_pred"),
+        F.when(
+            F.size("_a") >= 2, F.col("_a")[0]["score"] - F.col("_a")[1]["score"]
+        )
+        .otherwise(F.lit(0.0))
+        .alias("margin"),
     )
