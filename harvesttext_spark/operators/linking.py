@@ -90,6 +90,15 @@ class EntityKB:
         if mention0 and mention0 != entity:
             self.add(entity, entity, type0)
 
+    def add_typed_words(self, typed_words: dict[str, Iterable[str]]) -> None:
+        """{type: words} -> each word registered as its own entity of that
+        type (harvesttext.py add_typed_words semantics; what
+        add_entities(type_entity_mention_dict) reduces to for plain
+        typed-word dictionaries like THUOCL)."""
+        for type0, words in typed_words.items():
+            for w in words:
+                self.add(w, w, type0)
+
     def add_new_mentions(self, entity: str, mentions: Iterable[str]) -> None:
         """Attach extra surfaces to an existing entity, keeping its type."""
         pairs = [

@@ -56,11 +56,13 @@ def _domain_for(rng: random.Random) -> str:
     return f"site{r}.{_TLDS[r % len(_TLDS)]}"
 
 
-def _make_row(seed: int, i: int) -> tuple:
+def _make_row(seed: int, i: int, latin_frac: float | None = None) -> tuple:
     rng = random.Random((seed << 32) ^ i)
     domain = _domain_for(rng)
     url = f"https://{domain}/p/{i}"
     ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i % 86_400_000)
+    if latin_frac is not None:
+        return _make_latin_row(rng, url, ts, domain, i, latin_frac)
     kind = rng.random()
     if kind < 0.08:  # junk: too short
         text, lang = rng.choice(["好", "ok", "??", "x", "短文本"]), "zh"
@@ -99,15 +101,55 @@ def _make_row(seed: int, i: int) -> tuple:
     return url, ts, html_doc, text, lang
 
 
+def _make_latin_row(
+    rng: random.Random, url: str, ts, domain: str, i: int, latin_frac: float
+) -> tuple:
+    """Common-Crawl-realistic mix: ``latin_frac`` of rows are PURE-ASCII
+    latin prose (with ASCII urls/emails/@handles so the battery still has
+    work), the rest zh prose + junk — the corpus shape where the ASCII
+    Catalyst fast path earns its keep."""
+    kind = rng.random()
+    if kind < 0.04:
+        text, lang = rng.choice(["ok", "x", "??", "hm"]), "en"
+    elif kind < 0.08:
+        text, lang = rng.choice(["a", "!", "z"]) * rng.randint(12, 40), "en"
+    elif kind < 0.10:
+        text, lang = " ".join(["@#$%^&*"] * rng.randint(5, 12)), "en"
+    elif kind < 0.10 + latin_frac:
+        lang = rng.choice(["en", "en", "en", "es", "de", "fr"])
+        words = _LANG_SENTS[lang].split()
+        parts = [" ".join(rng.choices(words, k=rng.randint(20, 60))) + "."]
+        if rng.random() < 0.4:
+            parts.append("see http://" + domain + "/a" + str(rng.randint(1, 999)))
+        if rng.random() < 0.2:
+            parts.append(f"contact user{rng.randint(1,99)}@example.com")
+        if rng.random() < 0.2:
+            parts.append(f"@handle{rng.randint(1,99)}: thanks")
+        text = "  ".join(parts)
+    else:
+        text, lang = "".join(rng.sample(_ZH_SENTS, k=rng.randint(3, 6))), "zh"
+    html_doc = (
+        f"<html><head><title>page {i}</title></head><body>"
+        f"<p>{text}</p><div class='footer'>&nbsp;&copy; {domain}</div>"
+        f"</body></html>"
+    ).encode("utf-8")
+    return url, ts, html_doc, text, lang
+
+
 def synthesize_pages(
-    spark: SparkSession, n: int = 10_000, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n: int = 10_000,
+    seed: int = 42,
+    partitions: int | None = None,
+    latin_frac: float | None = None,
 ) -> DataFrame:
-    """Distributed deterministic pages table (seed-stable per row id)."""
+    """Distributed deterministic pages table (seed-stable per row id).
+    ``latin_frac`` switches to the latin-majority Common-Crawl-style mix."""
     base = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            rows = [_make_row(seed, int(i)) for i in pdf["id"]]
+            rows = [_make_row(seed, int(i), latin_frac) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

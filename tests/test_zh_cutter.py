@@ -105,3 +105,32 @@ def test_thuocl_vocab_loaded():
     c = default_cutter()
     # THUOCL idiom segment as one word
     assert c.cut("他一马当先冲了出去")[1] == "一马当先"
+
+
+def test_using_typed_words_golden():
+    """Port of the reference test_using_typed_words
+    (/root/reference/tests/test_functionality.py:264-276 + _expected):
+    THUOCL typed words as entities, Baidu stopwords filtering, posseg
+    tag-exact."""
+    from harvesttext_spark.functions.resources import (
+        get_baidu_stopwords,
+        get_qh_typed_words,
+    )
+
+    kb2 = EntityKB()
+    typed_words = get_qh_typed_words()
+    assert list(typed_words.keys()) == [
+        "IT", "动物", "医药", "历史人名", "地名", "成语", "法律", "财经", "食物",
+    ]
+    kb2.add_typed_words(typed_words)
+    sent = (
+        "THUOCL是自然语言处理的一套中文词库，词表来自主流网站的社会标签、"
+        "搜索热词、输入法词库等。"
+    )
+    got = seg_py(sent, kb2, stopwords=get_baidu_stopwords(), with_pos=True)
+    assert got == [
+        ("THUOCL", "eng"), ("自然语言处理", "IT"), ("一套", "m"),
+        ("中文", "nz"), ("词库", "n"), ("词表", "n"), ("来自", "v"),
+        ("主流", "b"), ("网站", "n"), ("社会", "n"), ("标签", "财经"),
+        ("搜索", "v"), ("热词", "n"), ("输入法", "IT"), ("词库", "n"),
+    ]
