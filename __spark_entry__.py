@@ -1055,6 +1055,50 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_t2s_text(spark, sf_dir):
+    """Traditional->simplified conversion (battery pass 16) as the
+    Catalyst-native translate over the committed char map; DuckDB's
+    translate() with the same src/dst strings is the value oracle.
+    A deterministic s2t round-trip prefix makes the pass do real work on
+    the (mostly simplified/latin) test corpus."""
+    from harvesttext_spark.functions.t2s import t2s_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", t2s_col(F.col("text")).alias("text_s")
+    )
+
+
+def _sql_t2s() -> str:
+    from harvesttext_spark.functions.t2s import t2s_pairs
+
+    src = "".join(t for t, _ in t2s_pairs()).replace("'", "''")
+    dst = "".join(s for _, s in t2s_pairs()).replace("'", "''")
+    return (
+        "SELECT doc_id, translate(text, '" + src + "', '" + dst + "') AS text_s "
+        "FROM documents"
+    )
+
+
+def q_seg_posseg_dict(spark, sf_dir):
+    """Dict-DAG cutter (the from-scratch max-prob segmenter) with POS tags,
+    exploded to scalars.  Python-side algorithm -> rows-only check."""
+    from harvesttext_spark.functions.tokenize import seg_documents
+
+    segged = seg_documents(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100),
+        with_pos=True,
+        cutter="dict",
+    )
+    return segged.select(
+        "doc_id", F.posexplode("words").alias("pos_idx", "wp")
+    ).select(
+        "doc_id",
+        F.col("pos_idx").cast("int").alias("pos_idx"),
+        F.col("wp.word").alias("word"),
+        F.col("wp.pos").alias("tag"),
+    )
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """64-bit SimHash near-dup candidates, Manku 4×16-bit block buckets
     (bounded bucket sizes at corpus scale).  xxhash64-based — engine hash,
@@ -1314,10 +1358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "seg_tokens": q_seg_tokens,
         "cut_sentences": q_cut_sentences,
+        "t2s_text": q_t2s_text,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "seg_posseg_dict": q_seg_posseg_dict,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
         "texttile_paragraphs": q_texttile_paragraphs,
@@ -1361,4 +1407,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality": SQL_DOMAIN_QUALITY,
         "seg_tokens": SQL_SEG_TOKENS,
         "cut_sentences": SQL_CUT_SENTENCES,
+        "t2s_text": _sql_t2s(),
     }

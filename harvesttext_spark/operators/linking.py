@@ -90,6 +90,16 @@ class EntityKB:
         if mention0 and mention0 != entity:
             self.add(entity, entity, type0)
 
+    def clear(self) -> None:
+        """Reset the KB (harvesttext.py clear()).  CLEAN semantics: unlike
+        the reference, no segmentation state leaks (the reference's golden
+        shows jieba's global add_word registrations surviving clear() —
+        a process-global side effect a distributable KB must not have)."""
+        self.root = {}
+        self.mention_entities = {}
+        self.entity_mentions = {}
+        self._gen += 1
+
     def add_typed_words(self, typed_words: dict[str, Iterable[str]]) -> None:
         """{type: words} -> each word registered as its own entity of that
         type (harvesttext.py add_typed_words semantics; what
