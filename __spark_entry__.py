@@ -1099,6 +1099,19 @@ def q_seg_posseg_dict(spark, sf_dir):
     )
 
 
+def q_ner_entities(spark, sf_dir):
+    """Rule-based NER recast (operators/parsing.py): KB-linked entities +
+    tag-mapped names per document, corpus-thresholded (the NERP-style
+    discovery).  Python-side rules -> rows-only check."""
+    from harvesttext_spark.operators.linking import EntityKB
+    from harvesttext_spark.operators.parsing import discover_named_entities
+
+    kb = EntityKB.from_triples(_DEMO_KB_TRIPLES)
+    return discover_named_entities(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200), kb, min_count=2
+    )
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """64-bit SimHash near-dup candidates, Manku 4×16-bit block buckets
     (bounded bucket sizes at corpus scale).  xxhash64-based — engine hash,
@@ -1364,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
+        "ner_entities": q_ner_entities,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
         "texttile_paragraphs": q_texttile_paragraphs,
