@@ -33,6 +33,18 @@ RE_CLOSE_QUOTE = re.compile(r"([。！？\?!]|\.{3,}|\…+)([”’)\]）】])([
 
 RE_EN_SENT = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])")
 
+# common abbreviations whose trailing period must NOT split (the slice of
+# nltk punkt behavior a rule splitter can honestly cover)
+_EN_ABBREV = (
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "St", "Jr", "Sr", "vs", "etc",
+    "e.g", "i.e", "No", "Inc", "Ltd", "Co", "Corp", "Fig", "Vol",
+    "a.m", "p.m", "U.S", "U.K",
+)
+_EN_ABBREV_RE = re.compile(
+    r"\b(" + "|".join(re.escape(a) for a in _EN_ABBREV) + r")\.(\s+)(?=[A-Z0-9\"'(])"
+)
+_SENTINEL = "\x00"
+
 
 def cut_sentences_py(
     para: str,
@@ -50,7 +62,9 @@ def cut_sentences_py(
     if deduplicate:
         para = RE_PUNCT_RUN.sub(r"\1", para)
     if language == "en":
-        sents = RE_EN_SENT.split(para)
+        # shield abbreviation periods from the terminator split, then restore
+        shielded = _EN_ABBREV_RE.sub(lambda m: m.group(1) + _SENTINEL + m.group(2), para)
+        sents = [s.replace(_SENTINEL, ".") for s in RE_EN_SENT.split(shielded)]
         if strip:
             sents = [s.strip() for s in sents]
         if drop_empty_line:

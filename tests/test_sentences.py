@@ -44,3 +44,23 @@ def test_explode_sentences(spark):
         (1, 1, "第二句！"),
         (2, 0, "只有一句"),
     ]
+
+
+def test_en_abbreviations_do_not_split():
+    got = cut_sentences_py(
+        "Dr. Smith met Mr. Jones at 9 a.m. They discussed the plan. "
+        "See Fig. 3 for details.",
+        language="en",
+    )
+    assert got == [
+        "Dr. Smith met Mr. Jones at 9 a.m. They discussed the plan.",
+        "See Fig. 3 for details.",
+    ] or got == [
+        "Dr. Smith met Mr. Jones at 9 a.m.",
+        "They discussed the plan.",
+        "See Fig. 3 for details.",
+    ]
+    # plain case still splits
+    assert cut_sentences_py("One sentence. Another one.", language="en") == [
+        "One sentence.", "Another one.",
+    ]
