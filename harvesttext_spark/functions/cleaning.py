@@ -231,21 +231,38 @@ def clean_text_native(col: Column) -> Column:
     NOT byte-identical in every corner case (Java vs CPython ``re``); tests
     golden-gate it against ``clean_text_py`` on the fixture corpus before it
     is allowed in the plan.  Entirely whole-stage-codegen — zero Python.
-    """
+
+    Each regex pass is guarded by an ``instr`` probe for a literal the
+    pattern REQUIRES (the JVM analog of the Python battery's str-contains
+    short circuits): a guarded pass that cannot match is skipped without a
+    regex scan, and skipping it is exactly a no-op.  Codegen
+    subexpression elimination keeps the chained when(c)/otherwise(c)
+    references single-evaluation."""
+
+    def guarded(c, needle, pat, repl):
+        return F.when(
+            F.instr(c, needle) > 0, F.regexp_replace(c, pat, repl)
+        ).otherwise(c)
+
     c = F.regexp_replace(col, "[\\u200b-\\u200d]", "")
-    c = F.regexp_replace(c, "(\\\\u200b|\\\\u200c|\\\\u200d)", "")
-    c = F.regexp_replace(c, "</?([^ >/]+)(?s:.)*?>", "")
-    c = F.regexp_replace(c, "\\[(.+?)\\]\\(\\S+\\)", "$1")
-    c = F.regexp_replace(c, "\\[\\S{1,6}?\\]", "")
+    c = guarded(c, "\\u200", "(\\\\u200b|\\\\u200c|\\\\u200d)", "")
+    c = guarded(c, "<", "</?([^ >/]+)(?s:.)*?>", "")
+    c = guarded(c, "](", "\\[(.+?)\\]\\(\\S+\\)", "$1")
+    c = guarded(c, "[", "\\[\\S{1,6}?\\]", "")
     c = F.regexp_replace(
         c,
         "[\\x{1F600}-\\x{1F64F}\\x{1F300}-\\x{1F5FF}\\x{1F680}-\\x{1F6FF}"
         "\\x{1F1E0}-\\x{1F1FF}\\x{2702}-\\x{27B0}]+",
         "",
     )
-    c = F.regexp_replace(c, "(?i)http[s]?://(?:[a-zA-Z]|[0-9]|[#$%*-;=?&@~.&+]|[!*,])+", "")
-    c = F.regexp_replace(c, "(?i)[-a-z0-9_.]+@(?:[-a-z0-9]+\\.)+[a-z]{2,6}", "")
-    c = F.regexp_replace(c, "(回复)?(//)?\\s*@\\S*?\\s*(:|：| |$)", " ")
+    c = F.when(
+        F.instr(F.lower(c), "http") > 0,
+        F.regexp_replace(
+            c, "(?i)http[s]?://(?:[a-zA-Z]|[0-9]|[#$%*-;=?&@~.&+]|[!*,])+", ""
+        ),
+    ).otherwise(c)
+    c = guarded(c, "@", "(?i)[-a-z0-9_.]+@(?:[-a-z0-9]+\\.)+[a-z]{2,6}", "")
+    c = guarded(c, "@", "(回复)?(//)?\\s*@\\S*?\\s*(:|：| |$)", " ")
     c = F.regexp_replace(c, "(\\s)+", "$1")
-    c = F.regexp_replace(c, "转发微博", "")
+    c = guarded(c, "转发微博", "转发微博", "")
     return F.regexp_replace(F.regexp_replace(c, "^\\s+", ""), "\\s+$", "")
