@@ -170,3 +170,22 @@ def test_save_load_clear_golden(kb, tmp_path, spark):
     # cleared model: plain dict cut, no entity splicing
     toks = seg_py(PARA, kb2)
     assert "武球王" not in toks or toks != expected
+
+
+def test_cutter_lossless_property():
+    """Property: posseg is a partition of the input — concatenating the
+    tokens reproduces the input minus whitespace, for arbitrary mixed
+    zh/latin/punct strings (no char ever dropped or duplicated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("武磊中国的是了好球abcXYZ019 .，。！?#@[]（）\n\t"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=60))
+    def check(s):
+        c = default_cutter()
+        joined = "".join(c.cut(s))
+        assert joined == "".join(s.split())
+
+    check()
