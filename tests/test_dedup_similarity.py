@@ -202,3 +202,13 @@ def test_simhash64_native_one_pass_matches_reference_fold(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
     assert vals[0] == vals[1]
     assert ham(vals[0], vals[2]) < ham(vals[0], vals[3])
+
+
+def test_minhash_eager_cleanup_unpersists(spark, docs):
+    """eager_cleanup=True must release the signature cache (no block
+    accumulation across repeated calls in a long-lived session)."""
+    before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    out = minhash_dup_pairs(docs, min_jaccard=0.3, eager_cleanup=True)
+    assert out.count() >= 0
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    assert after <= before + 1  # the checkpointed result may linger; the persisted signature must not
