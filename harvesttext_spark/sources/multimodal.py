@@ -141,3 +141,148 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     return df.mapInPandas(
         run, schema="item_id bigint, frame_idx int, frame_payload binary"
     )
+
+
+# --- REAL image path: BMP (uncompressed, no external libs needed) -----------
+#
+# The container has no PIL/ffmpeg, but 24-bit uncompressed BMP is a plain
+# struct layout — so for this format the decode / feature / resize stages
+# are REAL (byte-exact format parsing + numpy pixel math), not fakes.
+# Format reference: the public BITMAPFILEHEADER/BITMAPINFOHEADER layout.
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BMP bytes (bottom-up rows, BGR,
+    4-byte row padding — the standard layout)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    bgr = pixels[:, :, ::-1]
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):
+        rows.append(bgr[y].tobytes() + pad)
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """BMP bytes -> (h, w, 3) uint8 RGB array, or None if not a 24-bit
+    uncompressed BMP."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = struct.unpack("<I", payload[10:14])[0]
+    _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    if len(payload) < off + row_size * h:
+        return None
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=off)
+    rows = data.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if flipped else rgb
+
+
+def resize_nearest(pixels: "np.ndarray", max_side: int) -> "np.ndarray":
+    """Nearest-neighbor downscale so max(h, w) <= max_side (no-op if
+    already small enough) — pure index math, no interpolation libs."""
+    h, w, _ = pixels.shape
+    scale = max(h, w) / float(max_side)
+    if scale <= 1.0:
+        return pixels
+    nh, nw = max(int(h / scale), 1), max(int(w / scale), 1)
+    yi = (np.arange(nh) * (h / nh)).astype(int)
+    xi = (np.arange(nw) * (w / nw)).astype(int)
+    return pixels[yi][:, xi]
+
+
+def synth_bmp_table(spark: SparkSession, n: int = 50, seed: int = 7) -> DataFrame:
+    """Deterministic REAL-BMP image table (item_id, payload binary)."""
+    base = spark.range(0, n)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng((seed << 20) ^ int(i))
+                w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append((int(i), encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    return base.mapInPandas(gen, schema="item_id bigint, payload binary")
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode: (item_id, width, height, mean_r/g/b) from BMP
+    payloads.  Non-BMP rows yield NULL stats (graceful)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {"width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for p in pdf["payload"]:
+                px = decode_bmp(p)
+                if px is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                m = px.reshape(-1, 3).mean(axis=0)
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+            for k, v in out.items():
+                pdf[k] = v
+            yield pdf[["item_id", "width", "height", "mean_r", "mean_g", "mean_b"]]
+
+    return df.mapInPandas(
+        run,
+        schema="item_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def resize_images(df: DataFrame, max_side: int = 16) -> DataFrame:
+    """REAL resize stage: decode BMP -> nearest-neighbor downscale ->
+    re-encode BMP.  (item_id, payload) in, same shape out."""
+
+    def run(batches):
+        for pdf in batches:
+            resized = []
+            for p in pdf["payload"]:
+                px = decode_bmp(p)
+                resized.append(None if px is None else encode_bmp(resize_nearest(px, max_side)))
+            pdf["payload"] = resized
+            yield pdf[["item_id", "payload"]]
+
+    return df.mapInPandas(run, schema="item_id bigint, payload binary")
+
+
+def image_grayscale_features(df: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
+    """REAL feature extraction: L2-normalized grayscale histogram over the
+    decoded pixels (luma = 0.299R+0.587G+0.114B)."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                px = decode_bmp(p)
+                if px is None:
+                    feats.append(None)
+                    continue
+                luma = px.reshape(-1, 3).astype("float32") @ np.array(
+                    [0.299, 0.587, 0.114], dtype="float32"
+                )
+                hist, _ = np.histogram(luma, bins=bins, range=(0, 256))
+                v = hist.astype("float32")
+                n = float(np.linalg.norm(v)) or 1.0
+                feats.append((v / n).tolist())
+            pdf["features"] = feats
+            yield pdf[["item_id", "features"]]
+
+    return df.mapInPandas(run, schema="item_id bigint, features array<float>")
