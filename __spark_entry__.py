@@ -1055,6 +1055,58 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+# FULL value oracle for the LSH band join: the banding is portable md5
+# arithmetic end to end (KM hash pairs -> 16-component signature -> md5 of
+# each 4-component band slice -> (band, key) self-join -> signature-equality
+# estimate), so DuckDB reproduces candidate PAIRS and estimates exactly.
+SQL_MINHASH_LSH_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+        FROM documents)
+),
+hp AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> struct_pack(
+           h1 := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(md5(s), 1, 8), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b),
+           h2 := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(md5(s), 9, 8), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b))) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> list_aggregate(list_transform(hs, p -> (p.h1 + i * p.h2) % 4294967296), 'min')) AS sig
+  FROM hp
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.4
+"""
+
+
 def q_t2s_text(spark, sf_dir):
     """Traditional->simplified conversion (battery pass 16) as the
     Catalyst-native translate over the committed char map; DuckDB's
@@ -1422,4 +1474,5 @@ def oracle_sql() -> dict[str, str]:
         "seg_tokens": SQL_SEG_TOKENS,
         "cut_sentences": SQL_CUT_SENTENCES,
         "t2s_text": _sql_t2s(),
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     }
