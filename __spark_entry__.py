@@ -1347,6 +1347,66 @@ def q_langid_trained(spark, sf_dir):
     return out.select("doc_id", "lang_pred", F.round("margin", 4).alias("margin"))
 
 
+# FULL value oracle: the hashed-trigram NB is md5-bucket arithmetic plus
+# closed-form counts — entirely SQL-expressible.  Score sums are doubles;
+# margin is rounded to 4 decimals on both sides (wobble ~1e-10, far below
+# the rounding grain; argmax flips would need a sub-1e-10 score tie).
+SQL_LANGID_TRAINED = """
+WITH d AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, least(length(lt) - 2, 300)),
+                               i -> substring(lt, i, 3))) AS tri
+  FROM d WHERE length(lt) >= 3
+  UNION ALL
+  SELECT doc_id, lang, lt AS tri FROM d WHERE length(lt) < 3
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(substring(md5(tri), 1, 8), ''),
+                               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) % 16384 AS INT) AS bucket
+  FROM tri
+),
+counts AS (SELECT lang, bucket, count(*) AS c FROM feats GROUP BY 1, 2),
+lang_tot AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+weights AS (
+  SELECT lang, bucket, ln((c + 1.0) / (tot + 16384)) AS logp
+  FROM counts JOIN lang_tot USING (lang)
+),
+nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+stats AS (
+  SELECT lang, ln(nd * 1.0 / n.n) AS prior, ln(1.0 / (tot + 16384)) AS default_logp
+  FROM nd JOIN lang_tot USING (lang) CROSS JOIN n
+),
+sizes AS (SELECT doc_id, count(*) AS n_feats FROM feats GROUP BY 1),
+matched AS (
+  SELECT f.doc_id, w.lang, sum(w.logp) AS s, count(*) AS m
+  FROM feats f JOIN weights w ON f.bucket = w.bucket
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT z.doc_id, st.lang,
+         st.prior + coalesce(m.s, 0) + (z.n_feats - coalesce(m.m, 0)) * st.default_logp AS score
+  FROM sizes z CROSS JOIN stats st
+  LEFT JOIN matched m ON m.doc_id = z.doc_id AND m.lang = st.lang
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+  FROM scored
+)
+SELECT doc_id,
+       max(CASE WHEN rk = 1 THEN lang END) AS lang_pred,
+       round(max(CASE WHEN rk = 1 THEN score END)
+             - coalesce(max(CASE WHEN rk = 2 THEN score END),
+                        max(CASE WHEN rk = 1 THEN score END)), 4) AS margin
+FROM ranked GROUP BY doc_id
+"""
+
+
 def q_alias_discovery(spark, sf_dir):
     """Alias clusters over frequent document tokens (rows-only)."""
     from harvesttext_spark.operators.alias_discovery import discover_aliases
@@ -1475,4 +1535,5 @@ def oracle_sql() -> dict[str, str]:
         "cut_sentences": SQL_CUT_SENTENCES,
         "t2s_text": _sql_t2s(),
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "langid_trained": SQL_LANGID_TRAINED,
     }
