@@ -15,6 +15,10 @@ SECTIONS = {
     "minhash_signature — per-row signature, no shuffle before the agg": "minhash_signature",
     "region_revenue — 5-table star rollup": "region_revenue",
     "lm_perplexity — LM train + broadcast score": "lm_perplexity",
+    "jaccard_pairs — df-capped candidates (window count), exact rescore": "jaccard_pairs",
+    "simhash_dup_pairs — one-pass 64-bit fold, 16-bit block bucket join": "simhash_dup_pairs",
+    "langid_trained — shared features, broadcast weights, one-fold argmax": "langid_trained",
+    "t2s_text — Catalyst translate (whole-stage codegen, zero Python)": "t2s_text",
 }
 
 
