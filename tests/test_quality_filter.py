@@ -106,3 +106,28 @@ def test_metrics_shapes(spark):
     assert dm.agg(F.sum("n_docs")).first()[0] == 500
     pl = partition_lineage(lab)
     assert pl.agg(F.sum("n_docs")).first()[0] == 500
+
+
+def test_latin_corpus_f1_and_bytes_with_fast_path(spark):
+    """North-rule gates on the Common-Crawl-realistic latin-majority mix,
+    WITH the ASCII fast path enabled: byte-identical scrubbed text and
+    exact keep/drop agreement vs the single-threaded reference impl."""
+    pages = synthesize_pages(spark, n=1500, seed=99, partitions=8, latin_frac=0.85)
+    out = quality_filter(pages, fast_path=True).select(
+        "url", "text", "text_clean", "keep", "drop_reason"
+    )
+    got = {r["url"]: r for r in out.collect()}
+    raws = {
+        r["url"]: r["text"]
+        for r in synthesize_pages(
+            spark, n=1500, seed=99, partitions=4, latin_frac=0.85
+        ).collect()
+    }
+    assert len(got) == 1500
+    bad = []
+    for url, raw in raws.items():
+        clean, keep, reason = label_py(raw)
+        r = got[url]
+        if r["text_clean"] != clean or r["keep"] != keep or r["drop_reason"] != reason:
+            bad.append((url, raw[:40]))
+    assert not bad, bad[:5]
