@@ -94,4 +94,79 @@ def run_with_resume(
         )
     )
     metrics.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
-    return {"processed": todo, "skipped": len(done)}
+    snap_id = _commit_snapshot(out_dir, done, todo)
+    return {"processed": todo, "skipped": len(done), "snapshot_id": snap_id}
+
+
+# --- snapshot log (the Iceberg commit protocol, isolated here) --------------
+#
+# After every successful run a snapshot JSON lands via write-temp + atomic
+# os.rename:  out_dir/snapshots/v<N>.json
+#     {"snapshot_id", "parent_id", "buckets_added", "buckets_total"}
+# plus a "current" pointer file (same atomic rename).  Readers get snapshot
+# ISOLATION and TIME TRAVEL: read_as_of(spark, out, snapshot_id) sees
+# exactly the buckets committed as of that snapshot — concurrent/partial
+# writes of later buckets are invisible because the reader filters on the
+# snapshot's bucket list, and bucket contents are deterministic.  A crash
+# after the manifest append but before the snapshot rename just reprocesses
+# the tail buckets (idempotent by bucket determinism).
+
+
+def _snap_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "snapshots")
+
+
+def _commit_snapshot(out_dir: str, done: set[int], added: list[int]) -> int:
+    import json
+
+    snaps = list_snapshots(out_dir)
+    parent = snaps[-1]["snapshot_id"] if snaps else None
+    snap_id = (parent or 0) + 1
+    total = sorted({int(b) for b in done} | {int(b) for b in added})
+    payload = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "buckets_added": [int(b) for b in added],
+        "buckets_total": total,
+    }
+    d = _snap_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".v{snap_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.rename(tmp, os.path.join(d, f"v{snap_id}.json"))
+    cur_tmp = os.path.join(d, ".current.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(str(snap_id))
+    os.rename(cur_tmp, os.path.join(d, "current"))
+    return snap_id
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    import json
+    import re
+
+    d = _snap_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda s: s["snapshot_id"])
+
+
+def read_as_of(
+    spark: SparkSession, out_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Time-travel read: the labeled output as of ``snapshot_id`` (default:
+    the current snapshot).  Buckets committed later are invisible."""
+    snaps = list_snapshots(out_dir)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {out_dir}")
+    by_id = {s["snapshot_id"]: s for s in snaps}
+    snap = by_id[snapshot_id] if snapshot_id is not None else snaps[-1]
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    return data.filter(F.col("bucket").isin(snap["buckets_total"]))

@@ -133,3 +133,40 @@ def test_multimodal_real_engine_stubbed(spark):
     mm = synth_multimodal(spark, n=5)
     with pytest.raises(NotImplementedError):
         decode_metadata(mm, engine="real")
+
+
+def test_snapshot_log_time_travel(spark, tmp_path):
+    """Iceberg-style snapshot log: each run commits an atomic snapshot;
+    read_as_of(v1) sees only the first run's buckets (time travel), the
+    default read sees everything; snapshot lineage chains via parent_id."""
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+    from harvesttext_spark.pipeline.resume import (
+        list_snapshots,
+        read_as_of,
+        run_with_resume,
+    )
+
+    out = str(tmp_path / "snapout")
+    pages = synthesize_pages(spark, n=400, seed=5, partitions=4)
+    r1 = run_with_resume(spark, pages, out, n_buckets=8, max_buckets_this_run=3)
+    r2 = run_with_resume(spark, pages, out, n_buckets=8)
+    assert r1["snapshot_id"] == 1 and r2["snapshot_id"] == 2
+
+    snaps = list_snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent_id"] == 1
+    assert set(snaps[0]["buckets_total"]) == set(r1["processed"])
+    assert set(snaps[1]["buckets_total"]) == set(r1["processed"]) | set(r2["processed"])
+
+    v1 = read_as_of(spark, out, snapshot_id=1)
+    cur = read_as_of(spark, out)
+    assert set(r["bucket"] for r in v1.select("bucket").distinct().collect()) == set(
+        r1["processed"]
+    )
+    assert cur.count() == 400
+    assert v1.count() < 400
+
+    # a third run is a no-op but still yields a consistent current pointer
+    r3 = run_with_resume(spark, pages, out, n_buckets=8)
+    assert r3["processed"] == []
+    assert read_as_of(spark, out).count() == 400
