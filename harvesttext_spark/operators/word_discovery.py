@@ -364,3 +364,24 @@ def word_discover(
         if min_score is not None:
             out = out.filter(F.col("score") > 0.9 * min_score)
     return out.orderBy(F.desc(sort_by))
+
+
+def corpus_info(discovered: DataFrame, unit: str = "char") -> DataFrame:
+    """Corpus averages over the surviving discovered words — the reference
+    WordDiscoverer's avg_len / avg_freq / avg_left_entropy /
+    avg_right_entropy / avg_aggregation block
+    (``harvesttext/algorithms/word_discoverer.py:117-130``) as ONE scalar
+    aggregate row (word_count, avg_len, avg_freq, avg_left_entropy,
+    avg_right_entropy, avg_aggregation; zeros when no word survives)."""
+    sym_len = (
+        F.length("word") if unit == "char" else F.size(F.split("word", " "))
+    )
+    row = discovered.agg(
+        F.count("*").alias("word_count"),
+        F.coalesce(F.avg(sym_len), F.lit(0.0)).alias("avg_len"),
+        F.coalesce(F.avg("freq"), F.lit(0.0)).alias("avg_freq"),
+        F.coalesce(F.avg("left_ent"), F.lit(0.0)).alias("avg_left_entropy"),
+        F.coalesce(F.avg("right_ent"), F.lit(0.0)).alias("avg_right_entropy"),
+        F.coalesce(F.avg("agg"), F.lit(0.0)).alias("avg_aggregation"),
+    )
+    return row

@@ -84,3 +84,25 @@ def test_excluding_types(para_df):
     assert sorted(ex) == ["武球王", "武磊"]
     out = word_discover(para_df, auto=True, unit="char", exclude_words=ex)
     assert out.count() == 0  # 武磊 excluded via its registered type
+
+
+def test_corpus_info_averages(spark):
+    """reference word_discoverer.py:117-130 averages surface (2.5.13)."""
+    from harvesttext_spark.operators.word_discovery import corpus_info, word_discover
+
+    para = (
+        "上港的武磊和恒大的郜林，谁是中国最好的前锋？"
+        "那当然是武磊武球王了，他是射手榜第一，原来是弱点的单刀也有了进步"
+    )
+    docs = spark.createDataFrame([(0, para)], "doc_id long, text string")
+    found = word_discover(docs).cache()
+    info = corpus_info(found).first()
+    words = {r["word"]: r for r in found.collect()}
+    assert "武磊" in words
+    n = len(words)
+    assert info["word_count"] == n
+    assert abs(info["avg_freq"] - sum(r["freq"] for r in words.values()) / n) < 1e-9
+    assert abs(info["avg_len"] - sum(len(w) for w in words) / n) < 1e-9
+    # empty input -> zeros, not NULL/NaN
+    empty = corpus_info(found.filter("freq < 0")).first()
+    assert empty["word_count"] == 0 and empty["avg_freq"] == 0.0
