@@ -117,3 +117,61 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_enrich_domains(
+    spark: SparkSession, input_dir: str, domain_dim: DataFrame
+) -> DataFrame:
+    """Stream-STATIC broadcast enrichment: the labeled page stream joined
+    with a small domain-reputation dimension (broadcast per micro-batch;
+    no state).  Drops pages from denylisted domains before labeling."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    dom = F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain")
+    enriched = pages.withColumn("domain", dom).join(
+        F.broadcast(domain_dim), "domain", "left"
+    )
+    keep = enriched.filter(
+        F.coalesce(F.col("reputation"), F.lit("ok")) != "deny"
+    )
+    out = label(scrub(keep.withColumn("raw_text", F.coalesce("text", F.decode("html", "UTF-8")))))
+    return out.select("url", "domain", "reputation", "keep", "drop_reason")
+
+
+def streaming_click_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    attribution_window: str = "30 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: 'click' events attributed to the same
+    user's preceding 'view' within the attribution window.  Both sides
+    watermarked so the join state is bounded (late rows beyond the
+    watermark are dropped — the documented Structured Streaming
+    contract)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "view_id", "click_id", "v_ts", "c_ts"
+    )

@@ -170,3 +170,69 @@ def test_snapshot_log_time_travel(spark, tmp_path):
     r3 = run_with_resume(spark, pages, out, n_buckets=8)
     assert r3["processed"] == []
     assert read_as_of(spark, out).count() == 400
+
+
+def test_streaming_enrich_domains(spark, tmp_path):
+    """Stream-static broadcast enrichment: denylisted domains dropped
+    before labeling, reputation carried through."""
+    import pandas as pd
+
+    from harvesttext_spark.pipeline.pages import PAGES_SCHEMA
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_enrich_domains,
+    )
+
+    src = str(tmp_path / "pages_src")
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "https://good.com/a", "https://bad.com/b", "https://good.com/c",
+            ],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 3),
+            "html": [b""] * 3,
+            "text": ["a decent document body with plenty of text here ok"] * 3,
+            "lang": ["en"] * 3,
+        }
+    )
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("bad.com", "deny"), ("good.com", "trusted")], "domain string, reputation string"
+    )
+    out = streaming_enrich_domains(spark, src, dim)
+    run_stream_to_memory(out, "enrich")
+    rows = {r.url: r for r in spark.sql("SELECT * FROM enrich").collect()}
+    assert set(rows) == {"https://good.com/a", "https://good.com/c"}
+    assert all(r.reputation == "trusted" for r in rows.values())
+
+
+def test_streaming_click_attribution(spark, tmp_path):
+    """Stream-stream interval join: clicks attach to the same user's view
+    within the window; out-of-window or cross-user clicks don't."""
+    import pandas as pd
+
+    from harvesttext_spark.streaming.stream_filter import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        streaming_click_attribution,
+    )
+
+    src = str(tmp_path / "events_src")
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        (1, t0, 100, "view", 1.0, ""),
+        (2, t0 + pd.Timedelta("10 minutes"), 100, "click", 1.0, ""),   # attributed
+        (3, t0 + pd.Timedelta("50 minutes"), 100, "click", 1.0, ""),   # outside 30m window
+        (4, t0 + pd.Timedelta("5 minutes"), 200, "click", 1.0, ""),    # other user, no view
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    out = streaming_click_attribution(spark, src)
+    run_stream_to_memory(out, "attrib")
+    got = [
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    ]
+    assert got == [(100, 1, 2)]
