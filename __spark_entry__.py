@@ -269,14 +269,17 @@ WITH sh AS (
         FROM documents)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-rare AS (
+prefix AS (
   SELECT doc_id, s FROM (
-    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh
-  ) WHERE df <= 50
+    SELECT doc_id, s, df,
+           row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+  ) WHERE rn <= n - ceil(0.2 * n - 0.000000001) + 1 AND df <= 50
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rare a JOIN rare b USING (s) WHERE a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b USING (s) WHERE a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i

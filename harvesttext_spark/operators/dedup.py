@@ -262,7 +262,15 @@ def jaccard_dup_pairs(
 
     A qualifying pair is missed only when ALL of its shared shingles have
     df > cap (pure-boilerplate overlap — exactly the pairs a dedup
-    pipeline wants judged by content, not template)."""
+    pipeline wants judged by content, not template).
+
+    On top of the cap, candidate generation applies the PREFIX FILTER from
+    set-similarity joins: order each doc's shingles by global (df, s) and
+    join only the first |A| - ceil(t·|A|) + 1 of them.  Lossless for
+    J >= t (the rarest shared shingle provably sits inside both docs'
+    prefixes), and LOSSLESS RELATIVE TO THE CAP too: the rarest shared
+    shingle is the one least likely capped, so prefix+cap reports exactly
+    the same pairs as cap-only while joining far fewer postings."""
     from pyspark.sql.window import Window
 
     sh = docs.select(
@@ -270,13 +278,24 @@ def jaccard_dup_pairs(
         F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    rare = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    with_df = sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    w_doc = Window.partitionBy("id").orderBy("df", "s")
+    # epsilon inside ceil: float t*n can land epsilon ABOVE the exact
+    # rational (0.2*10 = 2.0000000000000004); erring toward a LONGER
+    # prefix keeps the filter lossless at exact-boundary pairs.  The
+    # DuckDB oracle mirrors the identical expression.
+    prefix = (
+        with_df.withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(min_jaccard) * F.col("n") - F.lit(1e-9)) + 1
+        )
         .filter(F.col("df") <= max_shingle_df)
-        .drop("df")
+        .select("id", "s")
     )
-    a = rare.alias("a")
-    b = rare.alias("b")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
     cand = (
         a.join(b, "s")
         .filter(F.col("a.id") < F.col("b.id"))

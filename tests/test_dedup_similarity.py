@@ -212,3 +212,49 @@ def test_minhash_eager_cleanup_unpersists(spark, docs):
     assert out.count() >= 0
     after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
     assert after <= before + 1  # the checkpointed result may linger; the persisted signature must not
+
+
+def test_prefix_filter_lossless_and_shrinks_candidates(spark):
+    """Prefix filter correctness: output pairs identical to an exhaustive
+    all-postings self-join at the same threshold (losslessness theorem),
+    while the prefix posting table is strictly smaller."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        base = rng.sample(vocab, k=rng.randint(6, 14))
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # add a near-dup with small edits
+            dup = list(base)
+            dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_dup_pairs(docs, shingle_n=2, min_jaccard=0.3).collect()
+    }
+    # exhaustive reference: full posting self-join, no prefix, no cap
+    from pyspark.sql import functions as F
+    from harvesttext_spark.operators.dedup import token_shingles
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(token_shingles(F.col("text"), 2)).alias("s"),
+    )
+    sizes = {r.id: r.sz for r in sh.groupBy("id").agg(F.count("*").alias("sz")).collect()}
+    inter = {}
+    for r in (
+        sh.alias("a").join(sh.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+        .agg(F.count("*").alias("i")).collect()
+    ):
+        inter[(r.x, r.y)] = r.i
+    want = {
+        k: round(i / (sizes[k[0]] + sizes[k[1]] - i), 9)
+        for k, i in inter.items()
+        if i / (sizes[k[0]] + sizes[k[1]] - i) >= 0.3
+    }
+    assert got == want
