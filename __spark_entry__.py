@@ -1154,6 +1154,34 @@ def q_seg_posseg_dict(spark, sf_dir):
     )
 
 
+def q_entity_linking_fuzzy(spark, sf_dir):
+    """Linking WITH the round-2 fuzzy recheck (char tolerance over the
+    posseg stream) — exact spans plus 1-substitution mentions.  Python
+    scan semantics -> rows-only check."""
+    from harvesttext_spark.operators.linking import EntityKB
+
+    kb = EntityKB.from_triples(_DEMO_KB_TRIPLES)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    bc = spark.sparkContext.broadcast(kb)
+
+    def scan(batches):
+        import pandas as pd
+
+        kb_ = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(s, str):
+                    continue
+                for l, r, e, t in kb_.link_with_recheck(s, char_tolerance=1):
+                    rows.append((doc_id, l, r, e, t))
+            yield pd.DataFrame(rows, columns=["doc_id", "l", "r", "entity", "type"])
+
+    return d.mapInPandas(
+        scan, schema="doc_id long, l int, r int, entity string, type string"
+    )
+
+
 def q_ner_entities(spark, sf_dir):
     """Rule-based NER recast (operators/parsing.py): KB-linked entities +
     tag-mapped names per document, corpus-thresholded (the NERP-style
@@ -1493,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
+        "entity_linking_fuzzy": q_entity_linking_fuzzy,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
         "texttile_paragraphs": q_texttile_paragraphs,
