@@ -121,3 +121,91 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Coarse quantizer via Spark ML KMeans (seeded -> deterministic
+    centers; kmeans|| init is distributed, no driver-side loop over rows).
+    -> (centroid_id int, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(ml)
+    spark = vectors.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(centers, "centroid_id int, centroid array<double>")
+
+
+def _assign_centroid(df: DataFrame, centroids: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Nearest centroid by cosine: broadcast join + one max_by aggregate
+    (deterministic tie-break on the lower centroid_id; no per-row Python;
+    the centroid table is tiny)."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    return scored.groupBy(*df.columns).agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("_sim").alias("s"), (-F.col("centroid_id")).alias("nid")),
+        ).alias(out)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (ONE pass, broadcast centroid table), then score each query
+    only against the inverted lists of its ``n_probe`` nearest centroids.
+    Candidate set shrinks ~n_centroids/n_probe x vs brute force; at 100TB
+    the assignment is a map-side pass and the probe join shuffles on the
+    bounded centroid_id key.  -> (query_id, vec_id, cos_sim, rank)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, n_centroids, vec_col, seed)
+    centroids = centroids.cache()
+
+    v = _assign_centroid(vectors, centroids, vec_col, "centroid_id")
+    # per-query n_probe nearest centroids
+    qs = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    qprobe = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col("_qvec"), F.col("centroid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id_col, "_qvec", "centroid_id")
+    )
+    scored = v.join(F.broadcast(qprobe), "centroid_id").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -258,3 +258,42 @@ def test_prefix_filter_lossless_and_shrinks_candidates(spark):
         if i / (sizes[k[0]] + sizes[k[1]] - i) >= 0.3
     }
     assert got == want
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: recall@5 vs brute force on the embeddings table; self must
+    always be retrieved at rank 1; determinism across calls (seeded
+    kmeans + deterministic tie-breaks)."""
+    from harvesttext_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42).cache()
+
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, centroids=cents)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    got_sets = {}
+    rank1 = {}
+    for r in approx.collect():
+        got_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        if r.rank == 1:
+            rank1[r.query_id] = r.vec_id
+    # self is in its own probe list by construction
+    assert all(rank1[q] == q for q in rank1)
+    recall = sum(
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ) / len(exact_sets)
+    assert recall >= 0.5, recall
+
+    # deterministic across invocations
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=3, centroids=cents).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=3, centroids=cents).collect()))
+    assert a == b
