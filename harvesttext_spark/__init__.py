@@ -18,3 +18,7 @@ Design principles (see SURVEY.md):
 __version__ = "0.1.0"
 
 from harvesttext_spark.session import get_spark  # noqa: F401
+from harvesttext_spark.functions.t2s import t2s_py, t2s_col  # noqa: F401
+from harvesttext_spark.functions.pinyin import lazy_pinyin  # noqa: F401
+from harvesttext_spark.functions.zh_cutter import default_cutter  # noqa: F401
+from harvesttext_spark.operators.linking import EntityKB  # noqa: F401
