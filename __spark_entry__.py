@@ -640,6 +640,35 @@ HAVING event_type IS NOT NULL
 """
 
 
+def q_events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not just rollup): aggregates at (type, user)
+    and (day) — two unrelated granularities in one shuffle, the shape
+    hypertable continuous aggregates compile to."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("user_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value"),
+    )
+    e.createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, day, count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type, user_id), (day))
+        """
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = """
+SELECT event_type, user_id, day, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, user_id, date_trunc('day', ts) AS day, value FROM events)
+GROUP BY GROUPING SETS ((event_type, user_id), (day))
+"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: each 'click' event picks up the value of the user's most
     recent prior 'signup' event (union+window strategy; oracle = DuckDB's
@@ -1505,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_rollup": q_events_rollup,
+        "events_grouping_sets": q_events_grouping_sets,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -1556,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
         "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "region_revenue": SQL_REGION_REVENUE,
