@@ -1,0 +1,70 @@
+"""Plan-shape regression guards: the scale properties the engine claims
+(no accidental cartesian products, pushdown reaching scans, broadcasts on
+dimension joins) asserted structurally on the compiled physical plans —
+a perf bug that flips one of these shows up here before any benchmark."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "jaccard_pairs",
+        "bigram_stats",
+        "minhash_lsh_pairs",
+        "so_pmi",
+        "tfidf_topk",
+        "events_sessionize",
+        "simhash_dup_pairs",
+        "langid_trained",
+    ],
+)
+def test_no_cartesian_product(spark, name):
+    """None of the candidate-generation / stats queries may compile to a
+    cartesian product — every pair generation goes through a keyed join."""
+    plan = plan_of(entrymod.queries()[name](spark, SF))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_intentional_broadcast_nl_joins_only(spark):
+    """The brute-force embedding baseline is the one query ALLOWED a
+    broadcast nested-loop join (explicitly labeled baseline); the langid
+    score grid also broadcasts a tiny stats table.  Everything else in
+    the headline set must stay keyed."""
+    plan = plan_of(entrymod.queries()["embedding_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the documented baseline
+    for name in ("jaccard_pairs", "bigram_stats", "so_pmi"):
+        p = plan_of(entrymod.queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_star_join_pushdown_and_broadcast(spark):
+    """TPC-H-style star join: dimension filters reach the scans
+    (PushedFilters) and small sides broadcast (BroadcastHashJoin)."""
+    plan = plan_of(entrymod.queries()["region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_column_pruning_on_text_scans(spark):
+    """doc_stats reads only (doc_id, text) from the documents table."""
+    plan = plan_of(entrymod.queries()["doc_stats"](spark, SF))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for l in scan_lines:
+        assert "doc_id" in l and "text" in l
+        assert "source" not in l and "lang" not in l and "n_chars" not in l
