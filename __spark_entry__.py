@@ -1139,16 +1139,28 @@ WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.
 """
 
 
+def _t2s_probe_prefix() -> str:
+    """Deterministic traditional-char prefix (first 64 map pairs): the test
+    corpus is mostly simplified/latin, so without it the translate pass
+    would be value-checked but rarely exercised.  Prepended identically in
+    the Spark query and the DuckDB oracle."""
+    from harvesttext_spark.functions.t2s import t2s_pairs
+
+    return "".join(t for t, _ in t2s_pairs()[:64])
+
+
 def q_t2s_text(spark, sf_dir):
     """Traditional->simplified conversion (battery pass 16) as the
     Catalyst-native translate over the committed char map; DuckDB's
     translate() with the same src/dst strings is the value oracle.
-    A deterministic s2t round-trip prefix makes the pass do real work on
-    the (mostly simplified/latin) test corpus."""
+    A deterministic traditional-char probe prefix (_t2s_probe_prefix) is
+    prepended so the pass does real conversions on every corpus row."""
     from harvesttext_spark.functions.t2s import t2s_col
 
+    prefix = _t2s_probe_prefix()
     return _docs(spark, sf_dir).select(
-        "doc_id", t2s_col(F.col("text")).alias("text_s")
+        "doc_id",
+        t2s_col(F.concat(F.lit(prefix), F.col("text"))).alias("text_s"),
     )
 
 
@@ -1157,9 +1169,10 @@ def _sql_t2s() -> str:
 
     src = "".join(t for t, _ in t2s_pairs()).replace("'", "''")
     dst = "".join(s for _, s in t2s_pairs()).replace("'", "''")
+    prefix = _t2s_probe_prefix().replace("'", "''")
     return (
-        "SELECT doc_id, translate(text, '" + src + "', '" + dst + "') AS text_s "
-        "FROM documents"
+        "SELECT doc_id, translate('" + prefix + "' || text, '" + src + "', '"
+        + dst + "') AS text_s FROM documents"
     )
 
 

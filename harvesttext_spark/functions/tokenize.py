@@ -43,7 +43,14 @@ _FALLBACK_TOKEN = re.compile(
 
 
 def base_cut(text: str, cutter: str = "auto") -> list[str]:
-    """Base segmentation of entity-free text."""
+    """Base segmentation of entity-free text.
+
+    On jieba-equipped deployments the word-only path uses ``jieba.cut``
+    (the reference's seg path, harvesttext.py:583), NOT ``jieba.posseg``:
+    posseg's joint HMM can pick different token boundaries, which would be
+    a silent segmentation change relative to the reference."""
+    if cutter == "auto" and HAS_JIEBA:  # pragma: no cover - jieba absent
+        return [w for w in jieba.cut(text) if w.strip()]
     return [w for w, _ in base_posseg(text, cutter)]
 
 

@@ -100,6 +100,21 @@ class EntityKB:
         self.entity_mentions = {}
         self._gen += 1
 
+    def type_tags(self) -> frozenset[str]:
+        """All entity types registered in the KB, as bare names (no ``#``).
+        Generation-cached like the compiled automaton: rebuilding this set
+        per call was O(|KB|) Python work inside the NER/SVO per-token hot
+        path (mapInPandas) — a scale-killer with THUOCL-sized KBs."""
+        gen = self._gen
+        cached = getattr(self, "_types_cache", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        tags = frozenset(
+            t[1:-1] for pairs in self.mention_entities.values() for _, t in pairs
+        )
+        self._types_cache = (gen, tags)
+        return tags
+
     def add_typed_words(self, typed_words: dict[str, Iterable[str]]) -> None:
         """{type: words} -> each word registered as its own entity of that
         type (harvesttext.py add_typed_words semantics; what

@@ -41,10 +41,9 @@ _SKIP_AFTER_VERB = {"u", "uj", "ul", "ud", "uv", "uz", "ug", "d"}
 def _is_nounish(tag: str, kb: EntityKB | None) -> bool:
     if tag in NER_TAG_TYPES or tag.startswith(_NOUNISH):
         return True
-    # entity tokens carry their KB type as the tag
-    return kb is not None and f"#{tag}#" in {
-        t for pairs in kb.mention_entities.values() for _, t in pairs
-    }
+    # entity tokens carry their KB type as the tag; type_tags() is
+    # generation-cached on the KB (O(1) per token, not O(|KB|))
+    return kb is not None and tag in kb.type_tags()
 
 
 def named_entity_recognition(
@@ -60,11 +59,7 @@ def named_entity_recognition(
     from harvesttext_spark.functions.tokenize import seg_py
 
     pairs = seg_py(sent, kb, standard_name=standard_name, with_pos=True, cutter=cutter)
-    kb_types = (
-        {t[1:-1] for ps in kb.mention_entities.values() for _, t in ps}
-        if kb is not None
-        else set()
-    )
+    kb_types = kb.type_tags() if kb is not None else frozenset()
     out: dict[str, str] = {}
     for word, tag in pairs:
         if tag in kb_types:

@@ -67,7 +67,12 @@ def run_with_resume(
     if max_buckets_this_run is not None:
         todo = todo[:max_buckets_this_run]
     if not todo:
-        return {"processed": [], "skipped": len(done)}
+        # keep the result contract uniform: the normal path returns
+        # snapshot_id, so an already-complete resume must too (current
+        # snapshot if one exists, else None)
+        snaps = list_snapshots(out_dir)
+        cur = snaps[-1]["snapshot_id"] if snaps else None
+        return {"processed": [], "skipped": len(done), "snapshot_id": cur}
 
     batch = bucketed.filter(F.col("bucket").isin(todo))
     labeled = quality_filter(batch).select(

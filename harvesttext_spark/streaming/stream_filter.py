@@ -88,7 +88,11 @@ def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
         # (processing-time timeout) when eventual re-emission is allowed.
         if state.exists:
             return iter(())
-        all_rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        # materialize BEFORE the truthiness test: the pdfs iterator object
+        # is always truthy, so `if pdfs` never guards pd.concat([]) (which
+        # raises ValueError on zero chunks, e.g. a future timeout config)
+        chunks = list(pdfs)
+        all_rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         state.update((1,))
         if len(all_rows) == 0:
             return iter(())
