@@ -27,8 +27,16 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PAGES = int(os.environ.get("SCALING_PAGES", "300000"))
 REPEAT = int(os.environ.get("SCALING_REPEAT", "2"))
-PAGES_PATH = os.environ.get("SCALING_PAGES_PATH", "/tmp/scaling_pages.parquet")
-LATIN_PATH = os.environ.get("SCALING_LATIN_PATH", "/tmp/scaling_latin_pages.parquet")
+# N_PAGES is baked into the default cache paths: materialize_pages skips
+# regeneration when _SUCCESS exists, and a stale corpus from a run with a
+# different SCALING_PAGES silently corrupts every docs_per_sec (= N_PAGES /
+# measured seconds over however many rows are actually on disk).
+PAGES_PATH = os.environ.get(
+    "SCALING_PAGES_PATH", f"/tmp/scaling_pages_{N_PAGES}.parquet"
+)
+LATIN_PATH = os.environ.get(
+    "SCALING_LATIN_PATH", f"/tmp/scaling_latin_pages_{N_PAGES}.parquet"
+)
 
 _CONF = {
     # split the scan itself into ~128 input partitions: default

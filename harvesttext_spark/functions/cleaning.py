@@ -223,6 +223,48 @@ def clean_text_udf_col(col, **flags) -> Column:
     return make_clean_text_udf(**flags)(col)
 
 
+def _native_steps() -> list:
+    """The native battery as a list of Column->Column passes.  Each pass
+    references its input Column a bounded number of times; chaining them
+    INLINE (one expression) triples the running subtree per guarded step —
+    a 3^n-node analyzed tree that blew janino's 64KB method limit once a
+    coalesce over an extracted Python UDF shared the Project (interpreted
+    fallback, ~40x slower).  `clean_text_native_frame` applies them as
+    successive Projects instead: CollapseProject keeps non-cheap producers
+    referenced >1x in separate operators, so the plan stays linear AND
+    whole-stage-codegen fuses all of them into one stage anyway."""
+
+    def guarded(needle, pat, repl):
+        return lambda c: F.when(
+            F.instr(c, needle) > 0, F.regexp_replace(c, pat, repl)
+        ).otherwise(c)
+
+    return [
+        lambda c: F.regexp_replace(c, "[\\u200b-\\u200d]", ""),
+        guarded("\\u200", "(\\\\u200b|\\\\u200c|\\\\u200d)", ""),
+        guarded("<", "</?([^ >/]+)(?s:.)*?>", ""),
+        guarded("](", "\\[(.+?)\\]\\(\\S+\\)", "$1"),
+        guarded("[", "\\[\\S{1,6}?\\]", ""),
+        lambda c: F.regexp_replace(
+            c,
+            "[\\x{1F600}-\\x{1F64F}\\x{1F300}-\\x{1F5FF}\\x{1F680}-\\x{1F6FF}"
+            "\\x{1F1E0}-\\x{1F1FF}\\x{2702}-\\x{27B0}]+",
+            "",
+        ),
+        lambda c: F.when(
+            F.instr(F.lower(c), "http") > 0,
+            F.regexp_replace(
+                c, "(?i)http[s]?://(?:[a-zA-Z]|[0-9]|[#$%*-;=?&@~.&+]|[!*,])+", ""
+            ),
+        ).otherwise(c),
+        guarded("@", "(?i)[-a-z0-9_.]+@(?:[-a-z0-9]+\\.)+[a-z]{2,6}", ""),
+        guarded("@", "(回复)?(//)?\\s*@\\S*?\\s*(:|：| |$)", " "),
+        lambda c: F.regexp_replace(c, "(\\s)+", "$1"),
+        guarded("转发微博", "转发微博", ""),
+        lambda c: F.regexp_replace(F.regexp_replace(c, "^\\s+", ""), "\\s+$", ""),
+    ]
+
+
 def clean_text_native(col: Column) -> Column:
     """Catalyst-native fast path for the Java-regex-safe subset of the
     default battery (zero-width, markdown links, bracket emoticons, emoji
@@ -235,34 +277,26 @@ def clean_text_native(col: Column) -> Column:
     Each regex pass is guarded by an ``instr`` probe for a literal the
     pattern REQUIRES (the JVM analog of the Python battery's str-contains
     short circuits): a guarded pass that cannot match is skipped without a
-    regex scan, and skipping it is exactly a no-op.  Codegen
-    subexpression elimination keeps the chained when(c)/otherwise(c)
-    references single-evaluation."""
+    regex scan, and skipping it is exactly a no-op.
 
-    def guarded(c, needle, pat, repl):
-        return F.when(
-            F.instr(c, needle) > 0, F.regexp_replace(c, pat, repl)
-        ).otherwise(c)
+    Single-Column form: fine standalone in a small Project, but the chained
+    when/otherwise tree grows 3^n — prefer ``clean_text_native_frame`` when
+    composing with other expressions (see _native_steps docstring)."""
+    c = col
+    for step in _native_steps():
+        c = step(c)
+    return c
 
-    c = F.regexp_replace(col, "[\\u200b-\\u200d]", "")
-    c = guarded(c, "\\u200", "(\\\\u200b|\\\\u200c|\\\\u200d)", "")
-    c = guarded(c, "<", "</?([^ >/]+)(?s:.)*?>", "")
-    c = guarded(c, "](", "\\[(.+?)\\]\\(\\S+\\)", "$1")
-    c = guarded(c, "[", "\\[\\S{1,6}?\\]", "")
-    c = F.regexp_replace(
-        c,
-        "[\\x{1F600}-\\x{1F64F}\\x{1F300}-\\x{1F5FF}\\x{1F680}-\\x{1F6FF}"
-        "\\x{1F1E0}-\\x{1F1FF}\\x{2702}-\\x{27B0}]+",
-        "",
-    )
-    c = F.when(
-        F.instr(F.lower(c), "http") > 0,
-        F.regexp_replace(
-            c, "(?i)http[s]?://(?:[a-zA-Z]|[0-9]|[#$%*-;=?&@~.&+]|[!*,])+", ""
-        ),
-    ).otherwise(c)
-    c = guarded(c, "@", "(?i)[-a-z0-9_.]+@(?:[-a-z0-9]+\\.)+[a-z]{2,6}", "")
-    c = guarded(c, "@", "(回复)?(//)?\\s*@\\S*?\\s*(:|：| |$)", " ")
-    c = F.regexp_replace(c, "(\\s)+", "$1")
-    c = guarded(c, "转发微博", "转发微博", "")
-    return F.regexp_replace(F.regexp_replace(c, "^\\s+", ""), "\\s+$", "")
+
+def clean_text_native_frame(df, in_col: str, out_col: str):
+    """Linear-plan form of the native battery: one Project per pass over a
+    working column.  Catalyst's CollapseProject leaves the chain alone
+    (each producer is non-cheap and referenced up to 3x by its consumer),
+    janino gets n small methods instead of one 3^n-node expression, and
+    whole-stage codegen still fuses the whole chain into a single stage."""
+    steps = _native_steps()
+    work = f"__{out_col}_w"
+    df = df.withColumn(work, F.col(in_col))
+    for step in steps:
+        df = df.withColumn(work, step(F.col(work)))
+    return df.withColumnRenamed(work, out_col)

@@ -62,16 +62,33 @@ def scrub(
     if not fast_path or clean_flags:
         return df.withColumn("text_clean", clean_udf(F.col(text_col)))
 
-    from harvesttext_spark.functions.cleaning import clean_text_native
+    from harvesttext_spark.functions.cleaning import clean_text_native_frame
 
+    # SINGLE-SCAN routing (the round-2 union re-scanned the input once per
+    # branch — no scan sharing across union sides — and lost the native
+    # win).  One pass over the data:
+    #   * the native chain runs on an ASCII-masked copy (non-ASCII/null rows
+    #     are NULL -> every regex pass is a null no-op), as a linear chain
+    #     of Projects (clean_text_native_frame: the inline expression form
+    #     blew janino's 64KB method limit next to the extracted UDF and
+    #     fell back to interpreted eval of a 3^n tree, ~40x slower);
+    #   * the Arrow UDF runs on the complementary mask — mostly-NULL input,
+    #     na_action="ignore" -> zero Python work per ASCII row and NULLs
+    #     are ~free to ship via Arrow;
+    #   * coalesce routes: battery output for non-ASCII rows, native for
+    #     the rest.  The battery never returns NULL for non-NULL input
+    #     (clean() ends in .strip(), '' at worst), so this is exact.
     is_ascii = F.col(text_col).rlike("^[\\x00-\\x7F]*$")
-    fast = df.filter(F.col(text_col).isNotNull() & is_ascii).withColumn(
-        "text_clean", clean_text_native(F.col(text_col))
+    df = df.withColumn(
+        "__ascii_text", F.when(F.col(text_col).isNotNull() & is_ascii, F.col(text_col))
     )
-    slow = df.filter(F.col(text_col).isNull() | ~is_ascii).withColumn(
-        "text_clean", clean_udf(F.col(text_col))
+    df = clean_text_native_frame(df, "__ascii_text", "__native_clean")
+    non_ascii = F.when(
+        F.col(text_col).isNotNull() & F.col("__ascii_text").isNull(), F.col(text_col)
     )
-    return fast.unionByName(slow)
+    return df.withColumn(
+        "text_clean", F.coalesce(clean_udf(non_ascii), F.col("__native_clean"))
+    ).drop("__ascii_text", "__native_clean")
 
 
 def label(df: DataFrame, text_col: str = "text_clean") -> DataFrame:

@@ -68,3 +68,26 @@ def test_column_pruning_on_text_scans(spark):
     for l in scan_lines:
         assert "doc_id" in l and "text" in l
         assert "source" not in l and "lang" not in l and "n_chars" not in l
+
+
+def test_fast_path_no_codegen_fallback(spark):
+    """The fast_path plan must stay LINEAR: the inline 3^n guarded-chain
+    expression next to the extracted Python UDF blew janino's 64KB method
+    limit at the full-pipeline shape and silently fell back to interpreted
+    eval (~40x slower).  The effective guard here is the analyzed-tree size
+    bound (measured: inline 625KB vs frame 11KB at scrub shape — the
+    codegen.fallback=false run alone does NOT trip at this small shape;
+    the method-size blowup needed label()'s signals in the same stage)."""
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+    from harvesttext_spark.pipeline.quality_filter import quality_filter
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        out = quality_filter(synthesize_pages(spark, n=200, seed=3), fast_path=True)
+        assert out.count() == 200
+        # and the analyzed tree stays linear (the 3^n version was multi-MB)
+        size = len(out._jdf.queryExecution().analyzed().toString())
+        assert size < 200_000, f"analyzed plan blew up: {size} chars"
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
