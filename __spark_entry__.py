@@ -1140,21 +1140,26 @@ WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.
 
 
 def _t2s_probe_prefix() -> str:
-    """Deterministic traditional-char prefix (first 64 map pairs): the test
-    corpus is mostly simplified/latin, so without it the translate pass
-    would be value-checked but rarely exercised.  Prepended identically in
-    the Spark query and the DuckDB oracle."""
-    from harvesttext_spark.functions.t2s import t2s_pairs
+    """Deterministic traditional-text prefix: the first 64 char-map pairs
+    PLUS every phrase-exception's traditional form (protections like 乾隆
+    and overrides like 答覆→答复) — the test corpus is mostly
+    simplified/latin, so without it neither the translate pass nor the
+    phrase layer would do real work.  Prepended identically in the Spark
+    query and the DuckDB oracle."""
+    from harvesttext_spark.functions.t2s import t2s_pairs, t2s_phrase_pairs
 
-    return "".join(t for t, _ in t2s_pairs()[:64])
+    chars = "".join(t for t, _ in t2s_pairs()[:64])
+    phrases = "".join(t for t, _ in t2s_phrase_pairs())
+    return chars + phrases
 
 
 def q_t2s_text(spark, sf_dir):
-    """Traditional->simplified conversion (battery pass 16) as the
-    Catalyst-native translate over the committed char map; DuckDB's
-    translate() with the same src/dst strings is the value oracle.
-    A deterministic traditional-char probe prefix (_t2s_probe_prefix) is
-    prepended so the pass does real conversions on every corpus row."""
+    """Traditional->simplified conversion (battery pass 16) — phrase-level
+    exceptions via placeholder replace chain + Catalyst translate over the
+    committed char map; the DuckDB oracle runs the exact same replace/
+    translate chain (t2s_sql).  A deterministic traditional probe prefix
+    (_t2s_probe_prefix) makes both layers do real conversions on every
+    corpus row."""
     from harvesttext_spark.functions.t2s import t2s_col
 
     prefix = _t2s_probe_prefix()
@@ -1165,15 +1170,11 @@ def q_t2s_text(spark, sf_dir):
 
 
 def _sql_t2s() -> str:
-    from harvesttext_spark.functions.t2s import t2s_pairs
+    from harvesttext_spark.functions.t2s import t2s_sql
 
-    src = "".join(t for t, _ in t2s_pairs()).replace("'", "''")
-    dst = "".join(s for _, s in t2s_pairs()).replace("'", "''")
     prefix = _t2s_probe_prefix().replace("'", "''")
-    return (
-        "SELECT doc_id, translate('" + prefix + "' || text, '" + src + "', '"
-        + dst + "') AS text_s FROM documents"
-    )
+    expr = t2s_sql("'" + prefix + "' || text")
+    return "SELECT doc_id, " + expr + " AS text_s FROM documents"
 
 
 def q_seg_posseg_dict(spark, sf_dir):

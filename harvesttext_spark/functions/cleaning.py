@@ -114,15 +114,15 @@ def make_cleaner(
     """
     if norm_url and to_url:
         raise Exception("norm_url和to_url是矛盾的设置")
-    t2s_table = None
+    t2s_fn = None
     if t2s:
-        # OpenCC is absent; the committed char map (resources/zh_t2s.tsv,
-        # 2200+ pairs of public orthographic data) replaces it via one
-        # C-level str.translate pass.  OpenCC's phrase-level exceptions
-        # are a documented divergence.
-        from harvesttext_spark.functions.t2s import t2s_translate_table
+        # OpenCC is absent; committed data replaces it: phrase-level
+        # exceptions (resources/zh_t2s_phrases.tsv, OpenCC TSPhrases-style)
+        # via placeholder substitution, then the 2200+-pair char map
+        # (resources/zh_t2s.tsv) in one C-level str.translate pass.
+        from harvesttext_spark.functions.t2s import t2s_py
 
-        t2s_table = t2s_translate_table()
+        t2s_fn = t2s_py
     if custom_regex is not None and isinstance(custom_regex, str):
         custom_regex = [custom_regex]
     custom_compiled = [re.compile(p) for p in (custom_regex or [])]
@@ -182,10 +182,10 @@ def make_cleaner(
             text = text.replace("\n", " ")
         if deduplicate_space:
             text = RE_SPACE_RUNS.sub(r"\1", text)
-        if t2s_table is not None:
+        if t2s_fn is not None:
             # reference pass position: after space dedup, before stop_terms
             # (harvesttext.py:826-828)
-            text = text.translate(t2s_table)
+            text = t2s_fn(text)
         if stop_str is not None:
             text = text.replace(stop_str, "")
         else:

@@ -1,12 +1,24 @@
 """Traditional -> simplified Chinese conversion (OpenCC t2s stand-in).
 
-OpenCC is not in this image; this is a char-level conversion over a
-committed map (``resources/zh_t2s.tsv``, 2200+ pairs of public
-orthographic data — the standard mappings are also published in OpenCC's
-TSCharacters).  Phrase-level OpenCC exceptions are a documented
-divergence.  Exposed both as a Python translate table (for the cleaning
-battery's Arrow UDF) and as a Catalyst ``translate`` column expression
-(JVM-side fast path)."""
+OpenCC is not in this image; this is a committed-data conversion in two
+layers, the same structure OpenCC's published t2s config uses
+(reference applies OpenCC in battery pass 16, harvesttext.py:826-828):
+
+  1. PHRASE layer (``resources/zh_t2s_phrases.tsv``): multi-char
+     exceptions — protections whose chars must not char-convert
+     (乾隆 stays 乾隆) and overrides the char map cannot express
+     (答覆→答复).  Applied longest-first via private-use-area
+     placeholders so the char pass cannot touch their output.
+  2. CHAR layer (``resources/zh_t2s.tsv``, 2200+ pairs of public
+     orthographic data, the standard mappings also published in
+     OpenCC's TSCharacters): a 1:1 ``translate``.
+
+All three engines share the exact same replace-chain semantics, so they
+are value-identical by construction:
+  * Python: str.replace per phrase (loader order) + str.translate
+  * Catalyst: F.replace chain + F.translate (whole-stage codegen)
+  * DuckDB oracle: replace(...) chain + translate(...)
+"""
 
 from __future__ import annotations
 
@@ -17,6 +29,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources")
+
+# private-use-area placeholders: guaranteed absent from real text the
+# battery has already stripped of zero-width/control chars; one per phrase
+_PUA_BASE = 0xE000
 
 
 @lru_cache(maxsize=1)
@@ -33,19 +49,76 @@ def t2s_pairs() -> tuple[tuple[str, str], ...]:
 
 
 @lru_cache(maxsize=1)
+def t2s_phrase_pairs() -> tuple[tuple[str, str], ...]:
+    """(traditional_phrase, simplified_phrase), longest-first then
+    lexicographic — deterministic application order shared by every
+    engine (longer phrases must win over their own substrings)."""
+    out = []
+    with open(os.path.join(_DIR, "zh_t2s_phrases.tsv"), encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            t, s = line.split("\t")
+            out.append((t, s))
+    out.sort(key=lambda p: (-len(p[0]), p[0]))
+    return tuple(out)
+
+
+@lru_cache(maxsize=1)
 def t2s_translate_table() -> dict[int, str]:
     """str.translate table (C-level single pass per string)."""
     return {ord(t): s for t, s in t2s_pairs()}
 
 
-def t2s_py(text: str) -> str:
+@lru_cache(maxsize=1)
+def _restore_table() -> dict[int, str]:
+    return {
+        _PUA_BASE + i: s for i, (_, s) in enumerate(t2s_phrase_pairs())
+    }
+
+
+def t2s_py(text: str, phrases: bool = True) -> str:
+    if phrases:
+        for i, (t, _) in enumerate(t2s_phrase_pairs()):
+            if t in text:
+                text = text.replace(t, chr(_PUA_BASE + i))
+        return text.translate(t2s_translate_table()).translate(_restore_table())
     return text.translate(t2s_translate_table())
 
 
-def t2s_col(col: Column) -> Column:
-    """Catalyst-native variant: F.translate with the full char map —
-    whole-stage codegen, no Python.  (translate is 1:1 char mapping,
-    exactly this table's shape.)"""
+def t2s_col(col: Column, phrases: bool = True) -> Column:
+    """Catalyst-native variant — whole-stage codegen, no Python: an
+    F.replace chain substitutes each phrase with its PUA placeholder,
+    F.translate runs the 1:1 char map, a second chain restores the
+    phrase targets.  Literal (non-regex) replace throughout."""
+    c = col
+    if phrases:
+        for i, (t, _) in enumerate(t2s_phrase_pairs()):
+            c = F.replace(c, F.lit(t), F.lit(chr(_PUA_BASE + i)))
     src = "".join(t for t, _ in t2s_pairs())
     dst = "".join(s for _, s in t2s_pairs())
-    return F.translate(col, src, dst)
+    c = F.translate(c, src, dst)
+    if phrases:
+        for i, (_, s) in enumerate(t2s_phrase_pairs()):
+            c = F.replace(c, F.lit(chr(_PUA_BASE + i)), F.lit(s))
+    return c
+
+
+def t2s_sql(col_expr: str, phrases: bool = True) -> str:
+    """The SAME conversion as an ANSI-SQL expression (DuckDB oracle)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    c = col_expr
+    if phrases:
+        for i, (t, _) in enumerate(t2s_phrase_pairs()):
+            c = f"replace({c}, '{q(t)}', '{q(chr(_PUA_BASE + i))}')"
+    src = "".join(t for t, _ in t2s_pairs())
+    dst = "".join(s for _, s in t2s_pairs())
+    c = f"translate({c}, '{q(src)}', '{q(dst)}')"
+    if phrases:
+        for i, (_, s) in enumerate(t2s_phrase_pairs()):
+            c = f"replace({c}, '{q(chr(_PUA_BASE + i))}', '{q(s)}')"
+    return c

@@ -139,3 +139,47 @@ def test_t2s_catalyst_column(spark):
     got = [r["out"] for r in df.select(t2s_col(F.col("text")).alias("out")).collect()]
     assert got == [t2s_py(t) for t in texts]
     assert got[0] == "汉语转换"
+
+
+T2S_PHRASE_CASES = {
+    # protections: chars inside these phrases must NOT char-convert
+    "乾隆年間天氣乾燥，答覆說請喝一杯乾杯酒": "乾隆年间天气干燥，答复说请喝一杯干杯酒",
+    "他的著作很顯著，看著辦": "他的著作很显著，看着办",
+    "狼藉一片，藉口與憑藉": "狼藉一片，借口与凭借",
+    # overrides the char map cannot express + plain char mapping
+    "甚麼是繁體字？一隻鳥": "什么是繁体字？一只鸟",
+    # longest-first: 著作權 wins over its substring 著作
+    "著作權與著作": "著作权与著作",
+}
+
+
+def test_t2s_phrase_exceptions_python():
+    """OpenCC TSPhrases-style layer (round 3): protections and overrides
+    applied before the char map via placeholder substitution."""
+    from harvesttext_spark.functions.t2s import t2s_py
+
+    for inp, want in T2S_PHRASE_CASES.items():
+        assert t2s_py(inp) == want, inp
+    # battery pass 16 is phrase-aware too (OpenCC itself is)
+    from harvesttext_spark.functions.cleaning import clean_text_py
+
+    assert clean_text_py("乾隆愛著作", t2s=True) == "乾隆爱著作"
+
+
+def test_t2s_phrase_three_engines_agree(spark):
+    """Python, Catalyst, and the DuckDB oracle expression run the same
+    replace/translate chain — value-identical by construction, checked."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.t2s import t2s_col, t2s_py, t2s_sql
+
+    texts = list(T2S_PHRASE_CASES) + ["pure ascii", "纯简体不变"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["o"] for r in df.select(t2s_col(F.col("text")).alias("o")).collect()]
+    assert got == [t2s_py(t) for t in texts]
+    con = duckdb.connect()
+    for t, g in zip(texts, got):
+        esc = t.replace("'", "''")
+        (d,) = con.execute("SELECT " + t2s_sql(f"'{esc}'")).fetchone()
+        assert d == g, t
