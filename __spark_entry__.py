@@ -1177,6 +1177,40 @@ def _sql_t2s() -> str:
     return "SELECT doc_id, " + expr + " AS text_s FROM documents"
 
 
+# probe appended to every document for the punkt trainer: the word-soup
+# test corpus has ZERO period tokens, so without it the abbreviation
+# detector would be value-checked on an empty result.  'Fig.'/'fig.' are
+# always-with-period (true abbreviations); 'approx'/'growth' occur both
+# with and without the period so the length-penalty branch is exercised
+# (and correctly rejects them).  Mirrored verbatim in the oracle SQL.
+PUNKT_PROBE = (
+    " Fig. 4 shows approx. linear growth. The growth rate approx doubles. See fig. 2."
+)
+
+
+def q_punkt_abbrevs(spark, sf_dir):
+    """Punkt-style unsupervised abbreviation detection (Kiss & Strunk 2006
+    type stage) trained on the corpus — the from-scratch analog of nltk's
+    pretrained sent_tokenize model the reference's en path calls
+    (harvesttext.py:707).  One groupBy(typ) + broadcast totals; the full
+    closed-form score is mirrored in DuckDB."""
+    from harvesttext_spark.operators.punkt import punkt_abbreviations
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(PUNKT_PROBE))
+    )
+    return punkt_abbreviations(docs)
+
+
+def _sql_punkt() -> str:
+    from harvesttext_spark.operators.punkt import punkt_abbreviations_sql
+
+    probe = PUNKT_PROBE.replace("'", "''")
+    return punkt_abbreviations_sql(
+        table=f"(SELECT text || '{probe}' AS text FROM documents)"
+    )
+
+
 def q_seg_posseg_dict(spark, sf_dir):
     """Dict-DAG cutter (the from-scratch max-prob segmenter) with POS tags,
     exploded to scalars.  Python-side algorithm -> rows-only check."""
@@ -1559,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_tokens": q_seg_tokens,
         "cut_sentences": q_cut_sentences,
         "t2s_text": q_t2s_text,
+        "punkt_abbrevs": q_punkt_abbrevs,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1611,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "seg_tokens": SQL_SEG_TOKENS,
         "cut_sentences": SQL_CUT_SENTENCES,
         "t2s_text": _sql_t2s(),
+        "punkt_abbrevs": _sql_punkt(),
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "langid_trained": SQL_LANGID_TRAINED,
     }

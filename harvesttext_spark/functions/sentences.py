@@ -46,24 +46,41 @@ _EN_ABBREV_RE = re.compile(
 _SENTINEL = "\x00"
 
 
+def _abbrev_shield_re(extra_abbrevs) -> re.Pattern:
+    """Shield regex for the hand list plus (optionally) corpus-trained
+    punkt abbreviations (operators/punkt.py).  Trained types are
+    lowercase; match them case-insensitively like nltk does."""
+    extras = sorted({a.rstrip(".") for a in (extra_abbrevs or ())}, key=len, reverse=True)
+    hand = "|".join(re.escape(a) for a in _EN_ABBREV)
+    if extras:
+        hand += "|" + "|".join("(?i:" + re.escape(a) + ")" for a in extras)
+    return re.compile(r"\b(" + hand + r")\.(\s+)(?=[A-Z0-9\"'(])")
+
+
 def cut_sentences_py(
     para: str,
     drop_empty_line: bool = True,
     strip: bool = True,
     deduplicate: bool = False,
     language: str = "zh",
+    extra_abbrevs=None,
 ) -> list[str]:
     """Rule-based sentence splitter, zh pass order per the reference.
-    The reference's en path uses nltk sent_tokenize (absent here): the en
-    fallback splits on terminator + whitespace + capital/opening — a
-    documented divergence with the same API."""
+    The reference's en path uses nltk sent_tokenize (a pretrained punkt
+    model, absent here): the en path splits on terminator + whitespace +
+    capital/opening, shielding abbreviation periods — the hand list plus
+    an optional corpus-trained punkt list (operators/punkt.py), which is
+    the from-scratch analog of nltk's trained model."""
     if para is None:
         return []
     if deduplicate:
         para = RE_PUNCT_RUN.sub(r"\1", para)
     if language == "en":
         # shield abbreviation periods from the terminator split, then restore
-        shielded = _EN_ABBREV_RE.sub(lambda m: m.group(1) + _SENTINEL + m.group(2), para)
+        shield = (
+            _abbrev_shield_re(extra_abbrevs) if extra_abbrevs else _EN_ABBREV_RE
+        )
+        shielded = shield.sub(lambda m: m.group(1) + _SENTINEL + m.group(2), para)
         sents = [s.replace(_SENTINEL, ".") for s in RE_EN_SENT.split(shielded)]
         if strip:
             sents = [s.strip() for s in sents]

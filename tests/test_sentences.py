@@ -64,3 +64,41 @@ def test_en_abbreviations_do_not_split():
     assert cut_sentences_py("One sentence. Another one.", language="en") == [
         "One sentence.", "Another one.",
     ]
+
+
+def test_punkt_trainer_and_splitter(spark):
+    """Punkt type-stage abbreviation detection (operators/punkt.py): the
+    always-with-period short types train as abbreviations, types seen
+    both ways are rejected by the length penalty, and the trained list
+    feeds the en splitter's shield."""
+    from harvesttext_spark.functions.sentences import cut_sentences_py
+    from harvesttext_spark.operators.punkt import (
+        punkt_abbreviations,
+        trained_abbrev_list,
+    )
+
+    corpus = [
+        "Dr. Smith went to Washington. He met a doctor there.",
+        "See fig. 4 for details. The data shows approx. linear growth.",
+        "Prof. Lee wrote papers. Each one cites fig. 1 and fig. 2.",
+        "A plain sentence ends here. Another growth story follows.",
+        "We measured approx. results. growth was fast. See fig. 3.",
+    ] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r["abbrev"]: r["score"] for r in punkt_abbreviations(df).collect()}
+    assert "fig" in got          # 5x with period per copy, never without
+    assert "growth" not in got   # seen without period -> penalty rejects
+    assert all(s >= 0.3 for s in got.values())
+
+    ab = trained_abbrev_list(df)
+    sents = cut_sentences_py(
+        "The fig. Says so. See fig. 4 now.", language="en", extra_abbrevs=ab
+    )
+    # trained 'fig.' is shielded (case-insensitive), so no split after it;
+    # the unshielded 'so.' still splits
+    assert sents == ["The fig. Says so.", "See fig. 4 now."]
+    # without training the same period splits
+    base = cut_sentences_py("Growth was fast. It doubled.", language="en")
+    assert base == ["Growth was fast.", "It doubled."]
