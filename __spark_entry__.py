@@ -1530,6 +1530,10 @@ def q_alias_discovery(spark, sf_dir):
 
 
 def q_pagerank_tokens(spark, sf_dir):
+    """8-iteration weighted PageRank over the token co-occurrence graph.
+    Value-oracled (round 3): the oracle unrolls the same power iteration
+    as 8 chained CTEs in DuckDB — same edge weights, same damping, same
+    uniform init — so an ITERATIVE algorithm is value-checked end to end."""
     from harvesttext_spark.operators.graph import (
         pagerank_edges,
         word_cooccurrence_edges,
@@ -1539,6 +1543,40 @@ def q_pagerank_tokens(spark, sf_dir):
     edges = word_cooccurrence_edges(d, min_freq=10)
     pr = pagerank_edges(edges, iters=8)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank(iters: int = 8, damping: float = 0.85, min_freq: int = 10) -> str:
+    """Unrolled power iteration (standard SQL forbids GROUP BY in a
+    recursive CTE term, so each iteration is its own CTE)."""
+    head = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS key
+  FROM documents
+),
+edges AS (
+  SELECT a.key AS u, b.key AS v, count(DISTINCT a.doc_id)::DOUBLE AS weight
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.key < b.key
+  GROUP BY a.key, b.key
+  HAVING count(DISTINCT a.doc_id) >= {min_freq}
+),
+sym AS (SELECT u, v, weight FROM edges UNION ALL SELECT v, u, weight FROM edges),
+outw AS (SELECT u, sum(weight) AS w_out FROM sym GROUP BY u),
+norm AS (SELECT s.u, s.v, s.weight / o.w_out AS p FROM sym s JOIN outw o USING (u)),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT nd.node,
+         (SELECT ({1 - damping!r}) / n FROM nn) + {damping!r} * coalesce(c.acc, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT m.v AS node, sum(m.p * r.rank) AS acc
+    FROM norm m JOIN r{i - 1} r ON m.u = r.node GROUP BY m.v
+  ) c ON nd.node = c.node
+)""")
+    return head + "".join(steps) + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
 
 
 def q_pattern_entities(spark, sf_dir):
@@ -1649,4 +1687,5 @@ def oracle_sql() -> dict[str, str]:
         "punkt_abbrevs": _sql_punkt(),
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "langid_trained": SQL_LANGID_TRAINED,
+        "pagerank_tokens": _sql_pagerank(),
     }

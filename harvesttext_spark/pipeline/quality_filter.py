@@ -218,6 +218,47 @@ def domain_metrics(labeled: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
     )
 
 
+def domain_metrics_full(labeled: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
+    """domain_metrics + the model-based quality rollups (north_star's
+    "per-partition lineage and stage metrics"): per-domain mean KenLM-style
+    perplexity and n-gram coherence joined onto the keep/drop stats.
+
+    Shuffle shape at 100 TB: the per-doc signals are map-side-ish (ppl and
+    coherence each need one stats-broadcast pass over the docs), the domain
+    rollup reuses the SAME salted two-level aggregation as domain_metrics
+    (Zipf-head domains split across n_salts reducers), and the final join
+    is domain-cardinality — tiny, broadcast by AQE."""
+    from harvesttext_spark.operators.lm_perplexity import perplexity_signal
+    from harvesttext_spark.operators.word_discovery import doc_coherence
+
+    base = domain_metrics(labeled, n_salts)
+    docs = labeled.select(
+        F.col("url").alias("doc_id"), F.col("text_clean").alias("text")
+    )
+    sig = (
+        perplexity_signal(docs)
+        .select("doc_id", "ppl")
+        .join(doc_coherence(docs).select("doc_id", "mean_log_agg"), "doc_id", "left")
+    )
+    salted = sig.select(
+        domain_col("doc_id").alias("domain"),
+        "ppl",
+        "mean_log_agg",
+        (F.crc32(F.col("doc_id")) % n_salts).alias("_salt"),
+    )
+    partial = salted.groupBy("domain", "_salt").agg(
+        F.sum("ppl").alias("s_ppl"),
+        F.count("ppl").alias("n_ppl"),
+        F.sum("mean_log_agg").alias("s_coh"),
+        F.count("mean_log_agg").alias("n_coh"),
+    )
+    rolled = partial.groupBy("domain").agg(
+        (F.sum("s_ppl") / F.sum("n_ppl")).alias("avg_ppl"),
+        (F.sum("s_coh") / F.sum("n_coh")).alias("avg_coherence"),
+    )
+    return base.join(rolled, "domain", "left")
+
+
 def partition_lineage(labeled: DataFrame) -> DataFrame:
     """Per-input-partition lineage row: the audit trail the resume story
     anti-joins against (partition id, doc count, keep count, min/max url)."""

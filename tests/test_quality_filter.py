@@ -131,3 +131,25 @@ def test_latin_corpus_f1_and_bytes_with_fast_path(spark):
         if r["text_clean"] != clean or r["keep"] != keep or r["drop_reason"] != reason:
             bad.append((url, raw[:40]))
     assert not bad, bad[:5]
+
+
+def test_domain_metrics_full(spark):
+    """Per-domain model rollups (avg ppl / coherence) join onto the salted
+    keep/drop stats; every domain row survives the left join and domains
+    with scorable docs get finite averages."""
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+    from harvesttext_spark.pipeline.quality_filter import (
+        domain_metrics,
+        domain_metrics_full,
+        quality_filter,
+    )
+
+    labeled = quality_filter(synthesize_pages(spark, n=400, seed=11))
+    base = {r["domain"] for r in domain_metrics(labeled).collect()}
+    rows = domain_metrics_full(labeled).collect()
+    assert {r["domain"] for r in rows} == base
+    assert all("avg_ppl" in r.asDict() and "avg_coherence" in r.asDict() for r in rows)
+    scored = [r for r in rows if r["avg_ppl"] is not None]
+    assert scored, "no domain received a perplexity rollup"
+    for r in scored:
+        assert r["avg_ppl"] > 0
