@@ -1290,11 +1290,116 @@ def q_textrank_keywords(spark, sf_dir):
     return textrank_keywords(d, top_k=3)
 
 
+# probe rows union'd identically in Spark and the oracle: the word-soup
+# corpus triggers NO battery pass and no drop rule (verified: zero rows
+# contain '<', '[', '@', 'http', '#', zero-width chars, multi-whitespace,
+# non-ASCII, or a 10-char run at sf0.001/sf0.01), so without probes the
+# flagship labels oracle would only check the identity path.  Each probe
+# exercises one battery pass or one drop reason.
+QF_PROBES = [
+    (1000001, None),                                              # null_text
+    (1000002, "tiny."),                                           # too_short
+    (1000003, ",.;:!?,.;:!?,.;:!?,.;:!? mixed punct row ,.;:"),   # low_alnum
+    (1000004, "dup " * 24 + "dup"),                               # low_diversity
+    (1000005, "The quick brown fox jumps over the lazy dog near a calm river today."),
+    (1000006, "xxxxxxxxxxxx repeated character run makes this row junk clearly."),
+    (1000007, "Visit http://example.com/page?q=1 now for offers and details today okay."),
+    (1000008, "Contact bob.smith@example.com for info about the new offers today."),
+    (1000009, "<b>Bold</b> tags removed leaving twenty plus characters here today."),
+    (1000010, "[link](http://x.io/a) markdown anchor kept with more text following here."),
+    (1000011, "  leading and trailing   spaces collapse   then strip here  "),
+    (1000012, "reply //@someuser: weibo mention replaced with space in this row today."),
+]
+
+
 def q_quality_filter_labels(spark, sf_dir):
+    """FLAGSHIP value oracle (round 3 — was rows-only): the full default
+    battery + keep/drop cascade, byte- and label-checked against a DuckDB
+    mirror of every default pass (RE2 chain, equivalent on ASCII — the
+    same equivalence tests/test_fast_path.py gates for the native chain).
+    The char_run rule is mirrored WITHOUT backreferences via
+    "some distinct char's 10-repeat is a substring" — exact by definition."""
     from harvesttext_spark.pipeline.quality_filter import label, scrub
 
-    d = _docs(spark, sf_dir).withColumnRenamed("text", "raw")
-    return label(scrub(d, text_col="raw")).select("doc_id", "keep", "drop_reason")
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("raw"))
+    probes = spark.createDataFrame(QF_PROBES, "doc_id long, raw string")
+    base = d.unionByName(probes)
+    return label(scrub(base, text_col="raw")).select(
+        "doc_id", F.col("text_clean"), "keep", "drop_reason"
+    )
+
+
+def _sql_quality_filter_labels() -> str:
+    """The default battery as an RE2 regexp_replace chain (pass order of
+    functions/cleaning.py make_cleaner; unconditional application equals
+    the guarded Python chain because every guard literal is REQUIRED by
+    its pattern), then the keep/drop cascade over the cleaned text."""
+    steps = [
+        # (pattern, replacement, flags)
+        (r"[\x{200b}-\x{200d}]", "", "g"),
+        (r"(\\u200b|\\u200c|\\u200d)", "", "g"),
+        (r"(?s)</?([^ >/]+).*?>", "", "g"),
+        (r"\[(.+?)\]\(\S+\)", r"\1", "g"),
+        (r"\[\S{1,6}?\]", "", "g"),
+        (
+            r"[\x{1F600}-\x{1F64F}\x{1F300}-\x{1F5FF}\x{1F680}-\x{1F6FF}"
+            r"\x{1F1E0}-\x{1F1FF}\x{2702}-\x{27B0}]+",
+            "",
+            "g",
+        ),
+        (r"http[s]?://(?:[a-zA-Z]|[0-9]|[#$%*-;=?&@~.&+]|[!*,])+", "", "gi"),
+        (r"[-a-z0-9_.]+@(?:[-a-z0-9]+\.)+[a-z]{2,6}", "", "gi"),
+        (r"(回复)?(//)?\s*@\S*?\s*(:|：| |$)", " ", "g"),
+        (r"(\s)+", r"\1", "g"),
+    ]
+    c = "raw"
+    for pat, repl, flags in steps:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        c = f"regexp_replace({c}, '{p}', '{r}', '{flags}')"
+    c = f"replace({c}, '转发微博', '')"
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    c = f"trim({c}, {ws})"
+    probe_rows = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL::VARCHAR" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in QF_PROBES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text AS raw FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {probe_rows}) v(doc_id, raw)
+),
+cleaned AS (
+  SELECT doc_id, {c} AS text_clean FROM base
+),
+sig AS (
+  SELECT doc_id, text_clean,
+         length(text_clean) AS n_chars,
+         (length(text_clean) - length(regexp_replace(text_clean, '[A-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))
+           / greatest(length(text_clean), 1) AS alnum_ratio,
+         list_filter(regexp_split_to_array(text_clean, '\\s+'), x -> x != '') AS toks,
+         -- char_run10 without backreferences: some distinct char's
+         -- 10-repeat appears as a substring (exact by definition)
+         len(list_filter(list_distinct(string_split(text_clean, '')),
+                         ch -> ch != '' AND contains(text_clean, repeat(ch, 10)))) > 0 AS char_run10
+  FROM cleaned
+),
+lab AS (
+  SELECT doc_id, text_clean,
+         CASE WHEN text_clean IS NULL THEN 'null_text'
+              WHEN n_chars < 20 THEN 'too_short'
+              WHEN char_run10 THEN 'char_run'
+              WHEN alnum_ratio < 0.45 THEN 'low_alnum'
+              WHEN len(toks) >= 20 AND len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) < 0.30
+                   THEN 'low_diversity'
+              ELSE NULL END AS drop_reason
+  FROM sig
+)
+SELECT doc_id, text_clean, drop_reason IS NULL AS keep, drop_reason FROM lab
+"""
 
 
 def q_cut_sentences(spark, sf_dir):
@@ -1688,4 +1793,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "langid_trained": SQL_LANGID_TRAINED,
         "pagerank_tokens": _sql_pagerank(),
+        "quality_filter_labels": _sql_quality_filter_labels(),
     }

@@ -153,3 +153,46 @@ def test_domain_metrics_full(spark):
     assert scored, "no domain received a perplexity rollup"
     for r in scored:
         assert r["avg_ppl"] > 0
+
+
+def test_qf_probe_rows_cover_every_reason(spark):
+    """The flagship oracle's probe battery must exercise every drop reason
+    AND the cleaning passes (URL/email/tags/markdown/weibo/space/strip) —
+    checked here against the real Python battery so the probe set cannot
+    silently rot into identity rows."""
+    import __spark_entry__ as entrymod
+    from harvesttext_spark.functions.cleaning import clean_text_py
+
+    reasons = {}
+    for doc_id, raw in entrymod.QF_PROBES:
+        if raw is None:
+            reasons[doc_id] = "null_text"
+            continue
+        cleaned = clean_text_py(raw)
+        assert "\n" not in cleaned
+        if doc_id in (1000007, 1000008, 1000009, 1000010, 1000011, 1000012):
+            # the battery must CHANGE these rows (pass actually exercised)
+            assert cleaned != raw, (doc_id, raw)
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in entrymod.queries()["quality_filter_labels"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .filter("doc_id >= 1000000")
+        .collect()
+    }
+    expect = {
+        1000001: "null_text",
+        1000002: "too_short",
+        1000003: "low_alnum",
+        1000004: "low_diversity",
+        1000005: None,
+        1000006: "char_run",
+        1000007: None,
+        1000008: None,
+        1000009: None,
+        1000010: None,
+        1000011: None,
+        1000012: None,
+    }
+    assert out == expect
