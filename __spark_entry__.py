@@ -596,6 +596,61 @@ SELECT query_id, vec_id, round(cos_sim, 4) AS cos_sim, rank FROM ranked WHERE ra
 """
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (round 3 value oracle): bucket =
+    8 md5-derived hyperplane sign bits, probe = exact bucket + all 1-bit
+    flips, cosine re-score inside candidates.  The oracle reproduces the
+    SAME buckets bit-exactly — the plane constants are embedded as SQL
+    literals and each sign dot product is unrolled left-associatively, so
+    float promotion and fold order match Spark's F.aggregate exactly."""
+    from harvesttext_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def _sql_ann_lsh(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
+    from harvesttext_spark.operators.similarity import _hyperplane
+
+    def sign_dot(p: int) -> str:
+        plane = _hyperplane(dim, p)
+        terms = " + ".join(
+            f"embedding[{j + 1}]::DOUBLE * ({plane[j]!r})" for j in range(dim)
+        )
+        return f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END"
+
+    bucket = " + ".join(sign_dot(p) for p in range(n_planes))
+    flips = ", ".join(f"xor(qb, {2 ** p})" for p in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb FROM b WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qvec, unnest([qb, {flips}]) AS bucket FROM q
+),
+scored AS (
+  SELECT p.query_id, b.vec_id,
+         list_dot_product(b.embedding, p.qvec)
+           / (sqrt(list_dot_product(b.embedding, b.embedding))
+              * sqrt(list_dot_product(p.qvec, p.qvec))) AS cos_sim
+  FROM b JOIN probes p USING (bucket)
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_sim, 4) AS cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_events_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
@@ -1721,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_conjunctive": q_search_conjunctive,
         "cooccur_edges": q_cooccur_edges,
         "embedding_topk": q_embedding_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1774,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "search_conjunctive": SQL_SEARCH_CONJUNCTIVE,
         "cooccur_edges": SQL_COOCCUR_EDGES,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "ann_lsh_topk": _sql_ann_lsh(),
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
