@@ -1128,10 +1128,22 @@ GROUP BY r.r_name
 # --- rows-only entries (no SQL oracle: UDF / iterative / banding) -----------
 
 def q_clean_text(spark, sf_dir):
+    """Default battery, byte-checked (round 3 — was rows-only): same probe
+    union + RE2 chain mirror as quality_filter_labels, minus the cascade."""
     from harvesttext_spark.functions.cleaning import make_clean_text_udf
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", make_clean_text_udf()(F.col("text")).alias("text_clean")
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("raw"))
+    probes = spark.createDataFrame(QF_PROBES, "doc_id long, raw string")
+    return d.unionByName(probes).select(
+        "doc_id", make_clean_text_udf()(F.col("raw")).alias("text_clean")
+    )
+
+
+def _sql_clean_text() -> str:
+    return (
+        "WITH base AS (SELECT doc_id, text AS raw FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {_sql_probe_rows()}) v(doc_id, raw)) "
+        f"SELECT doc_id, {_sql_clean_chain('raw')} AS text_clean FROM base"
     )
 
 
@@ -1384,11 +1396,11 @@ def q_quality_filter_labels(spark, sf_dir):
     )
 
 
-def _sql_quality_filter_labels() -> str:
+def _sql_clean_chain(col: str = "raw") -> str:
     """The default battery as an RE2 regexp_replace chain (pass order of
     functions/cleaning.py make_cleaner; unconditional application equals
     the guarded Python chain because every guard literal is REQUIRED by
-    its pattern), then the keep/drop cascade over the cleaned text."""
+    its pattern)."""
     steps = [
         # (pattern, replacement, flags)
         (r"[\x{200b}-\x{200d}]", "", "g"),
@@ -1407,20 +1419,29 @@ def _sql_quality_filter_labels() -> str:
         (r"(回复)?(//)?\s*@\S*?\s*(:|：| |$)", " ", "g"),
         (r"(\s)+", r"\1", "g"),
     ]
-    c = "raw"
+    c = col
     for pat, repl, flags in steps:
         p = pat.replace("'", "''")
         r = repl.replace("'", "''")
         c = f"regexp_replace({c}, '{p}', '{r}', '{flags}')"
     c = f"replace({c}, '转发微博', '')"
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
-    c = f"trim({c}, {ws})"
-    probe_rows = ", ".join(
+    return f"trim({c}, {ws})"
+
+
+def _sql_probe_rows() -> str:
+    return ", ".join(
         "({}::BIGINT, {})".format(
             i, "NULL::VARCHAR" if t is None else "'" + t.replace("'", "''") + "'"
         )
         for i, t in QF_PROBES
     )
+
+
+def _sql_quality_filter_labels() -> str:
+    """Battery chain (_sql_clean_chain) + the keep/drop cascade."""
+    c = _sql_clean_chain("raw")
+    probe_rows = _sql_probe_rows()
     return f"""
 WITH base AS (
   SELECT doc_id, text AS raw FROM documents
@@ -1851,4 +1872,5 @@ def oracle_sql() -> dict[str, str]:
         "langid_trained": SQL_LANGID_TRAINED,
         "pagerank_tokens": _sql_pagerank(),
         "quality_filter_labels": _sql_quality_filter_labels(),
+        "clean_text": _sql_clean_text(),
     }
