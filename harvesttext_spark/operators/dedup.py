@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# last call's persisted minhash signature table (LRU-1 eviction; see
+# minhash_dup_pairs)
+_last_sig_cache: DataFrame | None = None
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -167,6 +171,18 @@ def minhash_dup_pairs(
         )
         .persist()
     )
+    # bounded cache by DEFAULT (round 3): evict the PREVIOUS call's
+    # signature cache so repeated calls in a long-lived session hold at
+    # most one cached signature table — zero extra materialization cost
+    # (vs eager_cleanup's ~4s checkpoint at sf0.1).  Unpersisting a frame
+    # a caller still holds merely costs recompute, never correctness.
+    global _last_sig_cache
+    if _last_sig_cache is not None:
+        try:
+            _last_sig_cache.unpersist()
+        except Exception:
+            pass
+    _last_sig_cache = sig
     # materialize BEFORE branching: three consumers referencing a lazy cache
     # inside one job race the cache and recompute the md5 chain per branch
     sig.count()
@@ -198,14 +214,13 @@ def minhash_dup_pairs(
         F.col("est_jaccard") >= min_jaccard
     )
     if eager_cleanup:
-        # materialize the (small) pair result, then RELEASE the signature
-        # cache — a long-lived session calling this repeatedly must not
-        # accumulate cached signature blocks in executor memory.  Costs an
-        # extra materialization inside this call (measured ~4s at sf0.1),
-        # hence opt-in; one-shot jobs let session teardown reclaim the
-        # cache for free.
+        # immediate release: materialize the (small) pair result, then
+        # unpersist THIS call's signatures too (the default only evicts on
+        # the next call).  Costs an extra materialization (measured ~4s at
+        # sf0.1), hence opt-in.
         out = out.localCheckpoint(eager=True)
         sig.unpersist()
+        _last_sig_cache = None
     return out
 
 

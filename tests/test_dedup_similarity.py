@@ -297,3 +297,25 @@ def test_ivf_topk_recall(spark):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=3, centroids=cents).collect()))
     b = sorted(map(tuple, ivf_topk(emb, queries, k=3, centroids=cents).collect()))
     assert a == b
+
+
+def test_minhash_cache_bounded_across_calls(spark):
+    """Repeated minhash_dup_pairs calls must not accumulate cached
+    signature tables: the default path evicts the previous call's cache
+    (LRU-1), so persistent RDD count stays flat across calls."""
+    from harvesttext_spark.operators import dedup
+    from harvesttext_spark.session import read_scaled
+
+    docs = read_scaled(spark, "/root/testdata/sf0.001/documents.parquet")
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    counts = []
+    for _ in range(3):
+        dedup.minhash_dup_pairs(docs, min_jaccard=0.4).count()
+        counts.append(n_persisted())
+    assert counts[2] <= counts[0], counts
+    # eager path releases even the current call's cache
+    dedup.minhash_dup_pairs(docs, min_jaccard=0.4, eager_cleanup=True).count()
+    assert n_persisted() <= counts[0], (counts, n_persisted())
