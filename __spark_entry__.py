@@ -1348,6 +1348,49 @@ def q_simhash_dup_pairs(spark, sf_dir):
     return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_simhash_pairs32(spark, sf_dir):
+    """Portable 32-bit SimHash near-dup pipeline, VALUE-checked end to end
+    (round 3): md5-based signature + Manku 4×8-bit pigeonhole blocking +
+    bucket join + exact hamming verify, all mirrored in DuckDB.  The
+    production 64-bit xxhash64 path stays rows-only (engine hash)."""
+    from harvesttext_spark.operators.dedup import simhash_dup_pairs_portable
+
+    return simhash_dup_pairs_portable(_docs(spark, sf_dir), max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS32 = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS t
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, g.b,
+         CASE WHEN ((strpos('0123456789abcdef', substring(md5(t), (g.b // 4) + 1, 1)) - 1)
+                    // CAST(pow(2, 3 - (g.b % 4)) AS INT)) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok, (SELECT unnest(generate_series(0, 31)) AS b) g
+),
+sums AS (SELECT doc_id, b, sum(sgn) AS s FROM bits GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+  FROM sums GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, sh, g.i AS bi, (sh >> (8 * g.i)) & 255 AS bv
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) g
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM buckets a JOIN buckets b USING (bi, bv)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 def q_textrank_keywords(spark, sf_dir):
     from harvesttext_spark.operators.graph import textrank_keywords
 
@@ -1818,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "simhash_pairs32": q_simhash_pairs32,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
         "entity_linking_fuzzy": q_entity_linking_fuzzy,
@@ -1843,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": SQL_MINHASH_SIGNATURE,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "simhash": SQL_SIMHASH,
+        "simhash_pairs32": SQL_SIMHASH_PAIRS32,
         "token_freq": SQL_TOKEN_FREQ,
         "token_docfreq": SQL_TOKEN_DOCFREQ,
         "bigram_stats": SQL_BIGRAM_STATS,

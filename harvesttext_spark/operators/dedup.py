@@ -486,3 +486,56 @@ def simhash_dup_pairs(
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dup_pairs_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Oracle-portable SimHash near-dup candidates: same Manku pigeonhole
+    blocking as ``simhash_dup_pairs`` but over the 32-bit md5-based
+    ``simhash32_portable`` (4×8-bit blocks at h=3), so the ENTIRE pipeline
+    — signature, blocking, bucket join, hamming verify — is reproducible
+    in DuckDB and value-checked.  Production keeps the 64-bit xxhash64
+    path (65,536 values/block); 8-bit blocks mean ~n²/1024 candidates at
+    corpus scale, fine at driver/test scale, documented here."""
+    nblocks = max_hamming + 1
+    width = 32 // nblocks
+    h = docs.select(
+        F.col(id_col).alias("id"),
+        simhash32_portable(F.col(text_col)).alias("sh"),
+    )
+    mask = F.lit((1 << width) - 1).cast("bigint")
+    buckets = h.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.shiftrightunsigned(F.col("sh"), width * i)
+                        .bitwiseAND(mask)
+                        .alias("v"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.i").alias("bi"), F.col("b.v").alias("bv"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
