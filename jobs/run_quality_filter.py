@@ -68,6 +68,7 @@ def main(argv=None) -> None:
     else:
         from harvesttext_spark.pipeline.quality_filter import (
             domain_metrics,
+            domain_metrics_full,
             partition_lineage,
             quality_filter,
             quality_filter_full,
@@ -77,7 +78,10 @@ def main(argv=None) -> None:
         labeled = fn(pages)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
-        domain_metrics(out).write.mode("overwrite").parquet(args.output + "/domain_metrics")
+        # with the LM stage on, the domain table carries the model rollups
+        # (avg ppl + coherence) alongside the keep/drop stats
+        dm = domain_metrics_full(out) if args.with_lm else domain_metrics(out)
+        dm.write.mode("overwrite").parquet(args.output + "/domain_metrics")
         partition_lineage(out).write.mode("overwrite").parquet(args.output + "/lineage")
         n = out.count()
         k = out.filter("keep").count()
