@@ -161,27 +161,32 @@ def minhash_dup_pairs(
     # two probe joins; without it the whole md5 chain re-executes per branch
     # (measured 3-4x slower).  At 100TB this is a checkpointed signature
     # table on storage, not a cache.
-    sig = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            minhash_hashpair(token_shingles(F.col(text_col), shingle_n)).alias("_hs"),
-        )
-        .select(
-            "id", minhash_signature_from_pairs(F.col("_hs"), num_hashes).alias("sig")
-        )
-        .persist()
-    )
-    # bounded cache by DEFAULT (round 3): evict the PREVIOUS call's
-    # signature cache so repeated calls in a long-lived session hold at
-    # most one cached signature table — zero extra materialization cost
-    # (vs eager_cleanup's ~4s checkpoint at sf0.1).  Unpersisting a frame
-    # a caller still holds merely costs recompute, never correctness.
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_hashpair(token_shingles(F.col(text_col), shingle_n)).alias("_hs"),
+    ).select("id", minhash_signature_from_pairs(F.col("_hs"), num_hashes).alias("sig"))
+    # bounded cache by DEFAULT (round 3): at most ONE cached signature
+    # table per session, keyed by plan.  Same input (sameResult on the
+    # analyzed plans) -> reuse the already-materialized cache (repeated
+    # calls stay warm); different input -> evict the previous table and
+    # persist the new one.  Zero extra materialization cost (vs
+    # eager_cleanup's ~4s checkpoint at sf0.1); unpersisting a frame a
+    # caller still holds merely costs recompute, never correctness.
     global _last_sig_cache
+    reused = False
     if _last_sig_cache is not None:
         try:
-            _last_sig_cache.unpersist()
+            if _last_sig_cache._jdf.queryExecution().analyzed().sameResult(
+                sig._jdf.queryExecution().analyzed()
+            ):
+                sig = _last_sig_cache
+                reused = True
+            else:
+                _last_sig_cache.unpersist()
         except Exception:
             pass
+    if not reused:
+        sig = sig.persist()
     _last_sig_cache = sig
     # materialize BEFORE branching: three consumers referencing a lazy cache
     # inside one job race the cache and recompute the md5 chain per branch
