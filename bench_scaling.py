@@ -147,6 +147,40 @@ def _noop():
     pass
 
 
+ANATOMY_SECTION = """## ASCII fast path anatomy (round 3, local[32], 1.2M pages)
+
+| variant | latin corpus docs/s | mixed (zh-majority) docs/s |
+| --- | --- | --- |
+| Arrow-batched Python battery, all rows (default) | 69,735 | 178,101 |
+| fast_path routing union (round 2 — REMOVED) | 67,558 (r2 run) | — |
+| fast_path single-scan mask+coalesce (round 3) | 82,765 | 157,924 |
+
+Round 3 replaced the union routing (which re-scanned the input per
+branch — no scan sharing across union sides — and LOST 21% vs default)
+with a single-scan design: the native chain runs on an ASCII-masked
+copy (nulls propagate through every regex pass for free), the Arrow UDF
+on the complementary mask (na_action="ignore" -> zero Python work per
+ASCII row), and a coalesce routes.  On the latin-majority corpus — the
+shape fast_path exists for; real crawls are latin-majority — fast_path
+is now **+19% over the default** (was -21%).  On the zh-majority mixed
+corpus the mask+chain overhead costs 11% (the UDF still cleans ~every
+row), so fast_path stays opt-in — that and the byte-parity contract
+(default must stay CPython `re` everywhere).
+
+Plan-shape caveat that cost an afternoon: the inline guarded
+when/otherwise chain references its running column 3x per step -> a
+3^n-node analyzed tree.  Standalone it codegen'd fine, but sharing a
+Project with the extracted Python UDF pushed janino past the 64KB
+method limit -> silent interpreted fallback -> 2.2k docs/s (~40x
+slower).  clean_text_native_frame now applies the passes as successive
+Projects (CollapseProject keeps non-cheap producers referenced >1x in
+separate operators; whole-stage codegen still fuses one stage), and
+tests/test_plan_shapes.py::test_fast_path_no_codegen_fallback guards
+the plan size.
+
+"""
+
+
 def _hw_work(args):
     import re as _re
 
@@ -229,7 +263,7 @@ def main() -> None:
         f.write(header + static + table)
 
 
-STATIC_SECTIONS = """## Correctness gates (north rule)
+STATIC_SECTIONS = ANATOMY_SECTION + """## Correctness gates (north rule)
 
 | target | achieved |
 | --- | --- |

@@ -30,7 +30,11 @@ def plan_of(df) -> str:
         "tfidf_topk",
         "events_sessionize",
         "simhash_dup_pairs",
+        "simhash_pairs32",
         "langid_trained",
+        "punkt_abbrevs",
+        "ann_lsh_topk",
+        "pagerank_tokens",
     ],
 )
 def test_no_cartesian_product(spark, name):

@@ -18,7 +18,10 @@ SECTIONS = {
     "jaccard_pairs — df-capped candidates (window count), exact rescore": "jaccard_pairs",
     "simhash_dup_pairs — one-pass 64-bit fold, 16-bit block bucket join": "simhash_dup_pairs",
     "langid_trained — shared features, broadcast weights, one-fold argmax": "langid_trained",
-    "t2s_text — Catalyst translate (whole-stage codegen, zero Python)": "t2s_text",
+    "t2s_text — phrase replace chain + Catalyst translate (codegen, zero Python)": "t2s_text",
+    "punkt_abbrevs — one groupBy(typ) + broadcast two-scalar totals": "punkt_abbrevs",
+    "ann_lsh_topk — bucket join (broadcast probes), no cross join": "ann_lsh_topk",
+    "quality_filter_labels — single scan, one Arrow stage, codegen cascade": "quality_filter_labels",
 }
 
 
