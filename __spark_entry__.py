@@ -1278,6 +1278,31 @@ def _sql_punkt() -> str:
     )
 
 
+def q_punkt_starters(spark, sf_dir):
+    """Punkt TOKEN stage (round 3): frequent-sentence-starter detection —
+    first-pass boundaries (terminator-final prev token that is not a
+    trained abbreviation; lag window per doc), then the paper's
+    two-binomial collocation LLR at threshold 30.  Full DuckDB oracle
+    (lag window + identical clamped LLR).  Same probe suffix as
+    punkt_abbrevs: its 'growth.'/'doubles.' terminators create real
+    boundaries ('The'/'See' follow them on every row)."""
+    from harvesttext_spark.operators.punkt import punkt_sentence_starters
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(PUNKT_PROBE))
+    )
+    return punkt_sentence_starters(docs)
+
+
+def _sql_punkt_starters() -> str:
+    from harvesttext_spark.operators.punkt import punkt_sentence_starters_sql
+
+    probe = PUNKT_PROBE.replace("'", "''")
+    return punkt_sentence_starters_sql(
+        table=f"(SELECT doc_id, text || '{probe}' AS text FROM documents)"
+    )
+
+
 def q_seg_posseg_dict(spark, sf_dir):
     """Dict-DAG cutter (the from-scratch max-prob segmenter) with POS tags,
     exploded to scalars.  Python-side algorithm -> rows-only check."""
@@ -1857,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_sentences": q_cut_sentences,
         "t2s_text": q_t2s_text,
         "punkt_abbrevs": q_punkt_abbrevs,
+        "punkt_starters": q_punkt_starters,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1913,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "cut_sentences": SQL_CUT_SENTENCES,
         "t2s_text": _sql_t2s(),
         "punkt_abbrevs": _sql_punkt(),
+        "punkt_starters": _sql_punkt_starters(),
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "langid_trained": SQL_LANGID_TRAINED,
         "pagerank_tokens": _sql_pagerank(),

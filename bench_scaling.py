@@ -242,6 +242,15 @@ def main() -> None:
         "N -> 4N EXECUTOR scale-out each executor adds its own memory\n"
         "bandwidth, so the hardware ceiling is ~1.0 there and the engine's\n"
         "ceiling-relative efficiency (>=1.0) is the transferable number.\n\n"
+        """
+### Input-size sensitivity check (round 3)
+
+A 2x-larger input (2.4M pages, same protocol) lands at eff 0.750 raw
+with the multiprocessing ceiling at 0.706 that run -> engine at 1.06x
+the hardware ceiling.  Fixed per-job overhead is NOT the residual:
+doubling the work left raw efficiency flat while the ceiling itself
+bounced down, confirming host oversubscription as the limiter.
+"""
         "What it took to get here (all committed):\n"
         "1. guard against single-row-group scans (read_scaled / "
         "maxPartitionBytes) — a 1-partition scan serializes everything;\n"

@@ -49,12 +49,18 @@ _SENTINEL = "\x00"
 def _abbrev_shield_re(extra_abbrevs) -> re.Pattern:
     """Shield regex for the hand list plus (optionally) corpus-trained
     punkt abbreviations (operators/punkt.py).  Trained types are
-    lowercase; match them case-insensitively like nltk does."""
+    lowercase; match them case-insensitively like nltk does.  The
+    lookahead CAPTURES the following word so the starter override can
+    inspect it."""
     extras = sorted({a.rstrip(".") for a in (extra_abbrevs or ())}, key=len, reverse=True)
     hand = "|".join(re.escape(a) for a in _EN_ABBREV)
     if extras:
         hand += "|" + "|".join("(?i:" + re.escape(a) + ")" for a in extras)
-    return re.compile(r"\b(" + hand + r")\.(\s+)(?=[A-Z0-9\"'(])")
+    return re.compile(r"\b(" + hand + r")\.(\s+)(?=([A-Z0-9\"'(]\S*))")
+
+
+def _next_word_type(w: str) -> str:
+    return re.sub(r"[.!?,;:]+$", "", re.sub(r"^[\"'(]+", "", w)).lower()
 
 
 def cut_sentences_py(
@@ -64,23 +70,37 @@ def cut_sentences_py(
     deduplicate: bool = False,
     language: str = "zh",
     extra_abbrevs=None,
+    sentence_starters=None,
 ) -> list[str]:
     """Rule-based sentence splitter, zh pass order per the reference.
     The reference's en path uses nltk sent_tokenize (a pretrained punkt
     model, absent here): the en path splits on terminator + whitespace +
     capital/opening, shielding abbreviation periods — the hand list plus
-    an optional corpus-trained punkt list (operators/punkt.py), which is
-    the from-scratch analog of nltk's trained model."""
+    an optional corpus-trained punkt list (operators/punkt.py), the
+    from-scratch analog of nltk's trained model.  ``sentence_starters``
+    (punkt token stage) are STRONG boundary evidence: an abbreviation
+    period followed by a trained starter is NOT shielded, so the split
+    happens there — the paper's starter override."""
     if para is None:
         return []
     if deduplicate:
         para = RE_PUNCT_RUN.sub(r"\1", para)
     if language == "en":
         # shield abbreviation periods from the terminator split, then restore
-        shield = (
-            _abbrev_shield_re(extra_abbrevs) if extra_abbrevs else _EN_ABBREV_RE
-        )
-        shielded = shield.sub(lambda m: m.group(1) + _SENTINEL + m.group(2), para)
+        starters = {s.lower() for s in (sentence_starters or ())}
+        if extra_abbrevs or starters:
+            shield = _abbrev_shield_re(extra_abbrevs)
+
+            def _sub(m):
+                if starters and _next_word_type(m.group(3)) in starters:
+                    return m.group(0)  # boundary evidence wins: keep the split
+                return m.group(1) + _SENTINEL + m.group(2)
+
+            shielded = shield.sub(_sub, para)
+        else:
+            shielded = _EN_ABBREV_RE.sub(
+                lambda m: m.group(1) + _SENTINEL + m.group(2), para
+            )
         sents = [s.replace(_SENTINEL, ".") for s in RE_EN_SENT.split(shielded)]
         if strip:
             sents = [s.strip() for s in sents]

@@ -144,3 +144,147 @@ def trained_abbrev_list(df: DataFrame, text_col: str = "text") -> list[str]:
     return sorted(
         r["abbrev"] for r in punkt_abbreviations(df, text_col).collect()
     )
+
+
+# --- token stage: sentence starters ----------------------------------------
+#
+# Second stage of the paper (the part nltk ships pretrained): a FIRST-PASS
+# boundary assignment (terminator-final previous token that is NOT a trained
+# abbreviation), then a per-type log-likelihood ratio between "word" and
+# "sentence boundary" (the paper's col_log_likelihood, threshold 30).  Types
+# that clear it are FREQUENT SENTENCE STARTERS — strong boundary evidence
+# that overrides an abbreviation's non-boundary default in the splitter.
+
+SENT_STARTER_THRESHOLD = 30.0
+
+
+def _clamp_log(c):
+    return F.log(F.least(F.greatest(c, F.lit(_EPS)), F.lit(1.0 - _EPS)))
+
+
+def punkt_sentence_starters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    abbrevs: DataFrame | None = None,
+) -> DataFrame:
+    """(starter, score): word types whose sentence-initial rate clears the
+    paper's collocation LLR at threshold 30.
+
+    Relational first-pass boundaries: posexplode tokens per doc, one lag
+    window per doc (partition = doc, tiny per-partition sort), left join
+    the (vocabulary-sized, broadcast) abbreviation table on the previous
+    token's type.  Then one groupBy(typ) + broadcast two-scalar totals —
+    same shuffle shape as the type stage."""
+    from pyspark.sql import Window
+
+    if abbrevs is None:
+        abbrevs = punkt_abbreviations(df, text_col)
+    # filter empties in the ARRAY before posexplode so positions match the
+    # SQL mirror exactly (filtering after posexplode would keep original
+    # indices and un-flag pos==0 on whitespace-leading docs)
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("_doc").orderBy("pos")
+    t = toks.withColumn("prev", F.lag("tok").over(w))
+    t = t.withColumn(
+        "prev_type", F.lower(F.regexp_replace("prev", "\\.$", ""))
+    ).withColumn("typ", F.lower(F.regexp_replace("tok", "[.!?,;:]+$", "")))
+    ab = abbrevs.select(F.col("abbrev").alias("prev_type"), F.lit(1).alias("_isab"))
+    t = t.join(F.broadcast(ab), "prev_type", "left")
+    is_start = (F.col("pos") == 0) | (
+        F.col("prev").rlike("[.!?]$")
+        & ~(F.col("prev").endswith(".") & F.col("_isab").isNotNull())
+    )
+    t = t.filter(F.col("typ") != "").select(
+        "typ", is_start.cast("long").alias("st")
+    )
+    by_typ = t.groupBy("typ").agg(
+        F.count("*").alias("c_total"), F.sum("st").alias("c_start")
+    )
+    totals = t.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("st").cast("double").alias("nb"),
+    )
+    j = by_typ.crossJoin(F.broadcast(totals))
+    # col_log_likelihood(count_a = boundaries, count_b = word count,
+    # count_ab = word-at-boundary count, N) — two-binomial LLR with
+    # clamped logs so degenerate cells stay finite; identical clamping in
+    # the SQL mirror keeps parity exact.
+    ca, cb, cab, n = F.col("nb"), F.col("c_total"), F.col("c_start"), F.col("n")
+    p = cb / n
+    p1 = cab / ca
+    p2 = (cb - cab) / (n - ca)
+    s1 = cab * _clamp_log(p) + (ca - cab) * _clamp_log(1 - p)
+    s2 = (cb - cab) * _clamp_log(p) + (n - ca - cb + cab) * _clamp_log(1 - p)
+    s3 = cab * _clamp_log(p1) + (ca - cab) * _clamp_log(1 - p1)
+    s4 = (cb - cab) * _clamp_log(p2) + (n - ca - cb + cab) * _clamp_log(1 - p2)
+    score = F.round(-2.0 * (s1 + s2 - s3 - s4), 6)
+    return (
+        j.withColumn("score", score)
+        .filter(
+            (F.col("c_start") > 0)
+            & (F.col("c_start") < F.col("c_total"))
+            & (F.col("score") >= SENT_STARTER_THRESHOLD)
+            # starter must be OVER-represented at boundaries, not under-
+            # (the LLR is two-sided): boundary rate > corpus boundary rate
+            & (F.col("c_start") / F.col("c_total") > F.col("nb") / F.col("n"))
+        )
+        .select(F.col("typ").alias("starter"), "score")
+    )
+
+
+def punkt_sentence_starters_sql(
+    table: str = "documents", text_col: str = "text", abbrev_table_sql: str | None = None
+) -> str:
+    """The same computation in ANSI SQL (DuckDB oracle): index-lambda
+    posexplode mirror, lag window per doc, same clamped two-binomial LLR."""
+    ab_sql = abbrev_table_sql or punkt_abbreviations_sql(table, text_col)
+    clamp = lambda x: f"ln(least(greatest({x}, {_EPS}), {1 - _EPS}))"  # noqa: E731
+    return f"""
+WITH abbr AS ({ab_sql}),
+toks0 AS (
+  SELECT doc_id, unnest(list_transform(
+           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x != ''),
+           (x, i) -> struct_pack(pos := i - 1, tok := x))) AS s
+  FROM {table}
+),
+toks AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok,
+         lag(s.tok) OVER (PARTITION BY doc_id ORDER BY s.pos) AS prev
+  FROM toks0
+),
+typed AS (
+  SELECT lower(regexp_replace(tok, '[.!?,;:]+$', '')) AS typ,
+         CASE WHEN pos = 0 OR (
+                regexp_matches(prev, '[.!?]$')
+                AND NOT (prev LIKE '%.' AND lower(regexp_replace(prev, '\\.$', '')) IN (SELECT abbrev FROM abbr))
+              ) THEN 1 ELSE 0 END AS st
+  FROM toks
+),
+tt AS (SELECT typ, st FROM typed WHERE typ != ''),
+by_typ AS (SELECT typ, count(*) AS c_total, sum(st) AS c_start FROM tt GROUP BY typ),
+tot AS (SELECT count(*)::DOUBLE AS n, sum(st)::DOUBLE AS nb FROM tt),
+scored AS (
+  SELECT typ, c_total, c_start, n, nb,
+         round(-2.0 * (
+             c_start * {clamp("c_total / n")} + (nb - c_start) * {clamp("1 - c_total / n")}
+           + (c_total - c_start) * {clamp("c_total / n")} + (n - nb - c_total + c_start) * {clamp("1 - c_total / n")}
+           - (c_start * {clamp("c_start / nb")} + (nb - c_start) * {clamp("1 - c_start / nb")})
+           - ((c_total - c_start) * {clamp("(c_total - c_start) / (n - nb)")} + (n - nb - c_total + c_start) * {clamp("1 - (c_total - c_start) / (n - nb)")})
+         ), 6) AS score
+  FROM by_typ CROSS JOIN tot
+)
+SELECT typ AS starter, score
+FROM scored
+WHERE c_start > 0 AND c_start < c_total AND score >= {SENT_STARTER_THRESHOLD}
+  AND c_start / c_total > nb / n
+"""
+
+
+def trained_starter_list(df: DataFrame, text_col: str = "text") -> list[str]:
+    return sorted(r["starter"] for r in punkt_sentence_starters(df, text_col).collect())

@@ -102,3 +102,52 @@ def test_punkt_trainer_and_splitter(spark):
     # without training the same period splits
     base = cut_sentences_py("Growth was fast. It doubled.", language="en")
     assert base == ["Growth was fast.", "It doubled."]
+
+
+def test_punkt_token_stage_starters(spark):
+    """Token stage: frequent sentence starters train on first-pass
+    boundaries and OVERRIDE the abbreviation shield in the splitter
+    (strong boundary evidence, per the paper)."""
+    from harvesttext_spark.functions.sentences import cut_sentences_py
+    from harvesttext_spark.operators.punkt import (
+        punkt_sentence_starters,
+        trained_abbrev_list,
+        trained_starter_list,
+    )
+
+    corpus = [
+        "We saw fig. 1 today. The results are good. The data grew.",
+        "See fig. 2 now. The numbers hold. However the raw data moved.",
+        "Check fig. 3 here. The trend continues. Some say the end is near.",
+        "Review fig. 4 closely. The shape is stable. Not all the rows agree.",
+        # sentence-final words must also occur WITHOUT a period, or the
+        # type stage trains them as abbreviations (faithful punkt
+        # behavior on pathological corpora) and eats the boundaries
+        "We call good data grew and hold while near here now moved rows agree",
+    ] * 12  # LLR scales linearly with counts; 'the' needs ~x12 to clear 30
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    starters = trained_starter_list(df)
+    assert "the" in starters, starters
+    # 'the' is over-represented at boundaries AND also mid-sentence; the
+    # directional filter keeps it only because its boundary rate beats the
+    # corpus rate — a type never at a boundary must not appear
+    rows = {r["starter"]: r["score"] for r in punkt_sentence_starters(df).collect()}
+    assert all(s >= 30.0 for s in rows.values())
+    assert "fig" not in rows
+
+    ab = trained_abbrev_list(df)
+    assert "fig" in ab
+    # starter override: 'fig.' is an abbreviation (shielded), but when the
+    # next word is a trained starter the boundary evidence wins
+    text = "It is in fig. The table shows it. See fig. 5 now."
+    no_override = cut_sentences_py(text, language="en", extra_abbrevs=ab)
+    override = cut_sentences_py(
+        text, language="en", extra_abbrevs=ab, sentence_starters=starters
+    )
+    assert no_override[0].startswith("It is in fig. The table")
+    assert override[0] == "It is in fig."
+    assert override[1] == "The table shows it."
+    # the shield still holds where the next word is NOT a starter
+    assert override[-1] == "See fig. 5 now."
