@@ -1416,6 +1416,136 @@ WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition rules (dup-line fraction, dup-line char
+    fraction, top-bigram char coverage) — the post-cascade web-filter
+    signals.  Probe rows carry real repeated lines/bigrams (the word-soup
+    corpus has no newlines); full DuckDB value oracle."""
+    from harvesttext_spark.functions.textstats import repetition_signals
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = spark.createDataFrame(REP_PROBES, "doc_id long, text string")
+    return repetition_signals(d.unionByName(probes))
+
+
+REP_PROBES = [
+    (2000001, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),
+    (2000002, "one line only"),
+    (2000003, "x y x y x y x y x y"),
+    (2000004, "  \n\npadded line\npadded line  \n"),
+]
+
+
+SQL_REPETITION_SIGNALS_TMPL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {probes}) v(doc_id, text)
+),
+ln AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base)
+  WHERE trim(l) != ''
+),
+per_line AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY doc_id, line),
+lstats AS (
+  SELECT doc_id,
+         1.0 - count(*) * 1.0 / sum(cnt) AS dlf,
+         sum((cnt - 1) * length(line)) * 1.0 / greatest(sum(cnt * length(line)), 1) AS dlcf
+  FROM per_line GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+  FROM base
+),
+bg AS (
+  SELECT doc_id, n_chars, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM (SELECT doc_id, n_chars, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM tok WHERE len(ws) >= 2)
+),
+per_bg AS (SELECT doc_id, n_chars, bg, count(*) AS cnt FROM bg GROUP BY doc_id, n_chars, bg),
+bstats AS (
+  SELECT doc_id, max(cnt * length(bg)) * 1.0 / greatest(any_value(n_chars), 1) AS tbcf
+  FROM per_bg GROUP BY doc_id
+)
+SELECT b.doc_id,
+       round(coalesce(lstats.dlf, 0), 6) AS dup_line_frac,
+       round(coalesce(lstats.dlcf, 0), 6) AS dup_line_char_frac,
+       round(coalesce(bstats.tbcf, 0), 6) AS top_bigram_char_frac
+FROM base b LEFT JOIN lstats ON b.doc_id = lstats.doc_id
+LEFT JOIN bstats ON b.doc_id = bstats.doc_id
+"""
+
+
+def _sql_repetition_signals() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in REP_PROBES
+    )
+    return SQL_REPETITION_SIGNALS_TMPL.format(probes=probes)
+
+
+# boilerplate-dedup probe suffix (the word-soup corpus has no newlines):
+# two lines shared by EVERY doc (always dropped at min_df=10), one shared
+# by even docs only (dropped), one unique per doc (always survives —
+# proves reassembly keeps surviving lines in order)
+def _boiler_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter\nAll rights reserved."),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\nLimited time offer")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\nnote "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus boilerplate removal: census of normalized
+    line doc-frequencies, drop lines present in >= 10 docs, reassemble
+    surviving lines in order.  Probe suffix plants corpus-wide lines
+    (dropped), an even-docs-only line (dropped), and a per-doc unique
+    line (survives) — order-preserving reassembly is value-checked."""
+    from harvesttext_spark.operators.dedup import drop_boilerplate_lines
+
+    return drop_boilerplate_lines(_boiler_docs(spark, sf_dir), min_df=10)
+
+
+SQL_BOILERPLATE_DEDUP = """
+WITH base AS (
+  SELECT doc_id,
+         text || chr(10) || 'Subscribe to our newsletter' || chr(10) || 'All rights reserved.'
+              || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Limited time offer' ELSE '' END
+              || chr(10) || 'note ' || doc_id AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line,
+         lower(trim(s.line)) AS line_key
+  FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+             (x, i) -> struct_pack(pos := i - 1, line := x))) AS s
+    FROM base
+  )
+),
+hot AS (
+  SELECT line_key FROM lines WHERE line_key != ''
+  GROUP BY line_key HAVING count(DISTINCT doc_id) >= 10
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  WHERE l.line_key NOT IN (SELECT line_key FROM hot)
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_textrank_keywords(spark, sf_dir):
     from harvesttext_spark.operators.graph import textrank_keywords
 
@@ -1888,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "simhash_pairs32": q_simhash_pairs32,
+        "repetition_signals": q_repetition_signals,
+        "boilerplate_dedup": q_boilerplate_dedup,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
         "entity_linking_fuzzy": q_entity_linking_fuzzy,
@@ -1914,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "simhash": SQL_SIMHASH,
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,
+        "repetition_signals": _sql_repetition_signals(),
+        "boilerplate_dedup": SQL_BOILERPLATE_DEDUP,
         "token_freq": SQL_TOKEN_FREQ,
         "token_docfreq": SQL_TOKEN_DOCFREQ,
         "bigram_stats": SQL_BIGRAM_STATS,

@@ -163,3 +163,75 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
     )
+
+
+# --- Gopher-style repetition signals ----------------------------------------
+
+
+def repetition_signals(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(doc_id, dup_line_frac, dup_line_char_frac, top_bigram_char_frac) —
+    the Rae et al. (Gopher) repetition rules web filters apply after the
+    heuristic cascade:
+
+      dup_line_frac       1 - distinct_lines / lines (trimmed, non-empty)
+      dup_line_char_frac  chars in repeat occurrences of a line / line chars
+      top_bigram_char_frac  chars covered by the most frequent word bigram
+                            / doc chars (max of cnt*len, no argmax ties)
+
+    Two explodes + per-doc groupBys (parallelism = documents), left-joined
+    back so line-less docs get zeros.  Fully mirrored in the DuckDB
+    oracle."""
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ln = (
+        base.select("id", F.explode(F.split("t", "\n")).alias("raw"))
+        .select("id", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    per_line = ln.groupBy("id", "line").agg(F.count("*").alias("cnt"))
+    lstats = per_line.groupBy("id").agg(
+        (1.0 - F.count("*") / F.sum("cnt")).alias("dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.length("line"))
+            / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )
+    toks = base.select(
+        "id",
+        F.length("t").alias("n_chars"),
+        F.filter(F.split("t", "\\s+"), lambda x: x != "").alias("ws"),
+    )
+    bigrams = toks.select(
+        "id",
+        "n_chars",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("id", "n_chars", "bg").agg(F.count("*").alias("cnt"))
+    bstats = per_bg.groupBy("id").agg(
+        (
+            F.max(F.col("cnt") * F.length("bg"))
+            / F.greatest(F.first("n_chars"), F.lit(1))
+        ).alias("top_bigram_char_frac")
+    )
+    return (
+        base.select(F.col("id"))
+        .join(lstats, "id", "left")
+        .join(bstats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6).alias("dup_line_frac"),
+            F.round(F.coalesce("dup_line_char_frac", F.lit(0.0)), 6).alias("dup_line_char_frac"),
+            F.round(F.coalesce("top_bigram_char_frac", F.lit(0.0)), 6).alias("top_bigram_char_frac"),
+        )
+    )

@@ -544,3 +544,63 @@ def simhash_dup_pairs_portable(
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+# --- CCNet-style boilerplate line dedup -------------------------------------
+
+
+def line_doc_freq(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(line_key, df) — how many distinct documents contain each normalized
+    line.  The corpus-wide boilerplate census (CCNet dedups Common Crawl at
+    paragraph granularity with exactly this table).  One explode + one
+    groupBy on the line hash-key; uniform by construction."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.select("id", F.lower(F.trim(F.col("line"))).alias("line_key"))
+        .filter(F.col("line_key") != "")
+        .groupBy("line_key")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+
+
+def drop_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """(doc_id, text_clean): remove every line whose normalized form occurs
+    in >= min_df distinct documents (headers, footers, cookie banners —
+    the CCNet/C4 boilerplate pass), preserving the order of surviving
+    lines.  Shape at 100 TB: the line census is a bounded-key groupBy;
+    the drop join broadcasts nothing per-row — it joins lines to the
+    (small, boilerplate-only) hot-line table, so the second shuffle
+    carries only line keys, and reassembly is one groupBy(doc)."""
+    hot = line_doc_freq(docs, text_col, id_col).filter(F.col("df") >= min_df)
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.lower(F.trim(F.col("line"))))
+    kept = lines.join(
+        F.broadcast(hot.select("line_key")), "line_key", "left_anti"
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean")
+        )
+        .select(F.col("id").alias(id_col), "text_clean")
+    )

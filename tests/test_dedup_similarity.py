@@ -319,3 +319,41 @@ def test_minhash_cache_bounded_across_calls(spark):
     # eager path releases even the current call's cache
     dedup.minhash_dup_pairs(docs, min_jaccard=0.4, eager_cleanup=True).count()
     assert n_persisted() <= counts[0], (counts, n_persisted())
+
+
+def test_boilerplate_line_dedup(spark):
+    """CCNet-style boilerplate pass: corpus-frequent lines drop, rare
+    lines survive in original order."""
+    from harvesttext_spark.operators.dedup import drop_boilerplate_lines
+
+    docs = [
+        (i, f"headline {i}\nSubscribe now\nbody text {i}\nAll rights reserved")
+        for i in range(12)
+    ] + [(99, "unique doc\nwith its own\nlines only")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"] for r in drop_boilerplate_lines(df, min_df=10).collect()}
+    assert out[0] == "headline 0\nbody text 0"
+    assert out[5] == "headline 5\nbody text 5"
+    assert out[99] == "unique doc\nwith its own\nlines only"
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition rules on hand-checkable docs."""
+    from harvesttext_spark.functions.textstats import repetition_signals
+
+    docs = [
+        (1, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),
+        (2, "one line only"),
+        (3, "x y x y x y x y x y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1: 4 lines, 2 distinct -> dup_line_frac = 0.5;
+    # dup chars = 2 extra occurrences x 10 chars / 41 line chars
+    assert out[1]["dup_line_frac"] == 0.5
+    assert out[1]["dup_line_char_frac"] == round(20 / 41, 6)
+    # doc 2: no repetition
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_bigram_char_frac"] == round(3 / 13, 6)
+    # doc 3: "x y" bigram appears 5x (len 3), also "y x" 4x; chars 19
+    assert out[3]["top_bigram_char_frac"] == round(15 / 19, 6)
