@@ -354,6 +354,7 @@ def test_repetition_signals(spark):
     assert out[1]["dup_line_char_frac"] == round(20 / 41, 6)
     # doc 2: no repetition
     assert out[2]["dup_line_frac"] == 0.0
-    assert out[2]["top_bigram_char_frac"] == round(3 / 13, 6)
+    # top bigram "line only" covers 9 of 13 chars
+    assert out[2]["top_bigram_char_frac"] == round(9 / 13, 6)
     # doc 3: "x y" bigram appears 5x (len 3), also "y x" 4x; chars 19
     assert out[3]["top_bigram_char_frac"] == round(15 / 19, 6)
