@@ -108,42 +108,54 @@ def predict_langid(
 def predict_from_features(
     feats: DataFrame, weights: DataFrame, lang_stats: DataFrame
 ) -> DataFrame:
-    """Score precomputed (doc_id, bucket) feature rows."""
-    sizes = feats.groupBy("doc_id").agg(F.count("*").alias("n_feats"))
-    matched = (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("logp").alias("sum_logp"), F.count("*").alias("n_match"))
+    """Score precomputed (doc_id, bucket) feature rows.
+
+    ONE-SHUFFLE shape (round 3; the previous sizes + matched + grid-join +
+    argmax-regroup paid four shuffles over the feature rows, measured
+    2.1s at sf0.1 with warm features): the weight table is regrouped to a
+    per-bucket lang->logp MAP (<= n_buckets rows, broadcast), left-joined
+    1:1 onto the feature rows (row count preserved — n_feats needs no
+    separate pass), then a single groupBy(doc_id) computes per-language
+    matched sums/counts as conditional aggregates, and the argmax +
+    runner-up margin are row-local array ops.  lang_stats is a tiny
+    dimension — collected driver-side like the repo's other dim reads."""
+    stats_rows = lang_stats.collect()
+    langs = sorted(r["lang"] for r in stats_rows)
+    prior = {r["lang"]: float(r["prior"]) for r in stats_rows}
+    dflt = {r["lang"]: float(r["default_logp"]) for r in stats_rows}
+    wb = weights.groupBy("bucket").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "logp"))).alias("wm")
     )
-    # every doc must be scored against every language (missing grams use the
-    # default); build the doc x lang frame from sizes x stats
-    grid = sizes.crossJoin(F.broadcast(lang_stats))
-    scored = grid.join(matched, ["doc_id", "lang"], "left").select(
-        "doc_id",
-        "lang",
+    j = feats.join(F.broadcast(wb), "bucket", "left")
+    aggs = [F.count("*").alias("n_feats")]
+    for i, l in enumerate(langs):
+        e = F.element_at(F.col("wm"), F.lit(l))
+        aggs.append(F.sum(e).alias(f"_s{i}"))
+        aggs.append(F.count(e).alias(f"_m{i}"))
+    per_doc = j.groupBy("doc_id").agg(*aggs)
+    score_cols = [
         (
-            F.col("prior")
-            + F.coalesce("sum_logp", F.lit(0.0))
-            + (F.col("n_feats") - F.coalesce("n_match", F.lit(0)))
-            * F.col("default_logp")
-        ).alias("score"),
-    )
-    # ONE-PASS argmax+runner-up: fold each doc's per-lang scores (a handful
-    # of rows) into a sorted array inside a single groupBy — the previous
-    # window-rank + regroup shape paid a second shuffle AND a per-partition
-    # sort over the full doc x lang grid (measured 4.7s -> target <2.5s at
-    # sf0.1).  Sort key struct(-score, lang) reproduces the window's
-    # (score DESC, lang ASC) tie-break exactly.
+            F.lit(prior[l])
+            + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+            + (F.col("n_feats") - F.col(f"_m{i}")) * F.lit(dflt[l])
+        ).alias(f"_sc{i}")
+        for i, l in enumerate(langs)
+    ]
+    scored = per_doc.select("doc_id", *score_cols)
+    # sort key struct(-score, lang) reproduces (score DESC, lang ASC)
     arr = F.array_sort(
-        F.collect_list(
-            F.struct(
-                (-F.col("score")).alias("ns"),
-                F.col("lang").alias("lang"),
-                F.col("score").alias("score"),
-            )
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"_sc{i}")).alias("ns"),
+                    F.lit(l).alias("lang"),
+                    F.col(f"_sc{i}").alias("score"),
+                )
+                for i, l in enumerate(langs)
+            ]
         )
     )
-    return scored.groupBy("doc_id").agg(arr.alias("_a")).select(
+    return scored.select("doc_id", arr.alias("_a")).select(
         "doc_id",
         F.col("_a")[0]["lang"].alias("lang_pred"),
         F.when(
