@@ -1133,8 +1133,7 @@ def q_clean_text(spark, sf_dir):
     from harvesttext_spark.functions.cleaning import make_clean_text_udf
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("raw"))
-    probes = spark.createDataFrame(QF_PROBES, "doc_id long, raw string")
-    return d.unionByName(probes).select(
+    return d.unionByName(_probe_df(spark, QF_PROBES)).select(
         "doc_id", make_clean_text_udf()(F.col("raw")).alias("text_clean")
     )
 
@@ -1424,8 +1423,7 @@ def q_repetition_signals(spark, sf_dir):
     from harvesttext_spark.functions.textstats import repetition_signals
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    probes = spark.createDataFrame(REP_PROBES, "doc_id long, text string")
-    return repetition_signals(d.unionByName(probes))
+    return repetition_signals(d.unionByName(_probe_df(spark, REP_PROBES, col="text")))
 
 
 REP_PROBES = [
@@ -1577,6 +1575,25 @@ QF_PROBES = [
 ]
 
 
+def _probe_df(spark, rows, col: str = "raw"):
+    """Probe rows as a JVM-side VALUES relation.  createDataFrame paid
+    ~0.4s per call (Py4J conversion + local-relation analysis — measured
+    0.88s vs 0.50s steady for the clean_text query); spark.sql VALUES
+    stays on the JVM and is plan-only."""
+
+    def lit(t):
+        if t is None:
+            return "CAST(NULL AS STRING)"
+        esc = t.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n")
+        return "'" + esc + "'"
+
+    vals = ", ".join(f"({i}, {lit(t)})" for i, t in rows)
+    return spark.sql(
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {col} "
+        f"FROM (VALUES {vals}) AS t(doc_id, {col})"
+    )
+
+
 def q_quality_filter_labels(spark, sf_dir):
     """FLAGSHIP value oracle (round 3 — was rows-only): the full default
     battery + keep/drop cascade, byte- and label-checked against a DuckDB
@@ -1587,8 +1604,7 @@ def q_quality_filter_labels(spark, sf_dir):
     from harvesttext_spark.pipeline.quality_filter import label, scrub
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("raw"))
-    probes = spark.createDataFrame(QF_PROBES, "doc_id long, raw string")
-    base = d.unionByName(probes)
+    base = d.unionByName(_probe_df(spark, QF_PROBES))
     return label(scrub(base, text_col="raw")).select(
         "doc_id", F.col("text_clean"), "keep", "drop_reason"
     )
