@@ -1538,9 +1538,13 @@ hot AS (
 kept AS (
   SELECT l.doc_id, l.pos, l.line FROM lines l
   WHERE l.line_key NOT IN (SELECT line_key FROM hot)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
 )
-SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
-FROM kept GROUP BY doc_id
+SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
 """
 
 

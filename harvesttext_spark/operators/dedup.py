@@ -589,7 +589,7 @@ def drop_boilerplate_lines(
     kept = lines.join(
         F.broadcast(hot.select("line_key")), "line_key", "left_anti"
     )
-    return (
+    rebuilt = (
         kept.groupBy("id")
         .agg(
             F.array_join(
@@ -602,5 +602,15 @@ def drop_boilerplate_lines(
                 "\n",
             ).alias("text_clean")
         )
-        .select(F.col("id").alias(id_col), "text_clean")
+    )
+    # per-url contract: a doc whose EVERY line is boilerplate must stay in
+    # the output (empty text), not silently vanish — downstream keep/drop
+    # and byte-identity gates are per-url
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
     )

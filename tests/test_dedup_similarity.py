@@ -358,3 +358,53 @@ def test_repetition_signals(spark):
     assert out[2]["top_bigram_char_frac"] == round(9 / 13, 6)
     # doc 3: "x y" bigram appears 5x (len 3), also "y x" 4x; chars 19
     assert out[3]["top_bigram_char_frac"] == round(15 / 19, 6)
+
+
+def test_boilerplate_keeps_all_boiler_docs(spark):
+    """A doc whose every line is boilerplate stays in the output with
+    empty text (per-url contract: rows must not silently vanish)."""
+    from harvesttext_spark.operators.dedup import drop_boilerplate_lines
+
+    docs = [(i, "Subscribe now\nAll rights reserved") for i in range(12)] + [
+        (99, "real content here\nSubscribe now")
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"] for r in drop_boilerplate_lines(df, min_df=10).collect()}
+    assert len(out) == 13
+    assert out[0] == ""
+    assert out[99] == "real content here"
+
+
+def test_boilerplate_property_vs_python(spark):
+    """Property: engine output == single-threaded python reference on
+    random multi-line docs (census threshold, normalization, order)."""
+    import random
+
+    from harvesttext_spark.operators.dedup import drop_boilerplate_lines
+
+    rng = random.Random(7)
+    pool = ["alpha", "Beta line", "  gamma  ", "DELTA", "eps", "zeta z"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(1, 6)
+        docs.append((i, "\n".join(rng.choice(pool) for _ in range(n))))
+    min_df = 15
+
+    # python reference
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in docs:
+        for line in t.split("\n"):
+            k = line.strip().lower()
+            if k:
+                seen[k].add(i)
+    hot = {k for k, s in seen.items() if len(s) >= min_df}
+    expect = {
+        i: "\n".join(l for l in t.split("\n") if l.strip().lower() not in hot)
+        for i, t in docs
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"] for r in drop_boilerplate_lines(df, min_df=min_df).collect()}
+    assert got == expect
