@@ -560,11 +560,18 @@ def line_doc_freq(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     )
+    # two explicit groupBys, NOT countDistinct: a corpus-wide boilerplate
+    # line is the textbook hot key, and countDistinct(id) shuffles every
+    # (hot_line, id) pair to ONE reducer.  Deduping on (line_key, id)
+    # first shuffles on the uniform composite key; the second aggregation
+    # then ships one map-side-combined count per partition.
     return (
         lines.select("id", F.lower(F.trim(F.col("line"))).alias("line_key"))
         .filter(F.col("line_key") != "")
+        .groupBy("line_key", "id")
+        .agg(F.lit(1).alias("_one"))
         .groupBy("line_key")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(F.count("*").alias("df"))
     )
 
 
