@@ -22,3 +22,17 @@ from harvesttext_spark.functions.t2s import t2s_py, t2s_col  # noqa: F401
 from harvesttext_spark.functions.pinyin import lazy_pinyin  # noqa: F401
 from harvesttext_spark.functions.zh_cutter import default_cutter  # noqa: F401
 from harvesttext_spark.operators.linking import EntityKB  # noqa: F401
+from harvesttext_spark.operators.punkt import (  # noqa: F401
+    punkt_abbreviations,
+    punkt_sentence_starters,
+    trained_abbrev_list,
+    trained_starter_list,
+)
+from harvesttext_spark.operators.dedup import (  # noqa: F401
+    drop_boilerplate_lines,
+    line_doc_freq,
+)
+from harvesttext_spark.functions.textstats import repetition_signals  # noqa: F401
+from harvesttext_spark.pipeline.quality_filter import (  # noqa: F401
+    domain_metrics_full,
+)
