@@ -1849,7 +1849,7 @@ def q_langid_trained(spark, sf_dir):
     d = _docs(spark, sf_dir)
     # one shared feature extraction for train AND predict (same corpus)
     feats = _feature_rows(d, "text", ["doc_id", "lang"]).cache()
-    weights, stats = train_langid(d, feats=feats)
+    weights, stats = train_langid(d, feats=feats, persist=True)
     out = predict_from_features(feats.select("doc_id", "bucket"), weights, stats)
     return out.select("doc_id", "lang_pred", F.round("margin", 4).alias("margin"))
 

@@ -55,16 +55,26 @@ def _feature_rows(
     )
 
 
+# last call's persisted weight table — plan-keyed LRU-1, same contract as
+# dedup's signature cache and the LM count tables
+_last_weights_cache: DataFrame | None = None
+
+
 def train_langid(
     docs: DataFrame,
     text_col: str = "text",
     label_col: str = "lang",
     n_buckets: int = N_BUCKETS,
     feats: DataFrame | None = None,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (weights(lang, bucket, logp), lang_stats(lang, prior, default_logp)).
     Pass precomputed ``feats`` (from _feature_rows, with a 'lang' column)
-    to share the extraction with a predict pass over the same corpus."""
+    to share the extraction with a predict pass over the same corpus.
+    ``persist=True`` materializes the weight table (plan-keyed LRU-1) so
+    the predict pass's broadcast build reads the aggregate, not the
+    feature stream again."""
+    global _last_weights_cache
     if feats is None:
         feats = _feature_rows(
             docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
@@ -76,6 +86,22 @@ def train_langid(
         "bucket",
         F.log((F.col("c") + 1) / (F.col("tot") + n_buckets)).alias("logp"),
     )
+    if persist:
+        reused = False
+        if _last_weights_cache is not None:
+            try:
+                if _last_weights_cache._jdf.queryExecution().analyzed().sameResult(
+                    weights._jdf.queryExecution().analyzed()
+                ):
+                    weights = _last_weights_cache
+                    reused = True
+                else:
+                    _last_weights_cache.unpersist()
+            except Exception:
+                pass
+        if not reused:
+            weights = weights.persist()
+        _last_weights_cache = weights
     n_docs = docs.count()
     stats = (
         docs.groupBy(F.col(label_col).alias("lang"))
