@@ -23,10 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# last call's persisted minhash signature table (LRU-1 eviction; see
-# minhash_dup_pairs)
-_last_sig_cache: DataFrame | None = None
-
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -166,28 +162,11 @@ def minhash_dup_pairs(
         minhash_hashpair(token_shingles(F.col(text_col), shingle_n)).alias("_hs"),
     ).select("id", minhash_signature_from_pairs(F.col("_hs"), num_hashes).alias("sig"))
     # bounded cache by DEFAULT (round 3): at most ONE cached signature
-    # table per session, keyed by plan.  Same input (sameResult on the
-    # analyzed plans) -> reuse the already-materialized cache (repeated
-    # calls stay warm); different input -> evict the previous table and
-    # persist the new one.  Zero extra materialization cost (vs
-    # eager_cleanup's ~4s checkpoint at sf0.1); unpersisting a frame a
-    # caller still holds merely costs recompute, never correctness.
-    global _last_sig_cache
-    reused = False
-    if _last_sig_cache is not None:
-        try:
-            if _last_sig_cache._jdf.queryExecution().analyzed().sameResult(
-                sig._jdf.queryExecution().analyzed()
-            ):
-                sig = _last_sig_cache
-                reused = True
-            else:
-                _last_sig_cache.unpersist()
-        except Exception:
-            pass
-    if not reused:
-        sig = sig.persist()
-    _last_sig_cache = sig
+    # table per session, keyed by plan (see session.plan_keyed_persist) —
+    # zero extra materialization cost vs eager_cleanup's ~4s checkpoint.
+    from harvesttext_spark.session import plan_keyed_persist
+
+    sig = plan_keyed_persist(sig, "minhash_sig")
     # materialize BEFORE branching: three consumers referencing a lazy cache
     # inside one job race the cache and recompute the md5 chain per branch
     sig.count()
@@ -223,9 +202,11 @@ def minhash_dup_pairs(
         # unpersist THIS call's signatures too (the default only evicts on
         # the next call).  Costs an extra materialization (measured ~4s at
         # sf0.1), hence opt-in.
+        from harvesttext_spark.session import _persist_slots
+
         out = out.localCheckpoint(eager=True)
         sig.unpersist()
-        _last_sig_cache = None
+        _persist_slots.pop("minhash_sig", None)
     return out
 
 

@@ -55,11 +55,6 @@ def _feature_rows(
     )
 
 
-# last call's persisted weight table — plan-keyed LRU-1, same contract as
-# dedup's signature cache and the LM count tables
-_last_weights_cache: DataFrame | None = None
-
-
 def train_langid(
     docs: DataFrame,
     text_col: str = "text",
@@ -74,7 +69,6 @@ def train_langid(
     ``persist=True`` materializes the weight table (plan-keyed LRU-1) so
     the predict pass's broadcast build reads the aggregate, not the
     feature stream again."""
-    global _last_weights_cache
     if feats is None:
         feats = _feature_rows(
             docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
@@ -87,21 +81,9 @@ def train_langid(
         F.log((F.col("c") + 1) / (F.col("tot") + n_buckets)).alias("logp"),
     )
     if persist:
-        reused = False
-        if _last_weights_cache is not None:
-            try:
-                if _last_weights_cache._jdf.queryExecution().analyzed().sameResult(
-                    weights._jdf.queryExecution().analyzed()
-                ):
-                    weights = _last_weights_cache
-                    reused = True
-                else:
-                    _last_weights_cache.unpersist()
-            except Exception:
-                pass
-        if not reused:
-            weights = weights.persist()
-        _last_weights_cache = weights
+        from harvesttext_spark.session import plan_keyed_persist
+
+        weights = plan_keyed_persist(weights, "langid_weights")
     n_docs = docs.count()
     stats = (
         docs.groupBy(F.col(label_col).alias("lang"))

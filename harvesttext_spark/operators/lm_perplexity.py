@@ -42,12 +42,6 @@ def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-# last call's persisted (unigram, bigram) LM tables — plan-keyed LRU-1
-# like dedup's signature cache, so repeated calls stay warm and a
-# long-lived session holds at most one LM in executor memory
-_last_lm_cache: tuple[DataFrame, DataFrame] | None = None
-
-
 def train_bigram_lm(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     persist: bool = False,
@@ -58,7 +52,6 @@ def train_bigram_lm(
     eviction, same contract as dedup's signature cache): the totals job
     and the two broadcast builds then read the tiny aggregates instead of
     re-scanning and re-tokenizing the corpus three more times."""
-    global _last_lm_cache
     base = _doc_tokens(docs, text_col, id_col)
     uni = (
         base.select(F.explode("toks").alias("word"))
@@ -81,24 +74,10 @@ def train_bigram_lm(
         .agg(F.count("*").alias("c2"))
     )
     if persist:
-        reused = False
-        if _last_lm_cache is not None:
-            try:
-                c_uni, c_big = _last_lm_cache
-                if c_uni._jdf.queryExecution().analyzed().sameResult(
-                    uni._jdf.queryExecution().analyzed()
-                ):
-                    uni, big = c_uni, c_big
-                    reused = True
-                else:
-                    c_uni.unpersist()
-                    c_big.unpersist()
-            except Exception:
-                pass
-        if not reused:
-            uni = uni.persist()
-            big = big.persist()
-        _last_lm_cache = (uni, big)
+        from harvesttext_spark.session import plan_keyed_persist
+
+        uni = plan_keyed_persist(uni, "lm_uni")
+        big = plan_keyed_persist(big, "lm_big")
     total = uni.agg(F.sum("c1")).first()[0]
     return uni, big, int(total)
 

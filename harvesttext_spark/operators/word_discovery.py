@@ -167,6 +167,11 @@ def ngram_stats(
     reference keeps everything — use 1 for parity).
     """
     cands, corpus_len = candidate_grams(docs, text_col, id_col, max_word_len, unit)
+    # three consumers (counts + left/right entropy) each re-ran the full
+    # gram explosion; plan-keyed LRU-1 persist collapses them to one
+    from harvesttext_spark.session import plan_keyed_persist
+
+    cands = plan_keyed_persist(cands, "wd_cands")
     sep = "" if unit == "char" else " "
 
     counts = cands.groupBy("word").agg(F.count("*").alias("cnt"))

@@ -87,3 +87,33 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+# --- plan-keyed LRU-1 persist ----------------------------------------------
+
+_persist_slots: dict = {}
+
+
+def plan_keyed_persist(df, slot: str):
+    """Persist ``df`` under a named slot with LRU-1 eviction keyed by PLAN
+    identity: a repeated call with the same analyzed plan reuses the
+    already-materialized cache (no double-persist, stays warm); a call
+    with a different plan unpersists the previous occupant first.  One
+    cached table per slot bounds executor memory in long-lived sessions;
+    unpersisting a frame a caller still holds only costs recompute, never
+    correctness.  Used by the minhash signature table, the LM count
+    tables, the langid weight table, and the word-discovery candidate
+    stream."""
+    prev = _persist_slots.get(slot)
+    if prev is not None:
+        try:
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                return prev
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _persist_slots[slot] = df
+    return df
