@@ -95,3 +95,27 @@ def test_fast_path_no_codegen_fallback(spark):
         assert size < 200_000, f"analyzed plan blew up: {size} chars"
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_plan_keyed_persist_semantics(spark):
+    """Same plan -> the SAME cached frame comes back (warm reuse, no
+    double-persist); different plan -> previous slot occupant is evicted
+    and storage stays bounded at one table per slot."""
+    from harvesttext_spark.session import _persist_slots, plan_keyed_persist
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    a = spark.range(100).selectExpr("id", "id * 2 AS y")
+    p1 = plan_keyed_persist(a, "_test_slot")
+    p1.count()
+    p2 = plan_keyed_persist(spark.range(100).selectExpr("id", "id * 2 AS y"), "_test_slot")
+    assert p2 is p1  # identical plan reuses the materialized frame
+    b = spark.range(50).selectExpr("id", "id * 3 AS y")
+    p3 = plan_keyed_persist(b, "_test_slot")
+    p3.count()
+    assert p3 is not p1
+    assert n_persisted() <= base + 1  # old occupant evicted
+    p3.unpersist()
+    _persist_slots.pop("_test_slot", None)
