@@ -119,25 +119,62 @@ def quality_filter(pages: DataFrame, **clean_flags) -> DataFrame:
     return label(scrub(extract_text(pages), **clean_flags))
 
 
+MAX_DUP_LINE_FRAC = 0.30
+MAX_TOP_BIGRAM_CHAR_FRAC = 0.20
+
+
 def quality_filter_full(
     pages: DataFrame,
     ppl_threshold: float | None = None,
     langid_weights=None,
     langid_stats=None,
+    repetition_rules: bool = False,
     **clean_flags,
 ) -> DataFrame:
     """Extended pipeline (north_star): heuristics + KenLM-style perplexity
-    + (optionally) the trained hashed-ngram language ID.
+    + (optionally) the trained hashed-ngram language ID and the Gopher
+    repetition rules.
 
     * ppl over text_clean, self-trained on the kept-candidate corpus; docs
       with ppl above `ppl_threshold` (or above the 99th percentile when
       None) get drop_reason 'high_ppl' unless already dropped.
     * when a trained langid model is provided, lang_pred comes from it
       (margin column included); else the marker heuristic stands.
+    * repetition_rules=True adds the Gopher repetition drops over
+      text_clean: 'high_dup_lines' (dup_line_frac > 0.30) and
+      'high_top_bigram' (top_bigram_char_frac > 0.20), again only for
+      docs the earlier stages kept.
     The base keep/drop contract (F1 vs reference labels) is unchanged for
-    docs the heuristics already decide; the LM only ADDS drops.
+    docs the heuristics already decide; the extra stages only ADD drops.
     """
     labeled = quality_filter(pages, **clean_flags)
+    if repetition_rules:
+        from harvesttext_spark.functions.textstats import repetition_signals
+
+        rep = repetition_signals(
+            labeled.select(F.col("url").alias("doc_id"), F.col("text_clean").alias("text")),
+        ).withColumnRenamed("doc_id", "url")
+        labeled = (
+            labeled.join(
+                rep.select("url", "dup_line_frac", "top_bigram_char_frac"),
+                "url",
+                "left",
+            )
+            .withColumn(
+                "drop_reason",
+                F.when(
+                    F.col("keep") & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC),
+                    F.lit("high_dup_lines"),
+                )
+                .when(
+                    F.col("keep")
+                    & (F.col("top_bigram_char_frac") > MAX_TOP_BIGRAM_CHAR_FRAC),
+                    F.lit("high_top_bigram"),
+                )
+                .otherwise(F.col("drop_reason")),
+            )
+            .withColumn("keep", F.col("drop_reason").isNull())
+        )
 
     from harvesttext_spark.operators.lm_perplexity import perplexity_signal
 

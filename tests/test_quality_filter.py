@@ -196,3 +196,44 @@ def test_qf_probe_rows_cover_every_reason(spark):
         1000012: None,
     }
     assert out == expect
+
+
+def test_quality_filter_full_repetition_rules(spark):
+    """Gopher repetition drops only ADD to already-kept docs: a synthetic
+    repeated-line page flips to high_dup_lines; normal pages keep their
+    base decision; base-dropped docs keep their original reason."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+    from harvesttext_spark.pipeline.quality_filter import quality_filter_full
+
+    pages = synthesize_pages(spark, n=120, seed=3)
+    # plant a dup-line doc that still passes the base cascade (token
+    # diversity stays high; only the LINE repetition rule should fire):
+    # 4 identical lines + 4 distinct ones -> dup_line_frac = 3/8 = 0.375
+    rep_text = "\n".join(
+        ["spark engines shuffle data across partitions"] * 4
+        + [
+            "morning fog settles over quiet rivers today",
+            "seventeen green bottles stand along the wall",
+            "quantum harvest metrics improve with tuning",
+            "final unique closing line about nothing else",
+        ]
+    )
+    planted = pages.limit(1).select(
+        F.lit("https://rep.example/x").alias("url"),
+        F.col("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(rep_text).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    inp = pages.unionByName(planted.select(*pages.columns))
+    out = quality_filter_full(inp, ppl_threshold=float("inf"), repetition_rules=True)
+    r = out.filter(F.col("url") == "https://rep.example/x").collect()[0]
+    assert r["drop_reason"] == "high_dup_lines" and not r["keep"]
+    base = quality_filter_full(inp, ppl_threshold=float("inf"))
+    # repetition pass must not flip any base-dropped doc's reason
+    a = {x["url"]: x["drop_reason"] for x in base.collect() if x["drop_reason"]}
+    b = {x["url"]: x["drop_reason"] for x in out.collect() if x["drop_reason"]}
+    for url, reason in a.items():
+        assert b.get(url) in (reason, "high_dup_lines", "high_top_bigram")
