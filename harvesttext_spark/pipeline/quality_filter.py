@@ -121,6 +121,11 @@ def quality_filter(pages: DataFrame, **clean_flags) -> DataFrame:
 
 MAX_DUP_LINE_FRAC = 0.30
 MAX_TOP_BIGRAM_CHAR_FRAC = 0.20
+# Gopher's repetition thresholds assume full web pages; on a short doc a
+# SINGLE occurrence of one bigram can exceed 20% of the characters, and
+# unguarded the rule dropped 145/300 clean synthetic pages (measured).
+# Below this floor the fractions aren't evidence of repetition.
+MIN_REPETITION_CHARS = 200
 
 
 def quality_filter_full(
@@ -163,11 +168,14 @@ def quality_filter_full(
             .withColumn(
                 "drop_reason",
                 F.when(
-                    F.col("keep") & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC),
+                    F.col("keep")
+                    & (F.length("text_clean") >= MIN_REPETITION_CHARS)
+                    & (F.col("dup_line_frac") > MAX_DUP_LINE_FRAC),
                     F.lit("high_dup_lines"),
                 )
                 .when(
                     F.col("keep")
+                    & (F.length("text_clean") >= MIN_REPETITION_CHARS)
                     & (F.col("top_bigram_char_frac") > MAX_TOP_BIGRAM_CHAR_FRAC),
                     F.lit("high_top_bigram"),
                 )
