@@ -1548,6 +1548,64 @@ FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
 """
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (the URL-level dedup key; round 3): three URL
+    variants synthesized deterministically per doc_id — mixed-case hosts,
+    default ports, utm/gclid/fbclid params, fragments — canonicalized by
+    the native regexp chain; the oracle builds the same strings and runs
+    the same chain in RE2."""
+    from harvesttext_spark.functions.urls import canonical_url
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/p/"),
+                F.col("doc_id"),
+                F.lit("?id="),
+                F.col("doc_id"),
+                F.lit("&utm_source=feed#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("HTTP://Site"),
+                F.col("doc_id") % 7,
+                F.lit(".org:80/a/B?utm_campaign=x&q=1&gclid=zz"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.Example.net/img/"),
+                F.col("doc_id"),
+                F.lit("?fbclid=f"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id", url.alias("url_raw"), canonical_url(url).alias("url_canon")
+    )
+
+
+def _sql_canonical_urls() -> str:
+    from harvesttext_spark.functions.urls import canonical_url_sql
+
+    url = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Example.COM:443/p/' || doc_id"
+        " || '?id=' || doc_id || '&utm_source=feed#top'"
+        " WHEN doc_id % 3 = 1 THEN 'HTTP://Site' || (doc_id % 7) ||"
+        " '.org:80/a/B?utm_campaign=x&q=1&gclid=zz'"
+        " ELSE 'https://cdn.Example.net/img/' || doc_id || '?fbclid=f' END"
+    )
+    return (
+        "WITH u AS (SELECT doc_id, " + url + " AS url_raw FROM documents) "
+        "SELECT doc_id, url_raw, " + canonical_url_sql("url_raw")
+        + " AS url_canon FROM u"
+    )
+
+
 def q_textrank_keywords(spark, sf_dir):
     from harvesttext_spark.operators.graph import textrank_keywords
 
@@ -2040,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs32": q_simhash_pairs32,
         "repetition_signals": q_repetition_signals,
         "boilerplate_dedup": q_boilerplate_dedup,
+        "canonical_urls": q_canonical_urls,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
         "entity_linking_fuzzy": q_entity_linking_fuzzy,
@@ -2068,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,
         "repetition_signals": _sql_repetition_signals(),
         "boilerplate_dedup": SQL_BOILERPLATE_DEDUP,
+        "canonical_urls": _sql_canonical_urls(),
         "token_freq": SQL_TOKEN_FREQ,
         "token_docfreq": SQL_TOKEN_DOCFREQ,
         "bigram_stats": SQL_BIGRAM_STATS,

@@ -1,0 +1,64 @@
+"""URL canonicalization — the URL-level dedup key a Common-Crawl-style
+pipeline needs before exact text dedup (the same page is crawled under
+?utm_source=... / #fragment / mixed-case-host variants).
+
+Engine addition (the reference has no URL handling beyond clean_text's
+URL REMOVAL).  One whole-stage-codegen regexp chain, mirrored verbatim
+in the DuckDB oracle:
+
+  1. lowercase the scheme://host[:port] prefix (path/query stay cased)
+  2. strip the #fragment
+  3. drop tracking params (utm_*, gclid, fbclid, msclkid, ref)
+  4. tidy separators the param removal left behind (&& / ?& / trailing)
+  5. drop default ports (:80 for http, :443 for https)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) pairs shared with the SQL mirror — RE2-safe
+TRACKING_PARAMS = "utm_[a-z]+|gclid|fbclid|msclkid|ref"
+_PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+URL_STEPS: list[tuple[str, str]] = [
+    ("#.*$", ""),                                             # fragment
+    (f"([?&])({TRACKING_PARAMS})=[^&#]*", "$1"),              # tracking params
+    ("\\?&+", "?"),                                           # ?&x -> ?x
+    ("&&+", "&"),                                             # a&&b -> a&b
+    ("[?&]+$", ""),                                           # trailing ? / &
+    # default ports — NO lookahead (RE2 has none): capture the optional
+    # tail and re-emit it
+    ("^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+    ("^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
+]
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL column — deterministic dedup key.
+    Pure Catalyst expressions; NULL in -> NULL out."""
+    prefix = F.regexp_extract(col, _PREFIX_RE, 1)
+    plen = F.length(prefix)
+    tail = col.substr(plen + 1, F.length(col))
+    c = F.when(plen > 0, F.concat(F.lower(prefix), tail)).otherwise(col)
+    for pat, repl in URL_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def canonical_url_sql(col_expr: str) -> str:
+    """The same chain as ANSI SQL (DuckDB oracle).  Spark's $1 backref
+    becomes RE2's \\1; the chain avoids lookarounds (RE2 has none)."""
+    prefix = f"regexp_extract({col_expr}, '{_PREFIX_RE}', 1)"
+    c = (
+        f"CASE WHEN length({prefix}) > 0 THEN lower({prefix}) || "
+        f"substring({col_expr}, length({prefix}) + 1) ELSE {col_expr} END"
+    )
+    for pat, repl in URL_STEPS:
+        # DuckDB string literals are NOT backslash-escaped — the pattern
+        # goes in verbatim (doubling \? into \\? turns it into
+        # "literal backslash, optional" and corrupts the match)
+        p = pat.replace("'", "''")
+        r = repl.replace("$", "\\")
+        c = f"regexp_replace({c}, '{p}', '{r}', 'g')"
+    return c

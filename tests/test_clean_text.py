@@ -183,3 +183,28 @@ def test_t2s_phrase_three_engines_agree(spark):
         esc = t.replace("'", "''")
         (d,) = con.execute("SELECT " + t2s_sql(f"'{esc}'")).fetchone()
         assert d == g, t
+
+
+def test_canonical_url_cases(spark):
+    """Hand-checkable canonicalization cases (dedup-key semantics)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.urls import canonical_url
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&id=3#frag":
+            "https://www.example.com/Path/X?id=3",
+        "http://Site.org:80/a/B?utm_campaign=x&q=1&gclid=zz":
+            "http://site.org/a/B?q=1",
+        "https://cdn.net/img?fbclid=f": "https://cdn.net/img",
+        "https://a.b/p?x=1&y=2": "https://a.b/p?x=1&y=2",  # untouched
+        "not a url at all": "not a url at all",
+        "http://h:8080/keep?port=1": "http://h:8080/keep?port=1",  # non-default port
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw])
