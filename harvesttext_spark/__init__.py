@@ -36,3 +36,4 @@ from harvesttext_spark.functions.textstats import repetition_signals  # noqa: F4
 from harvesttext_spark.pipeline.quality_filter import (  # noqa: F401
     domain_metrics_full,
 )
+from harvesttext_spark.functions.urls import canonical_url  # noqa: F401
