@@ -602,3 +602,28 @@ def drop_boilerplate_lines(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def drop_url_dups(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """URL-level dedup for a pages table: keep ONE row per canonical URL
+    (utm/fragment/case variants collapse), surviving row = latest crawl,
+    ties broken by lexicographically-last raw url (fully deterministic —
+    repo rule: nothing order-dependent feeds output).  One shuffle on the
+    canonical key; per-key groups are tiny (crawl variants of one page),
+    so the window sort is cheap — the standard first pass before
+    text-level dedup in a CC pipeline."""
+    from pyspark.sql import Window
+
+    from harvesttext_spark.functions.urls import canonical_url
+
+    keyed = pages.withColumn("_curl", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("_curl").orderBy(
+        F.col(ts_col).desc(), F.col(url_col).desc()
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_curl")
+    )

@@ -408,3 +408,27 @@ def test_boilerplate_property_vs_python(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["text_clean"] for r in drop_boilerplate_lines(df, min_df=min_df).collect()}
     assert got == expect
+
+
+def test_drop_url_dups(spark):
+    """Canonical-URL dedup: utm/case/fragment variants collapse to the
+    latest crawl; distinct pages survive; deterministic tie-break."""
+    import datetime as dt
+
+    from harvesttext_spark.operators.dedup import drop_url_dups
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        ("https://a.example/p?utm_source=x", t(1), "old"),
+        ("HTTPS://A.Example/p#frag", t(5), "new"),
+        ("https://a.example/p", t(5), "tie"),   # same ts as 'new'
+        ("https://b.example/q", t(2), "other"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = drop_url_dups(df)
+    got = {(r["url"], r["text"]) for r in out.collect()}
+    # one survivor for the a.example group: max ts, then max raw url
+    assert ("https://b.example/q", "other") in got
+    assert len(got) == 2
+    a_survivor = [g for g in got if "a.example" in g[0].lower()][0]
+    assert a_survivor[1] == "tie"  # 'https://a...' > 'HTTPS://A...' lexicographically
