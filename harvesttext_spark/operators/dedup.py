@@ -593,13 +593,19 @@ def drop_boilerplate_lines(
     )
     # per-url contract: a doc whose EVERY line is boilerplate must stay in
     # the output (empty text), not silently vanish — downstream keep/drop
-    # and byte-identity gates are per-url
+    # and byte-identity gates are per-url.  NULL text stays NULL (an
+    # html-only page must not become the empty string — that would flip
+    # its label from null_text and mask the html-decode fallback).
     return (
-        docs.select(F.col(id_col).alias("id"))
+        docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).isNull().alias("_was_null")
+        )
         .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.when(F.col("_was_null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("text_clean", F.lit("")))
+            .alias("text_clean"),
         )
     )
 

@@ -7,7 +7,8 @@ multi-executor cluster"):
         jobs/run_quality_filter.py \
         --input  <pages parquet/iceberg path> \
         --output <output dir>  [--resume] [--buckets 4096] \
-        [--with-lm] [--synthesize N]
+        [--with-lm] [--repetition-rules] [--url-dedup] \
+        [--drop-boilerplate MIN_DF] [--synthesize N]
 
 Cluster sizing is owned by spark-submit (--num-executors et al.); the job
 never hardcodes a master.  With --resume, work restarts from the output
@@ -30,6 +31,23 @@ def main(argv=None) -> None:
     p.add_argument("--buckets", type=int, default=4096)
     p.add_argument("--max-buckets", type=int, default=None)
     p.add_argument("--with-lm", action="store_true", help="add perplexity stage")
+    p.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="pre-pass: one row per canonical URL (latest crawl wins)",
+    )
+    p.add_argument(
+        "--drop-boilerplate",
+        type=int,
+        default=None,
+        metavar="MIN_DF",
+        help="pre-pass: remove lines present in >= MIN_DF docs before filtering",
+    )
+    p.add_argument(
+        "--repetition-rules",
+        action="store_true",
+        help="with --with-lm: add Gopher repetition drops",
+    )
     p.add_argument(
         "--synthesize",
         type=int,
@@ -57,6 +75,25 @@ def main(argv=None) -> None:
         pages = spark.read.parquet(args.input)
 
     t0 = time.time()
+    # optional dedup pre-passes (the CC-pipeline order: URL-level first,
+    # then corpus boilerplate lines, then the per-doc filter stages)
+    if args.url_dedup:
+        from harvesttext_spark.operators.dedup import drop_url_dups
+
+        pages = drop_url_dups(pages)
+    if args.drop_boilerplate is not None:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.dedup import drop_boilerplate_lines
+
+        cleaned = drop_boilerplate_lines(
+            pages, text_col="text", id_col="url", min_df=args.drop_boilerplate
+        ).withColumnRenamed("text_clean", "_debo")
+        pages = (
+            pages.join(cleaned, "url", "left")
+            .withColumn("text", F.coalesce("_debo", "text"))
+            .drop("_debo")
+        )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume
 
@@ -74,8 +111,12 @@ def main(argv=None) -> None:
             quality_filter_full,
         )
 
-        fn = quality_filter_full if args.with_lm else quality_filter
-        labeled = fn(pages)
+        if args.with_lm:
+            labeled = quality_filter_full(
+                pages, repetition_rules=args.repetition_rules
+            )
+        else:
+            labeled = quality_filter(pages)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups
