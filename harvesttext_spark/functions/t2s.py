@@ -30,9 +30,17 @@ from pyspark.sql import functions as F
 
 _DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources")
 
-# private-use-area placeholders: guaranteed absent from real text the
-# battery has already stripped of zero-width/control chars; one per phrase
+# private-use-area placeholders, one per phrase.  Scraped web text CAN
+# contain BMP private-use chars (icon fonts emit U+E000..U+F8FF and the
+# battery does not strip them), so a pre-pass DELETES the whole BMP PUA
+# block before phrase substitution — identically in all three engines —
+# to guarantee placeholders never collide with input (OpenCC has no such
+# collision because it substitutes in one trie pass; the replace-chain
+# recast needs the guard).  PUA chars carry no meaning without the
+# private font, so dropping them is a no-op for conversion semantics.
 _PUA_BASE = 0xE000
+_PUA_END = 0xF8FF  # inclusive; 6400 placeholders available
+_PUA_CLASS = "[\ue000-\uf8ff]"  # RE2-safe positive class; same codepoints in the SQL mirror
 
 
 @lru_cache(maxsize=1)
@@ -62,6 +70,11 @@ def t2s_phrase_pairs() -> tuple[tuple[str, str], ...]:
             t, s = line.split("\t")
             out.append((t, s))
     out.sort(key=lambda p: (-len(p[0]), p[0]))
+    if len(out) > _PUA_END - _PUA_BASE + 1:  # placeholder space exhausted
+        raise ValueError(
+            f"{len(out)} t2s phrases exceed the {_PUA_END - _PUA_BASE + 1} "
+            "BMP private-use placeholders"
+        )
     return tuple(out)
 
 
@@ -78,8 +91,16 @@ def _restore_table() -> dict[int, str]:
     }
 
 
+@lru_cache(maxsize=1)
+def _pua_delete_table() -> dict[int, None]:
+    return {cp: None for cp in range(_PUA_BASE, _PUA_END + 1)}
+
+
 def t2s_py(text: str, phrases: bool = True) -> str:
     if phrases:
+        # collision guard: delete any pre-existing PUA chars so the
+        # restore pass can never rewrite input bytes into phrase targets
+        text = text.translate(_pua_delete_table())
         for i, (t, _) in enumerate(t2s_phrase_pairs()):
             if t in text:
                 text = text.replace(t, chr(_PUA_BASE + i))
@@ -94,6 +115,8 @@ def t2s_col(col: Column, phrases: bool = True) -> Column:
     phrase targets.  Literal (non-regex) replace throughout."""
     c = col
     if phrases:
+        # same PUA collision guard as t2s_py (see _PUA_CLASS comment)
+        c = F.regexp_replace(c, _PUA_CLASS, "")
         for i, (t, _) in enumerate(t2s_phrase_pairs()):
             c = F.replace(c, F.lit(t), F.lit(chr(_PUA_BASE + i)))
     src = "".join(t for t, _ in t2s_pairs())
@@ -113,6 +136,9 @@ def t2s_sql(col_expr: str, phrases: bool = True) -> str:
 
     c = col_expr
     if phrases:
+        # same PUA collision guard; DuckDB literals are not
+        # backslash-escaped, so the codepoints go in verbatim
+        c = f"regexp_replace({c}, '{_PUA_CLASS}', '', 'g')"
         for i, (t, _) in enumerate(t2s_phrase_pairs()):
             c = f"replace({c}, '{q(t)}', '{q(chr(_PUA_BASE + i))}')"
     src = "".join(t for t, _ in t2s_pairs())

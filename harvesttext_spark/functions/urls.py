@@ -8,7 +8,7 @@ in the DuckDB oracle:
 
   1. lowercase the scheme://host[:port] prefix (path/query stay cased)
   2. strip the #fragment
-  3. drop tracking params (utm_*, gclid, fbclid, msclkid, ref)
+  3. drop tracking params (utm_*, gclid, fbclid, msclkid; configurable)
   4. tidy separators the param removal left behind (&& / ?& / trailing)
   5. drop default ports (:80 for http, :443 for https)
 """
@@ -18,35 +18,43 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (pattern, replacement) pairs shared with the SQL mirror — RE2-safe
-TRACKING_PARAMS = "utm_[a-z]+|gclid|fbclid|msclkid|ref"
+# (pattern, replacement) pairs shared with the SQL mirror — RE2-safe.
+# Only UNAMBIGUOUS tracking params by default: a bare `ref` (previous
+# default) is functional on some sites (git refs, referral codes that
+# change the page), and stripping it collides canonical keys so
+# drop_url_dups deletes genuinely distinct pages.  Jobs with a known
+# site mix pass their own alternation via `tracking_params`.
+TRACKING_PARAMS = "utm_[a-z]+|gclid|fbclid|msclkid"
 _PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
-URL_STEPS: list[tuple[str, str]] = [
-    ("#.*$", ""),                                             # fragment
-    (f"([?&])({TRACKING_PARAMS})=[^&#]*", "$1"),              # tracking params
-    ("\\?&+", "?"),                                           # ?&x -> ?x
-    ("&&+", "&"),                                             # a&&b -> a&b
-    ("[?&]+$", ""),                                           # trailing ? / &
-    # default ports — NO lookahead (RE2 has none): capture the optional
-    # tail and re-emit it
-    ("^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
-    ("^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
-]
 
 
-def canonical_url(col: Column) -> Column:
+def url_steps(tracking_params: str = TRACKING_PARAMS) -> list[tuple[str, str]]:
+    return [
+        ("#.*$", ""),                                          # fragment
+        (f"([?&])({tracking_params})=[^&#]*", "$1"),           # tracking params
+        ("\\?&+", "?"),                                        # ?&x -> ?x
+        ("&&+", "&"),                                          # a&&b -> a&b
+        ("[?&]+$", ""),                                        # trailing ? / &
+        # default ports — NO lookahead (RE2 has none): capture the
+        # optional tail and re-emit it
+        ("^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+        ("^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
+    ]
+
+
+def canonical_url(col: Column, tracking_params: str = TRACKING_PARAMS) -> Column:
     """Canonical form of a URL column — deterministic dedup key.
     Pure Catalyst expressions; NULL in -> NULL out."""
     prefix = F.regexp_extract(col, _PREFIX_RE, 1)
     plen = F.length(prefix)
     tail = col.substr(plen + 1, F.length(col))
     c = F.when(plen > 0, F.concat(F.lower(prefix), tail)).otherwise(col)
-    for pat, repl in URL_STEPS:
+    for pat, repl in url_steps(tracking_params):
         c = F.regexp_replace(c, pat, repl)
     return c
 
 
-def canonical_url_sql(col_expr: str) -> str:
+def canonical_url_sql(col_expr: str, tracking_params: str = TRACKING_PARAMS) -> str:
     """The same chain as ANSI SQL (DuckDB oracle).  Spark's $1 backref
     becomes RE2's \\1; the chain avoids lookarounds (RE2 has none)."""
     prefix = f"regexp_extract({col_expr}, '{_PREFIX_RE}', 1)"
@@ -54,7 +62,7 @@ def canonical_url_sql(col_expr: str) -> str:
         f"CASE WHEN length({prefix}) > 0 THEN lower({prefix}) || "
         f"substring({col_expr}, length({prefix}) + 1) ELSE {col_expr} END"
     )
-    for pat, repl in URL_STEPS:
+    for pat, repl in url_steps(tracking_params):
         # DuckDB string literals are NOT backslash-escaped — the pattern
         # goes in verbatim (doubling \? into \\? turns it into
         # "literal backslash, optional" and corrupts the match)

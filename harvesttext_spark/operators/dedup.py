@@ -565,18 +565,26 @@ def drop_boilerplate_lines(
     """(doc_id, text_clean): remove every line whose normalized form occurs
     in >= min_df distinct documents (headers, footers, cookie banners —
     the CCNet/C4 boilerplate pass), preserving the order of surviving
-    lines.  Shape at 100 TB: the line census is a bounded-key groupBy;
-    the drop join broadcasts nothing per-row — it joins lines to the
-    (small, boilerplate-only) hot-line table, so the second shuffle
-    carries only line keys, and reassembly is one groupBy(doc)."""
+    lines.  Shape at 100 TB: the line census is a hot-key-safe two-stage
+    groupBy; the drop is a shuffled left-anti join on the uniform
+    line_key (the hot-line table can itself be huge — see inline
+    comment); reassembly is one groupBy(doc).
+
+    ``id_col`` MUST be unique per row: the reassembly groupBy merges
+    lines sharing an id into one text (dedup urls first — see
+    jobs/run_quality_filter.py, which guarantees this)."""
     hot = line_doc_freq(docs, text_col, id_col).filter(F.col("df") >= min_df)
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("line_key", F.lower(F.trim(F.col("line"))))
-    kept = lines.join(
-        F.broadcast(hot.select("line_key")), "line_key", "left_anti"
-    )
+    # NO broadcast hint: at Common-Crawl scale the set of lines with
+    # df >= min_df is NOT small (cookie banners alone are millions of
+    # distinct normalized strings), and a forced broadcast OOMs exactly
+    # when this operator matters.  The scale-safe shape is a shuffled
+    # left-anti join on the uniform line_key; AQE still picks a
+    # broadcast join at test scale when the hot table measures small.
+    kept = lines.join(hot.select("line_key"), "line_key", "left_anti")
     rebuilt = (
         kept.groupBy("id")
         .agg(
@@ -611,22 +619,33 @@ def drop_boilerplate_lines(
 
 
 def drop_url_dups(
-    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonicalize: bool = True,
 ) -> DataFrame:
     """URL-level dedup for a pages table: keep ONE row per canonical URL
     (utm/fragment/case variants collapse), surviving row = latest crawl,
-    ties broken by lexicographically-last raw url (fully deterministic —
-    repo rule: nothing order-dependent feeds output).  One shuffle on the
-    canonical key; per-key groups are tiny (crawl variants of one page),
-    so the window sort is cheap — the standard first pass before
-    text-level dedup in a CC pipeline."""
+    ties broken by lexicographically-last raw url, then by a content
+    hash over every remaining column (two rows identical in url AND
+    timestamp but different payloads still pick a fully deterministic
+    survivor — repo rule: nothing order-dependent feeds output).  One
+    shuffle on the canonical key; per-key groups are tiny (crawl
+    variants of one page), so the window sort is cheap — the standard
+    first pass before text-level dedup in a CC pipeline.
+
+    ``canonicalize=False`` dedups on the EXACT url (no utm/fragment
+    collapsing) — the url-uniqueness guarantee passes like
+    drop_boilerplate_lines need without changing which pages exist."""
     from pyspark.sql import Window
 
     from harvesttext_spark.functions.urls import canonical_url
 
-    keyed = pages.withColumn("_curl", canonical_url(F.col(url_col)))
+    key = canonical_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    keyed = pages.withColumn("_curl", key)
+    payload_hash = F.xxhash64(*[F.col(c) for c in pages.columns])
     w = Window.partitionBy("_curl").orderBy(
-        F.col(ts_col).desc(), F.col(url_col).desc()
+        F.col(ts_col).desc(), F.col(url_col).desc(), payload_hash.desc()
     )
     return (
         keyed.withColumn("_rn", F.row_number().over(w))

@@ -143,6 +143,10 @@ def quality_filter_full(
     * ppl over text_clean, self-trained on the kept-candidate corpus; docs
       with ppl above `ppl_threshold` (or above the 99th percentile when
       None) get drop_reason 'high_ppl' unless already dropped.
+      At 100 TB pass an EXPLICIT ppl_threshold (e.g. from the previous
+      run's domain_metrics_full): the None default computes an
+      approxQuantile mid-pipeline — a driver action that forces one
+      extra full pass over the joined frame before the job's real sink.
     * when a trained langid model is provided, lang_pred comes from it
       (margin column included); else the marker heuristic stands.
     * repetition_rules=True adds the Gopher repetition drops over
@@ -153,6 +157,16 @@ def quality_filter_full(
     docs the heuristics already decide; the extra stages only ADD drops.
     """
     labeled = quality_filter(pages, **clean_flags)
+    # Materialize the labeled frame ONCE before the model stages: the
+    # repetition join, the LM train+score pass, and the final joins each
+    # re-derive from `labeled`, so without this the battery recomputes
+    # 3x — and with fast_path the duplicated native chain (thousands of
+    # expression nodes) blows up Catalyst optimization superlinearly
+    # (measured: >240s driver-side hang inside cacheQuery at 400 rows).
+    # MEMORY_AND_DISK spills at 100 TB like any staged pipeline table.
+    from harvesttext_spark.session import plan_keyed_persist
+
+    labeled = plan_keyed_persist(labeled, "qf_full_labeled")
     if repetition_rules:
         from harvesttext_spark.functions.textstats import repetition_signals
 

@@ -11,6 +11,7 @@ All knobs chosen for correctness-vs-oracle and 100TB-scale hygiene:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -92,6 +93,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 # --- plan-keyed LRU-1 persist ----------------------------------------------
 
 _persist_slots: dict = {}
+_persist_lock = threading.Lock()
 
 
 def plan_keyed_persist(df, slot: str):
@@ -103,17 +105,28 @@ def plan_keyed_persist(df, slot: str):
     unpersisting a frame a caller still holds only costs recompute, never
     correctness.  Used by the minhash signature table, the LM count
     tables, the langid weight table, and the word-discovery candidate
-    stream."""
-    prev = _persist_slots.get(slot)
-    if prev is not None:
-        try:
-            if prev._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
-            ):
+    stream.
+
+    The sameResult probe and the unpersist are guarded SEPARATELY: a
+    Py4J failure in the probe must not skip the eviction — otherwise the
+    slot is overwritten while the old table stays persisted and the
+    LRU-1 memory bound silently degrades.  A lock serializes concurrent
+    callers (threaded jobs share the module-level slot dict)."""
+    with _persist_lock:
+        prev = _persist_slots.get(slot)
+        if prev is not None:
+            try:
+                same = prev._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()
+                )
+            except Exception:
+                same = False
+            if same:
                 return prev
-            prev.unpersist()
-        except Exception:
-            pass
-    df = df.persist()
-    _persist_slots[slot] = df
-    return df
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        df = df.persist()
+        _persist_slots[slot] = df
+        return df

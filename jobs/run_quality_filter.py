@@ -8,7 +8,8 @@ multi-executor cluster"):
         --input  <pages parquet/iceberg path> \
         --output <output dir>  [--resume] [--buckets 4096] \
         [--with-lm] [--repetition-rules] [--url-dedup] \
-        [--drop-boilerplate MIN_DF] [--synthesize N]
+        [--drop-boilerplate MIN_DF] [--fast-path] \
+        [--ppl-threshold X] [--synthesize N]
 
 Cluster sizing is owned by spark-submit (--num-executors et al.); the job
 never hardcodes a master.  With --resume, work restarts from the output
@@ -21,6 +22,42 @@ import argparse
 import json
 import sys
 import time
+
+
+def apply_pre_passes(pages, url_dedup: bool = False, boilerplate_min_df: int | None = None):
+    """The optional dedup pre-passes, CC-pipeline order: URL-level dedup
+    first, then corpus boilerplate-line removal.  Factored out of main()
+    so the wiring (NOT just the operators) is testable in-process.
+
+    drop_boilerplate_lines groups lines by url, so its input MUST be
+    url-unique: with duplicate urls (the exact shape --url-dedup exists
+    for, and the flags are independent) lines from different rows would
+    interleave into one merged text and fan back onto every dup row.
+    When --url-dedup was not requested, an exact-url dedup (no
+    canonicalization — the page set is unchanged) guarantees uniqueness."""
+    if url_dedup:
+        from harvesttext_spark.operators.dedup import drop_url_dups
+
+        pages = drop_url_dups(pages)
+    if boilerplate_min_df is not None:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.dedup import (
+            drop_boilerplate_lines,
+            drop_url_dups,
+        )
+
+        if not url_dedup:
+            pages = drop_url_dups(pages, canonicalize=False)
+        cleaned = drop_boilerplate_lines(
+            pages, text_col="text", id_col="url", min_df=boilerplate_min_df
+        ).withColumnRenamed("text_clean", "_debo")
+        pages = (
+            pages.join(cleaned, "url", "left")
+            .withColumn("text", F.coalesce("_debo", "text"))
+            .drop("_debo")
+        )
+    return pages
 
 
 def main(argv=None) -> None:
@@ -49,6 +86,20 @@ def main(argv=None) -> None:
         help="with --with-lm: add Gopher repetition drops",
     )
     p.add_argument(
+        "--fast-path",
+        action="store_true",
+        help="route pure-ASCII rows through the Catalyst-native clean chain "
+        "(byte-equivalent to the Arrow UDF battery; +~19%% on latin corpora)",
+    )
+    p.add_argument(
+        "--ppl-threshold",
+        type=float,
+        default=None,
+        help="with --with-lm: explicit high_ppl cutoff. Scheduled runs should "
+        "pass yesterday's domain_metrics-derived value; when omitted the job "
+        "computes the 99th percentile mid-pipeline (one extra full scan)",
+    )
+    p.add_argument(
         "--synthesize",
         type=int,
         default=None,
@@ -56,15 +107,21 @@ def main(argv=None) -> None:
     )
     args = p.parse_args(argv)
 
+    import os
+
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("ht_quality_filter")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # cluster runs size the driver via spark-submit; this only affects
+    # plain-python smoke runs, where the 1g default OOMs the LM stage
+    if os.environ.get("SPARK_DRIVER_MEM"):
+        builder = builder.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEM"])
+    spark = builder.getOrCreate()
 
     if args.synthesize:
         from harvesttext_spark.pipeline.pages import synthesize_pages
@@ -75,25 +132,9 @@ def main(argv=None) -> None:
         pages = spark.read.parquet(args.input)
 
     t0 = time.time()
-    # optional dedup pre-passes (the CC-pipeline order: URL-level first,
-    # then corpus boilerplate lines, then the per-doc filter stages)
-    if args.url_dedup:
-        from harvesttext_spark.operators.dedup import drop_url_dups
-
-        pages = drop_url_dups(pages)
-    if args.drop_boilerplate is not None:
-        from pyspark.sql import functions as F
-
-        from harvesttext_spark.operators.dedup import drop_boilerplate_lines
-
-        cleaned = drop_boilerplate_lines(
-            pages, text_col="text", id_col="url", min_df=args.drop_boilerplate
-        ).withColumnRenamed("text_clean", "_debo")
-        pages = (
-            pages.join(cleaned, "url", "left")
-            .withColumn("text", F.coalesce("_debo", "text"))
-            .drop("_debo")
-        )
+    pages = apply_pre_passes(
+        pages, url_dedup=args.url_dedup, boilerplate_min_df=args.drop_boilerplate
+    )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume
 
@@ -112,11 +153,22 @@ def main(argv=None) -> None:
         )
 
         if args.with_lm:
+            if args.ppl_threshold is None:
+                print(
+                    "note: no --ppl-threshold; computing the 99th percentile "
+                    "mid-pipeline (one extra full scan — scheduled runs should "
+                    "pass an explicit value from the previous run's "
+                    "domain_metrics)",
+                    file=sys.stderr,
+                )
             labeled = quality_filter_full(
-                pages, repetition_rules=args.repetition_rules
+                pages,
+                ppl_threshold=args.ppl_threshold,
+                repetition_rules=args.repetition_rules,
+                fast_path=args.fast_path,
             )
         else:
-            labeled = quality_filter(pages)
+            labeled = quality_filter(pages, fast_path=args.fast_path)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups

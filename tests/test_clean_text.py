@@ -185,6 +185,35 @@ def test_t2s_phrase_three_engines_agree(spark):
         assert d == g, t
 
 
+def test_t2s_pua_collision_guard(spark):
+    """Input already containing BMP private-use chars (icon fonts in
+    scraped web text) must NOT be rewritten into phrase simplified forms
+    by the placeholder-restore pass — the guard deletes the PUA block
+    first, identically in all three engines."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.t2s import t2s_col, t2s_py, t2s_sql
+
+    p0 = chr(0xE000)   # phrase 0's own placeholder — worst-case collision
+    apple = chr(0xF8FF)  # end of the guarded range (Apple-logo slot)
+    texts = [
+        f"icon {p0} font",        # unguarded: injects phrase 0's target
+        f"{p0}{apple} 漢語 {p0}",  # PUA mixed with real conversion work
+        f"end-of-range {apple} only",
+    ]
+    want = ["icon  font", " 汉语 ", "end-of-range  only"]
+    assert [t2s_py(t) for t in texts] == want
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["o"] for r in df.select(t2s_col(F.col("text")).alias("o")).collect()]
+    assert got == want
+    con = duckdb.connect()
+    for t, w in zip(texts, want):
+        esc = t.replace("'", "''")
+        (d,) = con.execute("SELECT " + t2s_sql(f"'{esc}'")).fetchone()
+        assert d == w, t
+
+
 def test_canonical_url_cases(spark):
     """Hand-checkable canonicalization cases (dedup-key semantics)."""
     from pyspark.sql import functions as F

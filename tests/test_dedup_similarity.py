@@ -432,3 +432,45 @@ def test_drop_url_dups(spark):
     assert len(got) == 2
     a_survivor = [g for g in got if "a.example" in g[0].lower()][0]
     assert a_survivor[1] == "tie"  # 'https://a...' > 'HTTPS://A...' lexicographically
+
+
+def test_drop_url_dups_content_hash_tiebreak(spark):
+    """Two rows identical in url AND timestamp but different payloads must
+    pick the SAME survivor on every run/partitioning (the window orderBy
+    ends in a full-row xxhash64 — nothing order-dependent feeds output)."""
+    import datetime as dt
+
+    from harvesttext_spark.operators.dedup import drop_url_dups
+
+    rows = [
+        ("https://a.example/p", dt.datetime(2024, 1, 1), "payload one"),
+        ("https://a.example/p", dt.datetime(2024, 1, 1), "payload two"),
+    ]
+    df1 = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    df2 = spark.createDataFrame(
+        list(reversed(rows)), "url string, warc_ts timestamp, text string"
+    ).repartition(7)
+    (a,) = drop_url_dups(df1).collect()
+    (b,) = drop_url_dups(df2).collect()
+    assert a["text"] == b["text"]  # input order / partitioning irrelevant
+
+
+def test_drop_url_dups_exact_mode(spark):
+    """canonicalize=False dedups on the EXACT url only — utm variants
+    survive as distinct pages (the url-uniqueness guarantee pre-pass for
+    drop_boilerplate_lines, without changing which pages exist)."""
+    import datetime as dt
+
+    from harvesttext_spark.operators.dedup import drop_url_dups
+
+    rows = [
+        ("https://a.example/p?utm_source=x", dt.datetime(2024, 1, 1), "v1"),
+        ("https://a.example/p", dt.datetime(2024, 1, 2), "v2"),
+        ("https://a.example/p", dt.datetime(2024, 1, 3), "v3"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {r["url"]: r["text"] for r in drop_url_dups(df, canonicalize=False).collect()}
+    assert got == {
+        "https://a.example/p?utm_source=x": "v1",  # distinct exact url kept
+        "https://a.example/p": "v3",               # latest crawl wins
+    }

@@ -97,6 +97,29 @@ def test_fast_path_no_codegen_fallback(spark):
         spark.conf.set("spark.sql.codegen.fallback", old)
 
 
+def test_boilerplate_antijoin_unforced(spark):
+    """drop_boilerplate_lines must NOT force-broadcast the hot-line table:
+    at Common-Crawl scale the df>=min_df line set is huge (cookie banners
+    alone are millions of distinct normalized lines) and a broadcast hint
+    OOMs exactly when the operator matters.  Pin: the optimized logical
+    plan keeps the left-anti join with NO join hint (AQE is free to pick
+    broadcast at runtime when the table measures small), and the physical
+    plan has no cartesian product."""
+    from harvesttext_spark.operators.dedup import drop_boilerplate_lines
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+
+    docs = synthesize_pages(spark, n=100, seed=1).selectExpr(
+        "url AS doc_id", "text"
+    )
+    out = drop_boilerplate_lines(docs, min_df=5)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in logical
+    # an explicit F.broadcast() survives into the optimized plan as a
+    # join hint — its absence is the unforced-ness we pin
+    assert "broadcast" not in logical.lower()
+    assert "CartesianProduct" not in plan_of(out)
+
+
 def test_plan_keyed_persist_semantics(spark):
     """Same plan -> the SAME cached frame comes back (warm reuse, no
     double-persist); different plan -> previous slot occupant is evicted

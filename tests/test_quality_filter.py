@@ -237,3 +237,38 @@ def test_quality_filter_full_repetition_rules(spark):
     b = {x["url"]: x["drop_reason"] for x in out.collect() if x["drop_reason"]}
     for url, reason in a.items():
         assert b.get(url) in (reason, "high_dup_lines", "high_top_bigram")
+
+
+def test_job_boilerplate_pre_pass_with_dup_urls(spark):
+    """Job wiring guard: --drop-boilerplate must survive DUPLICATE urls.
+    Unguarded, drop_boilerplate_lines' groupBy(url) interleaves lines from
+    different rows into one merged text and fans it back onto every dup —
+    the wiring dedups exact urls first (latest crawl survives)."""
+    import datetime as dt
+
+    from jobs.run_quality_filter import apply_pre_passes
+
+    boiler = "accept all cookies"
+    rows = [
+        # same url crawled twice with different bodies
+        ("https://d.example/p", dt.datetime(2024, 1, 1),
+         f"{boiler}\nold body line"),
+        ("https://d.example/p", dt.datetime(2024, 2, 1),
+         f"{boiler}\nnew body line"),
+        ("https://d.example/q", dt.datetime(2024, 1, 1),
+         f"{boiler}\nunrelated page q"),
+        ("https://d.example/r", dt.datetime(2024, 1, 1),
+         f"{boiler}\npage r keeps this"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = {
+        r["url"]: r["text"]
+        for r in apply_pre_passes(df, url_dedup=False, boilerplate_min_df=3).collect()
+    }
+    # one row per url, boilerplate line gone, NO cross-row interleaving,
+    # and the url-dup survivor is the latest crawl
+    assert out == {
+        "https://d.example/p": "new body line",
+        "https://d.example/q": "unrelated page q",
+        "https://d.example/r": "page r keeps this",
+    }
