@@ -1,0 +1,161 @@
+"""Wrap-ritual gate: run the driver's correctness check over the FULL
+current contract and fail loudly on any gap.
+
+Round 3's process bug: three queries landed *after* the driver check ran,
+so CORRECTNESS_r03.json covered 50/53 entries.  This tool makes the wrap
+queries()-driven, like the generated STATUS counts:
+
+    python tools/check_contract.py                      # sf0.01, like the driver
+    python tools/check_contract.py --against CORRECTNESS_r03.json
+
+* every ``queries()`` entry runs on Spark at --sf-dir;
+* every ``oracle_sql()`` entry also runs in DuckDB and must match on
+  rows + schema + order-insensitive value hash (the driver's compare);
+* entries without an oracle get the driver's weaker rows-only check;
+* with --against, exits nonzero if the recorded file's key set differs
+  from the live contract (the stale-CORRECTNESS failure mode).
+
+Writes a driver-shaped JSON report to --out (default
+CORRECTNESS_local.json, gitignored-ish scratch) and exits 0 only if every
+check is green AND coverage is complete.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+                    v = 0.0 if v == 0 else v
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default="CORRECTNESS_local.json")
+    p.add_argument(
+        "--against",
+        default=None,
+        help="recorded CORRECTNESS_r{N}.json to diff key-coverage against",
+    )
+    p.add_argument("--only", default=None, help="comma-separated subset of queries")
+    args = p.parse_args(argv)
+
+    import __spark_entry__ as entrymod
+    from harvesttext_spark.session import get_spark
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sorted(queries)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+
+    spark = get_spark(app_name="check_contract")
+    report: dict[str, dict] = {}
+    red: list[str] = []
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        entry: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            sdf = queries[name](spark, args.sf_dir).toPandas()
+            entry["spark_rows"] = len(sdf)
+            if name in oracles:
+                con = _duck(args.sf_dir)
+                ddf = con.execute(oracles[name]).df()
+                entry["oracle_rows"] = len(ddf)
+                entry["rows_match"] = len(sdf) == len(ddf)
+                entry["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+                entry["hash_match"] = entry["schema_match"] and _normalize(
+                    sdf.to_dict("records"), list(sdf.columns)
+                ) == _normalize(ddf.to_dict("records"), list(ddf.columns))
+                ok = entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+            else:
+                entry["rows_match"] = entry["spark_rows"] >= 0  # rows-only check
+                ok = entry["rows_match"]
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            entry["err"] = f"{type(exc).__name__}: {exc}"[:500]
+            ok = False
+        if not ok:
+            red.append(name)
+        kind = "oracle" if name in oracles else "rows-only"
+        print(
+            f"{'OK ' if ok else 'RED'} {name:34s} {kind:9s} "
+            f"{time.time() - t0:6.2f}s  rows={entry['spark_rows']}",
+            file=sys.stderr,
+        )
+        report[name] = entry
+    spark.stop()
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+
+    rc = 0
+    if red:
+        print(f"RED queries: {red}", file=sys.stderr)
+        rc = 1
+    if args.against:
+        with open(args.against) as f:
+            recorded = set(json.load(f))
+        live = set(queries)
+        if recorded != live:
+            print(
+                f"contract drift vs {args.against}: "
+                f"missing={sorted(live - recorded)} stale={sorted(recorded - live)}",
+                file=sys.stderr,
+            )
+            rc = 1
+        else:
+            print(f"coverage complete vs {args.against}: {len(live)} queries",
+                  file=sys.stderr)
+    n_orc = sum(1 for n in names if n in oracles)
+    print(
+        f"checked {len(names)} queries ({n_orc} value oracles) at {args.sf_dir} "
+        f"in {time.time() - t_all:.1f}s — {'ALL GREEN' if rc == 0 or not red else 'FAILURES'}",
+        file=sys.stderr,
+    )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
