@@ -1754,6 +1754,187 @@ SELECT doc_id, text_clean, drop_reason IS NULL AS keep, drop_reason FROM lab
 """
 
 
+# --- extended cascade (round 4): base + Gopher repetition + high_ppl --------
+
+# sits in a measured gap of the self-trained ppl distribution: word-soup
+# docs cluster at ~26-39 with no value in (34.08, 34.43) at sf0.001 and
+# none in (33.62, 34.68) at sf0.01 — fires on the 2-3 per-SF outliers,
+# never within fp64-noise of a doc
+QFF_PPL_THRESHOLD = 34.2
+
+QFF_EXTRA_PROBES = [
+    # high_dup_lines: passes the base cascade (52 tokens, 0.6 distinct
+    # ratio, no run, alnum ok) but 4/8 lines identical -> dlf 0.375
+    (1000013, "\n".join(
+        ["spark engines shuffle data across partitions"] * 4
+        + [
+            "morning fog settles over quiet rivers today",
+            "seventeen green bottles stand along the wall",
+            "quantum harvest metrics improve with tuning",
+            "final unique closing line about nothing else",
+        ]
+    )),
+    # high_top_bigram: single line (dlf 0), 217 chars >= the 200 floor,
+    # 'alpha beta' covers 80/217 = 0.369 > 0.20, diversity 14/28 = 0.5
+    (1000014, " ".join(
+        f"alpha beta {w}"
+        for w in [
+            "granitefield", "harborstones", "jasminecourt", "kernelsprout",
+            "lanternglass", "meadowsworth", "nimbuscarved", "orchardgates",
+        ]
+    ) + " closing words differ here"),
+]
+
+
+def q_quality_filter_full_labels(spark, sf_dir):
+    """Extended-cascade value oracle (round 4 — the quality_filter_full
+    drops were pytest-only): battery + base cascade + Gopher repetition
+    drops + KenLM-style high_ppl at a FIXED threshold, composed through
+    the real pipeline function and label+ppl hash-checked against a
+    DuckDB mirror of every stage.  Probe rows plant a dup-lines page and
+    a top-bigram page; high_ppl fires on the word-soup ppl outliers."""
+    from harvesttext_spark.pipeline.quality_filter import quality_filter_full
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("raw"))
+    base = d.unionByName(_probe_df(spark, QF_PROBES + QFF_EXTRA_PROBES))
+    pages = base.select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("raw").alias("text"),
+    )
+    out = quality_filter_full(
+        pages, ppl_threshold=QFF_PPL_THRESHOLD, repetition_rules=True
+    )
+    return out.select(
+        "doc_id", "keep", "drop_reason", F.round("ppl", 6).alias("ppl")
+    )
+
+
+def _sql_quality_filter_full_labels() -> str:
+    """Battery chain + base cascade (as _sql_quality_filter_labels), then
+    the repetition signals (SQL_REPETITION_SIGNALS shapes) and the
+    self-trained bigram LM (SQL_LM_PERPLEXITY shapes) over text_clean,
+    composed into the same when-chain as quality_filter_full."""
+    c = _sql_clean_chain("raw")
+    probe_rows = ", ".join(
+        "({}::BIGINT, {})".format(
+            i,
+            "NULL::VARCHAR"
+            if t is None
+            else "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'",
+        )
+        for i, t in QF_PROBES + QFF_EXTRA_PROBES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text AS raw FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {probe_rows}) v(doc_id, raw)
+),
+cleaned AS (SELECT doc_id, {c} AS text_clean FROM base),
+sig AS (
+  SELECT doc_id, text_clean,
+         length(text_clean) AS n_chars,
+         (length(text_clean) - length(regexp_replace(text_clean, '[A-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))
+           / greatest(length(text_clean), 1) AS alnum_ratio,
+         list_filter(regexp_split_to_array(text_clean, '\\s+'), x -> x != '') AS toks,
+         len(list_filter(list_distinct(string_split(text_clean, '')),
+                         ch -> ch != '' AND contains(text_clean, repeat(ch, 10)))) > 0 AS char_run10
+  FROM cleaned
+),
+lab AS (
+  SELECT doc_id, text_clean,
+         CASE WHEN text_clean IS NULL THEN 'null_text'
+              WHEN n_chars < 20 THEN 'too_short'
+              WHEN char_run10 THEN 'char_run'
+              WHEN alnum_ratio < 0.45 THEN 'low_alnum'
+              WHEN len(toks) >= 20 AND len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) < 0.30
+                   THEN 'low_diversity'
+              ELSE NULL END AS drop_reason
+  FROM sig
+),
+ln AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text_clean, chr(10))) AS l FROM cleaned)
+  WHERE trim(l) != ''
+),
+per_line AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY doc_id, line),
+lstats AS (
+  SELECT doc_id, 1.0 - count(*) * 1.0 / sum(cnt) AS dlf
+  FROM per_line GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, length(text_clean) AS n_chars,
+         list_filter(regexp_split_to_array(text_clean, '\\s+'), x -> x != '') AS ws
+  FROM cleaned
+),
+bg AS (
+  SELECT doc_id, n_chars, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM (SELECT doc_id, n_chars, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM tok WHERE len(ws) >= 2)
+),
+per_bg AS (SELECT doc_id, n_chars, bg, count(*) AS cnt FROM bg GROUP BY doc_id, n_chars, bg),
+bstats AS (
+  SELECT doc_id, max(cnt * length(bg)) * 1.0 / greatest(any_value(n_chars), 1) AS tbcf
+  FROM per_bg GROUP BY doc_id
+),
+lmbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text_clean, '\\s+'), t -> t != '') AS ws,
+         CASE WHEN len(ws) < 2 AND length(text_clean) >= 2
+              THEN list_filter(string_split(text_clean, ''), c -> c != '' AND c != ' ')
+              ELSE ws END AS toks
+  FROM cleaned
+),
+valid AS (SELECT doc_id, toks FROM lmbase WHERE len(toks) >= 2),
+uni AS (SELECT t AS word, count(*) AS c1 FROM (SELECT unnest(toks) AS t FROM valid) GROUP BY t),
+total AS (SELECT sum(c1) AS tt FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT toks[i] AS w1, toks[i+1] AS w2
+    FROM (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM valid)
+  ) GROUP BY w1, w2
+),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM valid)
+),
+ppl AS (
+  SELECT doc_id, exp(-avg(lp)) AS ppl FROM (
+    SELECT p.doc_id,
+           CASE WHEN b.c2 IS NOT NULL THEN ln(b.c2 * 1.0 / u1.c1)
+                ELSE ln(0.4 * coalesce(u2.c1, 1) / (SELECT tt FROM total)) END AS lp
+    FROM pairs p
+    LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+    LEFT JOIN uni u1 ON p.w1 = u1.word
+    LEFT JOIN uni u2 ON p.w2 = u2.word
+  ) GROUP BY doc_id
+),
+lab2 AS (
+  SELECT l.doc_id, l.text_clean,
+         CASE WHEN l.drop_reason IS NOT NULL THEN l.drop_reason
+              WHEN length(l.text_clean) >= 200 AND round(coalesce(ls.dlf, 0), 6) > 0.30
+                   THEN 'high_dup_lines'
+              WHEN length(l.text_clean) >= 200 AND round(coalesce(bs.tbcf, 0), 6) > 0.20
+                   THEN 'high_top_bigram'
+              ELSE NULL END AS dr1
+  FROM lab l
+  LEFT JOIN lstats ls ON l.doc_id = ls.doc_id
+  LEFT JOIN bstats bs ON l.doc_id = bs.doc_id
+),
+fin AS (
+  SELECT lab2.doc_id,
+         CASE WHEN dr1 IS NOT NULL THEN dr1
+              WHEN p.ppl > {QFF_PPL_THRESHOLD} THEN 'high_ppl'
+              ELSE NULL END AS drop_reason,
+         p.ppl AS ppl
+  FROM lab2 LEFT JOIN ppl p ON lab2.doc_id = p.doc_id
+)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, round(ppl, 6) AS ppl FROM fin
+"""
+
+
 def q_cut_sentences(spark, sf_dir):
     from harvesttext_spark.functions.sentences import explode_sentences
 
@@ -2104,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_fuzzy": q_entity_linking_fuzzy,
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
+        "quality_filter_full_labels": q_quality_filter_full_labels,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
@@ -2158,5 +2340,6 @@ def oracle_sql() -> dict[str, str]:
         "langid_trained": SQL_LANGID_TRAINED,
         "pagerank_tokens": _sql_pagerank(),
         "quality_filter_labels": _sql_quality_filter_labels(),
+        "quality_filter_full_labels": _sql_quality_filter_full_labels(),
         "clean_text": _sql_clean_text(),
     }
