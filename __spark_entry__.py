@@ -1302,6 +1302,67 @@ def _sql_punkt_starters() -> str:
     )
 
 
+# probe for the round-4 token-stage queries: collocation pairs behind
+# abbreviation/initial/number periods (Dr. Smith / J. Smith / No. 4) and
+# orthographic-context evidence (The/Growth capitalized only at
+# boundaries + lowercase elsewhere; Smith capitalized mid-sentence only)
+PUNKT_ORTHO_PROBE = (
+    " Dr. Smith met J. Smith today. The growth rate doubles daily. "
+    "Growth is steady here. No. 4 ranks first among trends. the trend holds "
+    "as trends shift daily here today"
+    # the bare tail occurrences keep today/daily/here/trends from training
+    # as abbreviations (sentence-final-only words on a tiny repetitive
+    # corpus otherwise always carry a period — the known punkt artifact),
+    # so first-pass boundaries after them are real and the ortho/colloc
+    # tables train on the intended evidence
+)
+
+
+def q_punkt_collocations(spark, sf_dir):
+    """Punkt token-stage COLLOCATIONS (round 4): period-final
+    abbreviation/initial/number types paired with their successors at
+    Dunning LLR >= 7.88 with over-representation — the 'J. Smith' /
+    'No. 4' shield nltk's second pass applies (harvesttext.py:707 via
+    nltk sent_tokenize).  Full DuckDB oracle."""
+    from harvesttext_spark.operators.punkt import punkt_collocations
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(PUNKT_ORTHO_PROBE))
+    )
+    return punkt_collocations(docs)
+
+
+def _sql_punkt_collocations() -> str:
+    from harvesttext_spark.operators.punkt import punkt_collocations_sql
+
+    probe = PUNKT_ORTHO_PROBE.replace("'", "''")
+    return punkt_collocations_sql(
+        table=f"(SELECT doc_id, text || '{probe}' AS text FROM documents)"
+    )
+
+
+def q_punkt_ortho(spark, sf_dir):
+    """Punkt token-stage ORTHOGRAPHIC CONTEXT (round 4): per-type
+    lowercase-anywhere / uppercase-mid-sentence evidence from first-pass
+    boundaries; a capitalized word after an abbreviation period is a
+    boundary iff lc_any AND NOT mid_uc.  Full DuckDB oracle."""
+    from harvesttext_spark.operators.punkt import punkt_ortho_context
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(PUNKT_ORTHO_PROBE))
+    )
+    return punkt_ortho_context(docs)
+
+
+def _sql_punkt_ortho() -> str:
+    from harvesttext_spark.operators.punkt import punkt_ortho_context_sql
+
+    probe = PUNKT_ORTHO_PROBE.replace("'", "''")
+    return punkt_ortho_context_sql(
+        table=f"(SELECT doc_id, text || '{probe}' AS text FROM documents)"
+    )
+
+
 def q_seg_posseg_dict(spark, sf_dir):
     """Dict-DAG cutter (the from-scratch max-prob segmenter) with POS tags,
     exploded to scalars.  Python-side algorithm -> rows-only check."""
@@ -2272,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2s_text": q_t2s_text,
         "punkt_abbrevs": q_punkt_abbrevs,
         "punkt_starters": q_punkt_starters,
+        "punkt_collocations": q_punkt_collocations,
+        "punkt_ortho": q_punkt_ortho,
         # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2336,6 +2399,8 @@ def oracle_sql() -> dict[str, str]:
         "t2s_text": _sql_t2s(),
         "punkt_abbrevs": _sql_punkt(),
         "punkt_starters": _sql_punkt_starters(),
+        "punkt_collocations": _sql_punkt_collocations(),
+        "punkt_ortho": _sql_punkt_ortho(),
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "langid_trained": SQL_LANGID_TRAINED,
         "pagerank_tokens": _sql_pagerank(),

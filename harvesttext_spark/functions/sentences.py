@@ -63,6 +63,13 @@ def _next_word_type(w: str) -> str:
     return re.sub(r"[.!?,;:]+$", "", re.sub(r"^[\"'(]+", "", w)).lower()
 
 
+# collocation shield candidates: a period-final single-letter initial or
+# number followed by a capitalized/opening word the split would fire on
+_COLLOC_CAND_RE = re.compile(
+    r"(?<![\w.])((?i:[a-z])|[0-9][0-9.,]*)\.(\s+)(?=([A-Z0-9\"'(]\S*))"
+)
+
+
 def cut_sentences_py(
     para: str,
     drop_empty_line: bool = True,
@@ -71,29 +78,58 @@ def cut_sentences_py(
     language: str = "zh",
     extra_abbrevs=None,
     sentence_starters=None,
+    collocations=None,
+    ortho_starters=None,
 ) -> list[str]:
     """Rule-based sentence splitter, zh pass order per the reference.
     The reference's en path uses nltk sent_tokenize (a pretrained punkt
     model, absent here): the en path splits on terminator + whitespace +
     capital/opening, shielding abbreviation periods — the hand list plus
     an optional corpus-trained punkt list (operators/punkt.py), the
-    from-scratch analog of nltk's trained model.  ``sentence_starters``
-    (punkt token stage) are STRONG boundary evidence: an abbreviation
-    period followed by a trained starter is NOT shielded, so the split
-    happens there — the paper's starter override."""
+    from-scratch analog of nltk's trained model.  The token-stage
+    evidence (all corpus-trained, operators/punkt.py) mirrors nltk's
+    second-pass annotation:
+      * ``sentence_starters`` — an abbreviation period followed by a
+        trained frequent starter IS a boundary (override the shield);
+      * ``ortho_starters`` — likewise when the next word's capitalization
+        is not intrinsic (type seen lowercase somewhere, never uppercase
+        mid-sentence): the paper's orthographic heuristic;
+      * ``collocations`` — a period-final initial/number whose (w1, w2)
+        pair trained as a collocation is NOT a boundary ("J. Smith",
+        "No. 4"), shielding periods the hand list cannot know."""
     if para is None:
         return []
     if deduplicate:
         para = RE_PUNCT_RUN.sub(r"\1", para)
     if language == "en":
+        # collocation shield first: initials/numbers are not in the
+        # abbreviation lists but their trained collocates pin the period
+        colloc = collocations or ()
+        if colloc:
+            colloc = {
+                (a.lower().rstrip("."), b.lower()) for a, b in colloc
+            }
+
+            def _csub(m):
+                pair = (m.group(1).lower(), _next_word_type(m.group(3)))
+                if pair in colloc:
+                    return m.group(1) + _SENTINEL + m.group(2)
+                return m.group(0)
+
+            para = _COLLOC_CAND_RE.sub(_csub, para)
         # shield abbreviation periods from the terminator split, then restore
         starters = {s.lower() for s in (sentence_starters or ())}
-        if extra_abbrevs or starters:
+        orthos = {s.lower() for s in (ortho_starters or ())}
+        if extra_abbrevs or starters or orthos:
             shield = _abbrev_shield_re(extra_abbrevs)
 
             def _sub(m):
-                if starters and _next_word_type(m.group(3)) in starters:
-                    return m.group(0)  # boundary evidence wins: keep the split
+                nxt = _next_word_type(m.group(3))
+                # boundary evidence wins: keep the split
+                if starters and nxt in starters:
+                    return m.group(0)
+                if orthos and m.group(3)[0].isupper() and nxt in orthos:
+                    return m.group(0)
                 return m.group(1) + _SENTINEL + m.group(2)
 
             shielded = shield.sub(_sub, para)

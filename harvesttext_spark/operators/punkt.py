@@ -288,3 +288,266 @@ WHERE c_start > 0 AND c_start < c_total AND score >= {SENT_STARTER_THRESHOLD}
 
 def trained_starter_list(df: DataFrame, text_col: str = "text") -> list[str]:
     return sorted(r["starter"] for r in punkt_sentence_starters(df, text_col).collect())
+
+
+# --- token stage: collocations + orthographic context (round 4) -------------
+#
+# The remaining two heuristics of the paper's second pass (nltk's
+# _second_pass_annotation):
+#   * COLLOCATIONS: a period-final initial ("J."), number ("No."-style
+#     trained abbreviation), followed by a word it collocates with at
+#     LLR >= 7.88 is NOT a boundary ("J. Smith", "No. 4").
+#   * ORTHOGRAPHIC CONTEXT: a word seen lowercase somewhere in the corpus
+#     and NEVER uppercase sentence-internally is, when capitalized after
+#     an abbreviation period, strong BOUNDARY evidence (the capital is
+#     not the word's intrinsic casing).
+# Both train as one aggregation each over the same first-pass-boundary
+# token frame as the starter stage; both fully mirrored in DuckDB.
+# Honest divergence from nltk (documented): positions right after an
+# abbreviation period count as sentence-internal here (nltk tags them
+# "unknown") — it only changes types with BOTH lowercase and
+# post-abbreviation-uppercase evidence, and errs toward NOT splitting.
+
+COLLOCATION_THRESHOLD = 7.88
+MIN_COLLOC_FREQ = 1
+_TYPE_STRIP = "[.!?,;:]+$"
+
+
+def _first_pass_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    abbrevs: DataFrame,
+):
+    """Shared token frame of the token-stage trainers: (pos, tok, prev,
+    typ, st) with first-pass boundaries (pos==0, or terminator-final
+    previous token that is not a trained abbreviation).  One lag window
+    per doc (tiny per-partition sort), broadcast abbreviation join —
+    identical logic to punkt_sentence_starters round 3."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("_doc").orderBy("pos")
+    t = toks.withColumn("prev", F.lag("tok").over(w))
+    t = t.withColumn(
+        "prev_type", F.lower(F.regexp_replace("prev", "\\.$", ""))
+    ).withColumn("typ", F.lower(F.regexp_replace("tok", _TYPE_STRIP, "")))
+    ab = abbrevs.select(F.col("abbrev").alias("prev_type"), F.lit(1).alias("_isab"))
+    t = t.join(F.broadcast(ab), "prev_type", "left")
+    is_start = (F.col("pos") == 0) | (
+        F.col("prev").rlike("[.!?]$")
+        & ~(F.col("prev").endswith(".") & F.col("_isab").isNotNull())
+    )
+    return t.withColumn("st", is_start.cast("long"))
+
+
+def _col_ll(ca, cb, cab, n):
+    """Dunning two-binomial collocation log-likelihood (the paper's
+    col_log_likelihood; same clamped form the starter stage uses)."""
+    p = cb / n
+    p1 = cab / ca
+    p2 = (cb - cab) / (n - ca)
+    s1 = cab * _clamp_log(p) + (ca - cab) * _clamp_log(1 - p)
+    s2 = (cb - cab) * _clamp_log(p) + (n - ca - cb + cab) * _clamp_log(1 - p)
+    s3 = cab * _clamp_log(p1) + (ca - cab) * _clamp_log(1 - p1)
+    s4 = (cb - cab) * _clamp_log(p2) + (n - ca - cb + cab) * _clamp_log(1 - p2)
+    return -2.0 * (s1 + s2 - s3 - s4)
+
+
+def punkt_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    abbrevs: DataFrame | None = None,
+) -> DataFrame:
+    """(w1, w2, score): candidate pairs — a period-final token whose type
+    is a trained abbreviation, a single-letter initial, or a number,
+    plus its successor — whose corpus-wide LLR clears 7.88 with
+    over-representation (cab*N > c1*c2).  Shuffle shape: the shared lag
+    frame, one groupBy(pair), vocabulary-sized count joins."""
+    if abbrevs is None:
+        abbrevs = punkt_abbreviations(df, text_col)
+    t = _first_pass_frame(df, text_col, id_col, abbrevs)
+    tt = t.filter(F.col("typ") != "").select("typ")
+    counts = tt.groupBy("typ").agg(F.count("*").alias("c"))
+    totals = tt.agg(F.count("*").cast("double").alias("n"))
+    t1 = F.lower(F.regexp_replace("prev", _TYPE_STRIP, ""))
+    cand = (
+        t.filter(
+            F.col("prev").endswith(".")
+            & (F.col("typ") != "")
+            & (t1 != "")
+            & (
+                F.col("_isab").isNotNull()
+                | t1.rlike("^[a-z]$")
+                | t1.rlike("^[0-9][0-9.,]*$")
+            )
+        )
+        .select(t1.alias("w1"), F.col("typ").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cab"))
+    )
+    j = (
+        cand.join(F.broadcast(counts.select(F.col("typ").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(counts.select(F.col("typ").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    score = F.round(
+        _col_ll(F.col("c1"), F.col("c2"), F.col("cab"), F.col("n")), 6
+    )
+    return (
+        j.withColumn("score", score)
+        .filter(
+            (F.col("cab") >= MIN_COLLOC_FREQ)
+            & (F.col("score") >= COLLOCATION_THRESHOLD)
+            & (F.col("cab") * F.col("n") > F.col("c1") * F.col("c2"))
+        )
+        .select("w1", "w2", "score")
+    )
+
+
+def punkt_ortho_context(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    abbrevs: DataFrame | None = None,
+) -> DataFrame:
+    """(typ, lc_any, mid_uc) for every type seen uppercase-first at least
+    once — the orthographic-context table the boundary decision consults:
+    a capitalized word after an abbreviation period is a boundary iff
+    lc_any AND NOT mid_uc (seen lowercase somewhere, never capitalized
+    sentence-internally).  One groupBy(typ) of boolean aggregates."""
+    if abbrevs is None:
+        abbrevs = punkt_abbreviations(df, text_col)
+    t = _first_pass_frame(df, text_col, id_col, abbrevs)
+    t = t.filter(F.col("typ") != "").select(
+        "typ",
+        F.col("tok").rlike("^[a-z]").cast("long").alias("lc"),
+        F.col("tok").rlike("^[A-Z]").cast("long").alias("uc"),
+        (F.col("st") == 0).cast("long").alias("mid"),
+    )
+    agg = t.groupBy("typ").agg(
+        (F.sum("lc") > 0).alias("lc_any"),
+        (F.sum("uc") > 0).alias("uc_any"),
+        (F.sum(F.col("uc") * F.col("mid")) > 0).alias("mid_uc"),
+    )
+    return agg.filter(F.col("uc_any")).select("typ", "lc_any", "mid_uc")
+
+
+def punkt_collocations_sql(
+    table: str = "documents", text_col: str = "text", abbrev_table_sql: str | None = None
+) -> str:
+    """punkt_collocations as ANSI SQL (DuckDB oracle) — same lag-window
+    first pass, same clamped two-binomial LLR."""
+    ab_sql = abbrev_table_sql or punkt_abbreviations_sql(table, text_col)
+    clamp = lambda x: f"ln(least(greatest({x}, {_EPS}), {1 - _EPS}))"  # noqa: E731
+    return f"""
+WITH abbr AS ({ab_sql}),
+toks0 AS (
+  SELECT doc_id, unnest(list_transform(
+           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x != ''),
+           (x, i) -> struct_pack(pos := i - 1, tok := x))) AS s
+  FROM {table}
+),
+toks AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok,
+         lag(s.tok) OVER (PARTITION BY doc_id ORDER BY s.pos) AS prev
+  FROM toks0
+),
+typed AS (
+  SELECT tok, prev,
+         lower(regexp_replace(tok, '{_TYPE_STRIP}', '')) AS typ,
+         lower(regexp_replace(prev, '{_TYPE_STRIP}', '')) AS t1
+  FROM toks
+),
+tt AS (SELECT typ FROM typed WHERE typ != ''),
+counts AS (SELECT typ, count(*) AS c FROM tt GROUP BY typ),
+tot AS (SELECT count(*)::DOUBLE AS n FROM tt),
+cand AS (
+  SELECT t1 AS w1, typ AS w2, count(*) AS cab
+  FROM typed
+  WHERE prev LIKE '%.' AND typ != '' AND t1 != ''
+    AND (lower(regexp_replace(prev, '\\.$', '')) IN (SELECT abbrev FROM abbr)
+         OR regexp_matches(t1, '^[a-z]$')
+         OR regexp_matches(t1, '^[0-9][0-9.,]*$'))
+  GROUP BY t1, typ
+),
+scored AS (
+  SELECT w1, w2, cab, c1.c AS c1, c2.c AS c2, n,
+         round(-2.0 * (
+             cab * {clamp("c2.c / n")} + (c1.c - cab) * {clamp("1 - c2.c / n")}
+           + (c2.c - cab) * {clamp("c2.c / n")} + (n - c1.c - c2.c + cab) * {clamp("1 - c2.c / n")}
+           - (cab * {clamp("cab / c1.c")} + (c1.c - cab) * {clamp("1 - cab / c1.c")})
+           - ((c2.c - cab) * {clamp("(c2.c - cab) / (n - c1.c)")} + (n - c1.c - c2.c + cab) * {clamp("1 - (c2.c - cab) / (n - c1.c)")})
+         ), 6) AS score
+  FROM cand
+  JOIN counts c1 ON cand.w1 = c1.typ
+  JOIN counts c2 ON cand.w2 = c2.typ
+  CROSS JOIN tot
+)
+SELECT w1, w2, score
+FROM scored
+WHERE cab >= {MIN_COLLOC_FREQ} AND score >= {COLLOCATION_THRESHOLD}
+  AND cab * n > c1 * c2
+"""
+
+
+def punkt_ortho_context_sql(
+    table: str = "documents", text_col: str = "text", abbrev_table_sql: str | None = None
+) -> str:
+    """punkt_ortho_context as ANSI SQL (DuckDB oracle)."""
+    ab_sql = abbrev_table_sql or punkt_abbreviations_sql(table, text_col)
+    return f"""
+WITH abbr AS ({ab_sql}),
+toks0 AS (
+  SELECT doc_id, unnest(list_transform(
+           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x != ''),
+           (x, i) -> struct_pack(pos := i - 1, tok := x))) AS s
+  FROM {table}
+),
+toks AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok,
+         lag(s.tok) OVER (PARTITION BY doc_id ORDER BY s.pos) AS prev
+  FROM toks0
+),
+typed AS (
+  SELECT lower(regexp_replace(tok, '{_TYPE_STRIP}', '')) AS typ,
+         CASE WHEN regexp_matches(tok, '^[a-z]') THEN 1 ELSE 0 END AS lc,
+         CASE WHEN regexp_matches(tok, '^[A-Z]') THEN 1 ELSE 0 END AS uc,
+         CASE WHEN pos = 0 OR (
+                regexp_matches(prev, '[.!?]$')
+                AND NOT (prev LIKE '%.' AND lower(regexp_replace(prev, '\\.$', '')) IN (SELECT abbrev FROM abbr))
+              ) THEN 0 ELSE 1 END AS mid
+  FROM toks
+),
+agg AS (
+  SELECT typ,
+         sum(lc) > 0 AS lc_any,
+         sum(uc) > 0 AS uc_any,
+         sum(uc * mid) > 0 AS mid_uc
+  FROM typed WHERE typ != '' GROUP BY typ
+)
+SELECT typ, lc_any, mid_uc FROM agg WHERE uc_any
+"""
+
+
+def trained_collocation_set(df: DataFrame, text_col: str = "text") -> set[tuple[str, str]]:
+    """Driver-side convenience: trained (w1, w2) collocation type pairs."""
+    return {
+        (r["w1"], r["w2"]) for r in punkt_collocations(df, text_col).collect()
+    }
+
+
+def trained_ortho_starter_list(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Types whose capitalization after an abbreviation period is boundary
+    evidence: seen lowercase somewhere, never uppercase mid-sentence."""
+    return sorted(
+        r["typ"]
+        for r in punkt_ortho_context(df, text_col).collect()
+        if r["lc_any"] and not r["mid_uc"]
+    )

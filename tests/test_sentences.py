@@ -151,3 +151,79 @@ def test_punkt_token_stage_starters(spark):
     assert override[1] == "The table shows it."
     # the shield still holds where the next word is NOT a starter
     assert override[-1] == "See fig. 5 now."
+
+
+def test_punkt_collocation_stage(spark):
+    """Token stage (round 4): a period-final number/initial followed by
+    its trained collocate is NOT a boundary — the 'No. 4' / 'J. Smith'
+    shield the hand abbreviation list cannot know."""
+    from harvesttext_spark.functions.sentences import cut_sentences_py
+    from harvesttext_spark.operators.punkt import trained_collocation_set
+
+    corpus = [
+        "Step 4. Next we go on. The count is 4 now.",
+        # bare occurrences keep step/count/now/on out of the abbrev table
+        "We go on now the count step next",
+    ] * 12
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    colloc = trained_collocation_set(df)
+    assert ("4", "next") in colloc, colloc
+    # numbers can never train as abbreviations (TOKEN_RE is alphabetic),
+    # so without the collocation table this period always splits
+    text = "Proceed to 4. Next comes more."
+    assert cut_sentences_py(text, language="en") == [
+        "Proceed to 4.", "Next comes more.",
+    ]
+    assert cut_sentences_py(text, language="en", collocations=colloc) == [
+        "Proceed to 4. Next comes more.",
+    ]
+    # a non-collocated number period still splits
+    other = "Proceed to 4. Then stop."
+    assert cut_sentences_py(other, language="en", collocations=colloc) == [
+        "Proceed to 4.", "Then stop.",
+    ]
+
+
+def test_punkt_ortho_stage(spark):
+    """Token stage (round 4): orthographic context — a word capitalized
+    after an abbreviation period whose type is seen lowercase elsewhere
+    and never uppercase mid-sentence is boundary evidence (split); a
+    type with no lowercase evidence (proper noun) keeps the shield."""
+    from harvesttext_spark.functions.sentences import cut_sentences_py
+    from harvesttext_spark.operators.punkt import (
+        trained_abbrev_list,
+        trained_ortho_starter_list,
+    )
+
+    corpus = [
+        "We saw fig. 1 today. Growth came fast. Smith spoke well.",
+        "The growth of data was steady here.",
+        # bare tail: sentence-final words must occur period-less or the
+        # type stage trains them as abbreviations (punkt artifact)
+        "We call today here fast well steady near the rows",
+    ] * 12
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    ab = trained_abbrev_list(df)
+    assert "fig" in ab
+    orth = trained_ortho_starter_list(df)
+    assert "growth" in orth, orth          # lc elsewhere, never mid-uc
+    assert "smith" not in orth, orth       # uppercase-only proper noun
+    text = "It is in fig. Growth resumed quickly. See fig. Smith spoke."
+    plain = cut_sentences_py(text, language="en", extra_abbrevs=ab)
+    # both fig. periods shielded; only the ordinary quickly. boundary splits
+    assert plain == [
+        "It is in fig. Growth resumed quickly.",
+        "See fig. Smith spoke.",
+    ]
+    with_orth = cut_sentences_py(
+        text, language="en", extra_abbrevs=ab, ortho_starters=orth
+    )
+    assert with_orth == [
+        "It is in fig.",
+        "Growth resumed quickly.",
+        "See fig. Smith spoke.",  # no lowercase evidence -> shield holds
+    ]
