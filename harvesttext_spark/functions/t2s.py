@@ -18,6 +18,17 @@ are value-identical by construction:
   * Python: str.replace per phrase (loader order) + str.translate
   * Catalyst: F.replace chain + F.translate (whole-stage codegen)
   * DuckDB oracle: replace(...) chain + translate(...)
+
+Documented divergence from OpenCC (tests/test_clean_text.py pins it):
+OpenCC's trie matches LEFTMOST-LONGEST per position; the replace chain
+applies each phrase GLOBALLY in longest-then-lexicographic order, so
+when two phrases overlap in the text the chain can let the earlier-
+ordered one win (e.g. 著名著作: 名著 substitutes first, leaving the
+first 著 to the char default 着).  The failure mode is bounded: a
+protection losing an overlap falls back to the char-level default —
+under-protection, never corrupted output — and no SQL engine can
+express per-match dictionary replacement, so the chain is the price of
+the three-engine value-identity contract.
 """
 
 from __future__ import annotations
@@ -128,6 +139,24 @@ def t2s_col(col: Column, phrases: bool = True) -> Column:
     return c
 
 
+def _sql_replace_fold(col_sql: str, pairs) -> str:
+    """Ordered replace-chain as a DuckDB ``list_reduce`` fold: nesting
+    182 replace() calls blew the binder's max expression depth (128) once
+    the phrase table grew past ~60 entries; the fold is depth-1 with the
+    (find, repl) pairs as tab-separated list literals (tab can't occur in
+    phrases or placeholders).  NULL propagates through like the chain."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    items = ", ".join(f"'{q(find)}\t{q(repl)}'" for find, repl in pairs)
+    return (
+        f"list_reduce(list_value(CAST({col_sql} AS VARCHAR), {items}), "
+        "(acc, x) -> replace(acc, split_part(x, chr(9), 1), "
+        "split_part(x, chr(9), 2)))"
+    )
+
+
 def t2s_sql(col_expr: str, phrases: bool = True) -> str:
     """The SAME conversion as an ANSI-SQL expression (DuckDB oracle)."""
 
@@ -139,12 +168,16 @@ def t2s_sql(col_expr: str, phrases: bool = True) -> str:
         # same PUA collision guard; DuckDB literals are not
         # backslash-escaped, so the codepoints go in verbatim
         c = f"regexp_replace({c}, '{_PUA_CLASS}', '', 'g')"
-        for i, (t, _) in enumerate(t2s_phrase_pairs()):
-            c = f"replace({c}, '{q(t)}', '{q(chr(_PUA_BASE + i))}')"
+        c = _sql_replace_fold(
+            c,
+            ((t, chr(_PUA_BASE + i)) for i, (t, _) in enumerate(t2s_phrase_pairs())),
+        )
     src = "".join(t for t, _ in t2s_pairs())
     dst = "".join(s for _, s in t2s_pairs())
     c = f"translate({c}, '{q(src)}', '{q(dst)}')"
     if phrases:
-        for i, (_, s) in enumerate(t2s_phrase_pairs()):
-            c = f"replace({c}, '{q(chr(_PUA_BASE + i))}', '{q(s)}')"
+        c = _sql_replace_fold(
+            c,
+            ((chr(_PUA_BASE + i), s) for i, (_, s) in enumerate(t2s_phrase_pairs())),
+        )
     return c

@@ -150,7 +150,28 @@ T2S_PHRASE_CASES = {
     "甚麼是繁體字？一隻鳥": "什么是繁体字？一只鸟",
     # longest-first: 著作權 wins over its substring 著作
     "著作權與著作": "著作权与著作",
+    # round-4 bulk table: 瞭 liao3 overrides vs 瞭望 (liao4) default-stay
+    "他瞭解情況，一目瞭然，站上瞭望塔": "他了解情况，一目了然，站上瞭望塔",
+    # 徵 zhi3 music-note protection vs default 徵→征
+    "變徵之聲，出征之路": "变徵之声，出征之路",
+    # name special-cases: 錢鍾書 keeps 锺, 樊於期 keeps 於 (else 於→于)
+    "錢鍾書與樊於期生於亂世": "钱锺书与樊於期生于乱世",
+    # 乾 gan1 override family + qian2 protection in one sentence
+    "外強中乾的人在乾清宮吃葡萄乾": "外强中干的人在乾清宫吃葡萄干",
+    "執著的藉此反覆覆蓋覆核": "执著的借此反复覆盖复核",
 }
+
+
+def test_t2s_chain_overlap_divergence():
+    """PINNED divergence from OpenCC's leftmost-longest trie (documented
+    in t2s.py): overlapping phrase occurrences resolve in global chain
+    order — 名著 substitutes before 著名 can match, so the first 著
+    falls back to the char default.  Bounded failure mode: a protection
+    losing an overlap yields the char-level default, never garbage."""
+    from harvesttext_spark.functions.t2s import t2s_py
+
+    assert t2s_py("的著名著作") == "的着名著作"  # OpenCC would keep 著名
+    assert t2s_py("著名") == "著名"              # no overlap -> protected
 
 
 def test_t2s_phrase_exceptions_python():
