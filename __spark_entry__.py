@@ -1996,6 +1996,50 @@ SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, round(ppl, 6) AS ppl FR
 """
 
 
+PII_PROBES = [
+    (3000001, "call me at 13812345678 or mail a.b@example.com today"),
+    (3000002, "id 11010519491231002X should scrub and 13912345678 too"),
+    (3000003, "plain text with number 12345 stays put"),
+    (3000004, "boundary check ends with 13812345678"),
+    (3000005, "13812345678 starts the line and x13812345678 is glued"),
+    (3000006, "UPPER.CASE@EXAMPLE.ORG and 170-prefix 17012345678 both go"),
+]
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII regex battery (north rule: 'PII/toxicity-scrub ... regex scrub'
+    — round 4, was pytest-only): zh mobile numbers, national-id runs, and
+    emails replaced by <CAT> placeholders in one Catalyst regexp chain.
+    Spark keeps the lookaround form (stronger on adjacent PII); the
+    DuckDB mirror re-emits captured boundary chars (RE2 has no
+    lookarounds) — equivalent except PII separated by a single char,
+    which the probes avoid; the word-soup corpus has no digits at all."""
+    from harvesttext_spark.operators.linking import scrub_pii_regex
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.unionByName(_probe_df(spark, PII_PROBES, col="text"))
+    return base.select("doc_id", scrub_pii_regex(F.col("text")).alias("scrubbed"))
+
+
+def _sql_pii_scrub() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''")) for i, t in PII_PROBES
+    )
+    steps = [
+        ("(^|[^0-9])(1[3-9][0-9]{9})($|[^0-9])", r"\1<PHONE>\3"),
+        ("(^|[^0-9Xx])([0-9]{17}[0-9Xx])($|[^0-9Xx])", r"\1<IDNUM>\3"),
+        ("(?i)[-a-z0-9_.]+@(?:[-a-z0-9]+\\.)+[a-z]{2,6}", "<EMAIL>"),
+    ]
+    c = "text"
+    for pat, repl in steps:
+        c = f"regexp_replace({c}, '{pat}', '{repl}', 'g')"
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {probes}) v(doc_id, text)) "
+        f"SELECT doc_id, {c} AS scrubbed FROM base"
+    )
+
+
 def q_cut_sentences(spark, sf_dir):
     from harvesttext_spark.functions.sentences import explode_sentences
 
@@ -2349,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
         "quality_filter_full_labels": q_quality_filter_full_labels,
+        "pii_scrub": q_pii_scrub,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
@@ -2406,5 +2451,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_tokens": _sql_pagerank(),
         "quality_filter_labels": _sql_quality_filter_labels(),
         "quality_filter_full_labels": _sql_quality_filter_full_labels(),
+        "pii_scrub": _sql_pii_scrub(),
         "clean_text": _sql_clean_text(),
     }

@@ -92,6 +92,12 @@ def main(argv=None) -> None:
         "(byte-equivalent to the Arrow UDF battery; +~19%% on latin corpora)",
     )
     p.add_argument(
+        "--pii-scrub",
+        action="store_true",
+        help="redact phones/ids/emails from text_clean AFTER labeling "
+        "(labels stay reference-parity; redaction is output-only)",
+    )
+    p.add_argument(
         "--ppl-threshold",
         type=float,
         default=None,
@@ -169,6 +175,17 @@ def main(argv=None) -> None:
             )
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
+        if args.pii_scrub:
+            from pyspark.sql import functions as F
+
+            from harvesttext_spark.operators.linking import scrub_pii_regex
+
+            # after labeling: keep/drop and byte-parity gates are computed
+            # on the reference-faithful battery output; redaction only
+            # changes what ships
+            labeled = labeled.withColumn(
+                "text_clean", scrub_pii_regex(F.col("text_clean"))
+            )
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups
