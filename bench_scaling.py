@@ -112,21 +112,32 @@ def run_at(cores: int, path: str, fast_path: bool = False, native_only: bool = F
     return {"cores": cores, "sec": round(best, 3), "docs_per_sec": round(N_PAGES / best, 1)}
 
 
-def measure(path: str, **kw) -> dict:
-    r8 = run_at(8, path, **kw)
-    print(f"# local[8] {kw}: {r8}", file=sys.stderr, flush=True)
-    r32 = run_at(32, path, **kw)
-    print(f"# local[32] {kw}: {r32}", file=sys.stderr, flush=True)
-    eff = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
-    return {"local8": r8, "local32": r32, "eff": round(eff, 3)}
+def measure(path: str, cores=(8, 32), **kw) -> dict:
+    runs = {}
+    for c in cores:
+        runs[c] = run_at(c, path, **kw)
+        print(f"# local[{c}] {kw}: {runs[c]}", file=sys.stderr, flush=True)
+    lo, hi = min(cores), max(cores)
+    eff = runs[hi]["docs_per_sec"] / (
+        (hi / lo) * runs[lo]["docs_per_sec"]
+    )
+    out = {f"local{c}": runs[c] for c in cores}
+    out["eff"] = round(eff, 3)
+    # adjacent-step efficiencies localize WHERE scaling is lost (round-4
+    # midpoint protocol: 8->16 vs 16->32 on the same input)
+    cs = sorted(cores)
+    for a, b in zip(cs, cs[1:]):
+        step = runs[b]["docs_per_sec"] / ((b / a) * runs[a]["docs_per_sec"])
+        out[f"eff_{a}_{b}"] = round(step, 3)
+    return out
 
 
-def hardware_ceiling() -> float:
+def hardware_ceiling() -> dict:
     """What 8->32-way scaling THIS box can physically deliver, measured with
     plain multiprocessing + regex (no Spark, no JVM): on a virtualized /
     oversubscribed host (nonzero steal time) and with per-core clock scaling,
-    ideal 4.0x is unreachable by any software.  Returns throughput(32) /
-    (4 * throughput(8))."""
+    ideal 4.0x is unreachable by any software.  Returns the 8->32 ratio plus
+    the 8->16 / 16->32 midpoint steps (same protocol as the engine runs)."""
     import re as _re
     from multiprocessing import Pool
 
@@ -139,8 +150,12 @@ def hardware_ceiling() -> float:
             p.map(_hw_work, [(pat.pattern, data)] * 128)
             return 128 / (time.time() - t0)
 
-    r8, r32 = rate(8), rate(32)
-    return r32 / (4.0 * r8)
+    r8, r16, r32 = rate(8), rate(16), rate(32)
+    return {
+        "eff": r32 / (4.0 * r8),
+        "eff_8_16": r16 / (2.0 * r8),
+        "eff_16_32": r32 / (2.0 * r16),
+    }
 
 
 def _noop():
@@ -194,10 +209,11 @@ def _hw_work(args):
 
 def main() -> None:
     materialize_pages()
-    flagship = measure(PAGES_PATH)
+    flagship = measure(PAGES_PATH, cores=(8, 16, 32))
     latin_fast = measure(LATIN_PATH, fast_path=True)
     native = measure(LATIN_PATH, native_only=True)
-    hw = hardware_ceiling()
+    hwd = hardware_ceiling()
+    hw = hwd["eff"]
     eff = flagship["eff"]
     out = {
         "metric": "scaling_efficiency_8_to_32_cores",
@@ -205,11 +221,19 @@ def main() -> None:
         "unit": "ratio",
         "n_pages": N_PAGES,
         "local8": flagship["local8"],
+        "local16": flagship["local16"],
         "local32": flagship["local32"],
         "controls": {
             "latin_fast_path_eff": latin_fast["eff"],
             "pure_jvm_catalyst_eff": native["eff"],
             "multiprocessing_ceiling": round(hw, 3),
+        },
+        # round-4 midpoint protocol: localize the residual (8->16 vs 16->32)
+        "midpoint": {
+            "engine_eff_8_16": flagship["eff_8_16"],
+            "engine_eff_16_32": flagship["eff_16_32"],
+            "ceiling_eff_8_16": round(hwd["eff_8_16"], 3),
+            "ceiling_eff_16_32": round(hwd["eff_16_32"], 3),
         },
         "hardware_ceiling_8_to_32": round(hw, 3),
         "efficiency_vs_hardware_ceiling": round(eff / hw, 3),
@@ -224,7 +248,7 @@ def main() -> None:
         f"splits, seed 42), same job, two parallelism levels; best of {REPEAT} runs.\n\n"
         "| config | 8-core docs/s | 32-core docs/s | eff (4N vs N) |\n"
         "| --- | --- | --- | --- |\n"
-        f"| flagship pipeline, zh-majority corpus | {flagship['local8']['docs_per_sec']} | {flagship['local32']['docs_per_sec']} | **{flagship['eff']:.3f}** |\n"
+        f"| flagship pipeline, zh-majority corpus (16-core midpoint: {flagship['local16']['docs_per_sec']}) | {flagship['local8']['docs_per_sec']} | {flagship['local32']['docs_per_sec']} | **{flagship['eff']:.3f}** |\n"
         f"| flagship + ASCII fast path, latin-majority corpus | {latin_fast['local8']['docs_per_sec']} | {latin_fast['local32']['docs_per_sec']} | {latin_fast['eff']:.3f} |\n"
         f"| CONTROL: 100% JVM Catalyst (no Python at all) | {native['local8']['docs_per_sec']} | {native['local32']['docs_per_sec']} | {native['eff']:.3f} |\n"
         f"| CONTROL: multiprocessing+regex (no Spark/JVM) | — | — | {hw:.3f} |\n\n"
@@ -251,6 +275,16 @@ the hardware ceiling.  Fixed per-job overhead is NOT the residual:
 doubling the work left raw efficiency flat while the ceiling itself
 bounced down, confirming host oversubscription as the limiter.
 """
+        "\n### Midpoint localization (round 4: 8 -> 16 -> 32)\n\n"
+        "| step (ideal 2.0x each) | engine | multiprocessing ceiling |\n"
+        "| --- | --- | --- |\n"
+        f"| 8 -> 16 cores | {flagship['eff_8_16']:.3f} | {hwd['eff_8_16']:.3f} |\n"
+        f"| 16 -> 32 cores | {flagship['eff_16_32']:.3f} | {hwd['eff_16_32']:.3f} |\n\n"
+        "Where the loss lives: if 8->16 is near-ideal and 16->32 carries\n"
+        "the deficit IN BOTH rows, the residual is the host's upper thread\n"
+        "range (SMT siblings / oversubscribed vCPUs / shared bandwidth),\n"
+        "not engine coordination — the engine column tracking the ceiling\n"
+        "column step-for-step is the localization evidence.\n"
         "What it took to get here (all committed):\n"
         "1. guard against single-row-group scans (read_scaled / "
         "maxPartitionBytes) — a 1-partition scan serializes everything;\n"
@@ -272,7 +306,23 @@ bounced down, confirming host oversubscription as the limiter.
         f.write(header + static + table)
 
 
-STATIC_SECTIONS = ANATOMY_SECTION + """## Correctness gates (north rule)
+BENCH_SHAPE_NOTE = """## Bench-name shapes (comparability note)
+
+The bench.py names measure the DRIVER-CONTRACT query shapes, which
+harden over rounds: in round 3 `clean_text` and `lang_id` gained
+probe-row unions and byte-hash oracle output (~0.4s of JVM VALUES
+build + wider output per query), so their r2 -> r3 deltas
+(clean_text 0.57 -> 2.08s, lang_id 0.42 -> 0.72s) are SHAPE changes,
+not plan regressions — the battery UDF itself was verified unchanged.
+From round 3 on these shapes are frozen; r3 -> r4 comparisons are
+like-for-like on every headline name.  The HEADLINE list itself is
+also frozen (new round-4 contract queries — quality_filter_full_labels,
+pii_scrub, punkt_collocations, punkt_ortho — are correctness entries,
+intentionally NOT added to the bench total).
+
+"""
+
+STATIC_SECTIONS = ANATOMY_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
 
 | target | achieved |
 | --- | --- |
