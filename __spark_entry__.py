@@ -1545,6 +1545,107 @@ def _sql_repetition_signals() -> str:
     return SQL_REPETITION_SIGNALS_TMPL.format(probes=probes)
 
 
+RN_PROBES = [
+    (2100001, "a b c a b c a b c x y z"),                 # top-3gram + dup-5gram
+    (2100002, "p q r s t p q r s t u v w x y z"),          # dup-5gram union 0.625
+    (2100003, "one two three four five six seven"),        # no repetition
+    (2100004, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "closing tail words here"),                  # dup-10gram
+]
+
+
+def q_repetition_ngrams(spark, sf_dir):
+    """The rest of the Gopher repetition family (round 4): top-3/4-gram
+    char coverage and duplicate-5/10-gram char coverage (union of
+    overlapping duplicate spans, counted once per token position) —
+    completes Rae et al. table A1 beyond dup-line/top-bigram.  Probe
+    rows plant each case; full DuckDB value oracle."""
+    from harvesttext_spark.functions.textstats import repetition_ngram_signals
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return repetition_ngram_signals(
+        d.unionByName(_probe_df(spark, RN_PROBES, col="text"))
+    )
+
+
+def _sql_repetition_ngrams() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''")) for i, t in RN_PROBES
+    )
+
+    def gram(n: int) -> str:
+        return " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+
+    def top_cte(n: int) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id, n_chars, {gram(n)} AS g
+  FROM (SELECT doc_id, n_chars, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i
+        FROM tok WHERE len(ws) >= {n})
+),
+t{n} AS (
+  SELECT doc_id, max(cnt * length(g)) * 1.0 / greatest(any_value(n_chars), 1) AS f
+  FROM (SELECT doc_id, n_chars, g, count(*) AS cnt FROM g{n} GROUP BY doc_id, n_chars, g)
+  GROUP BY doc_id
+)"""
+
+    def dup_cte(n: int) -> str:
+        return f"""
+p{n} AS (
+  SELECT doc_id, i, {gram(n)} AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i
+        FROM tok WHERE len(ws) >= {n})
+),
+d{n} AS (
+  SELECT doc_id, g FROM (SELECT doc_id, g, count(*) AS cnt FROM p{n} GROUP BY doc_id, g)
+  WHERE cnt >= 2
+),
+cov{n} AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT p.doc_id, unnest(generate_series(p.i, p.i + {n - 1})) AS pos
+    FROM p{n} p JOIN d{n} d ON p.doc_id = d.doc_id AND p.g = d.g
+  )
+),
+c{n} AS (
+  SELECT cov{n}.doc_id, sum(tp.tlen) AS cov
+  FROM cov{n} JOIN tokpos tp ON cov{n}.doc_id = tp.doc_id AND cov{n}.pos = tp.pos
+  GROUP BY cov{n}.doc_id
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {probes}) v(doc_id, text)
+),
+tok AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+  FROM base
+),
+tchars AS (
+  SELECT doc_id, coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS tok_chars
+  FROM tok
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, length(ws[i]) AS tlen
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM tok)
+),{top_cte(3)},{top_cte(4)},{dup_cte(5)},{dup_cte(10)}
+SELECT b.doc_id,
+       round(coalesce(t3.f, 0), 6) AS top_3gram_char_frac,
+       round(coalesce(t4.f, 0), 6) AS top_4gram_char_frac,
+       round(coalesce(c5.cov, 0) * 1.0 / greatest(tc.tok_chars, 1), 6) AS dup_5gram_char_frac,
+       round(coalesce(c10.cov, 0) * 1.0 / greatest(tc.tok_chars, 1), 6) AS dup_10gram_char_frac
+FROM base b
+LEFT JOIN t3 ON b.doc_id = t3.doc_id
+LEFT JOIN t4 ON b.doc_id = t4.doc_id
+LEFT JOIN c5 ON b.doc_id = c5.doc_id
+LEFT JOIN c10 ON b.doc_id = c10.doc_id
+JOIN tchars tc ON b.doc_id = tc.doc_id
+"""
+
+
 # boilerplate-dedup probe suffix (the word-soup corpus has no newlines):
 # two lines shared by EVERY doc (always dropped at min_df=10), one shared
 # by even docs only (dropped), one unique per doc (always survives —
@@ -2385,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "simhash_pairs32": q_simhash_pairs32,
         "repetition_signals": q_repetition_signals,
+        "repetition_ngrams": q_repetition_ngrams,
         "boilerplate_dedup": q_boilerplate_dedup,
         "canonical_urls": q_canonical_urls,
         "seg_posseg_dict": q_seg_posseg_dict,
@@ -2416,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,
         "repetition_signals": _sql_repetition_signals(),
+        "repetition_ngrams": _sql_repetition_ngrams(),
         "boilerplate_dedup": SQL_BOILERPLATE_DEDUP,
         "canonical_urls": _sql_canonical_urls(),
         "token_freq": SQL_TOKEN_FREQ,

@@ -235,3 +235,135 @@ def repetition_signals(
             F.round(F.coalesce("top_bigram_char_frac", F.lit(0.0)), 6).alias("top_bigram_char_frac"),
         )
     )
+
+
+def repetition_ngram_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (3, 4),
+    dup_ns: tuple = (5, 10),
+):
+    """The rest of the Gopher repetition rule family (Rae et al. 2021,
+    table A1) beyond ``repetition_signals``'s dup-line / top-bigram pair:
+
+      top_{n}gram_char_frac   chars covered by the single most frequent
+                              word n-gram / doc chars  (n in ``top_ns``)
+      dup_{n}gram_char_frac   chars of tokens covered by ANY n-gram that
+                              occurs >= 2 times, counted once per token
+                              position (union of overlapping duplicate
+                              spans) / total token chars  (n in ``dup_ns``)
+
+    Shuffle shape: one posexplode of per-position n-grams per n, grouped
+    on (doc, gram) — uniform keys, parallelism = documents, no
+    cross-doc joins.  The dup variant resolves overlap by exploding each
+    duplicate occurrence into its covered token positions and counting
+    DISTINCT positions (exactly Gopher's "fraction of characters inside
+    duplicate n-grams").  Whitespace chars are excluded from both
+    numerator and denominator (token chars only; documented divergence
+    from counting raw chars — line/para whitespace is not repetition
+    evidence).  Fully mirrored in the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "").alias("ws"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+    tok_chars = base.select(
+        "id",
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("tok_chars"),
+    )
+    out = base.select("id")
+    for n in top_ns:
+        grams = base.select(
+            "id",
+            "n_chars",
+            F.explode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at("ws", i + j) for j in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        per_g = grams.groupBy("id", "n_chars", "g").agg(F.count("*").alias("cnt"))
+        stat = per_g.groupBy("id").agg(
+            (
+                F.max(F.col("cnt") * F.length("g"))
+                / F.greatest(F.first("n_chars"), F.lit(1))
+            ).alias(f"top_{n}gram_char_frac")
+        )
+        out = out.join(stat, "id", "left")
+    for n in dup_ns:
+        pos_grams = base.select(
+            "id",
+            F.posexplode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at("ws", i + j) for j in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p", "g"),
+        )
+        dup = (
+            pos_grams.groupBy("id", "g")
+            .agg(F.count("*").alias("cnt"), F.collect_list("p").alias("ps"))
+            .filter(F.col("cnt") >= 2)
+        )
+        covered = (
+            dup.select(
+                "id",
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ps", lambda p: F.sequence(p, p + F.lit(n - 1))
+                        )
+                    )
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        toks = base.select(
+            "id", F.posexplode("ws").alias("pos", "tok")
+        ).select("id", "pos", F.length("tok").alias("tlen"))
+        cov_chars = (
+            covered.join(toks, ["id", "pos"])
+            .groupBy("id")
+            .agg(F.sum("tlen").alias("cov"))
+        )
+        stat = (
+            tok_chars.join(cov_chars, "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("cov"), F.lit(0))
+                    / F.greatest(F.col("tok_chars"), F.lit(1))
+                ).alias(f"dup_{n}gram_char_frac"),
+            )
+        )
+        out = out.join(stat, "id", "left")
+    cols = [F.col("id").alias(id_col)]
+    for n in top_ns:
+        cols.append(
+            F.round(F.coalesce(f"top_{n}gram_char_frac", F.lit(0.0)), 6).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    for n in dup_ns:
+        cols.append(
+            F.round(F.coalesce(f"dup_{n}gram_char_frac", F.lit(0.0)), 6).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    return out.select(*cols)

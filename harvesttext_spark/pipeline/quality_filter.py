@@ -121,6 +121,11 @@ def quality_filter(pages: DataFrame, **clean_flags) -> DataFrame:
 
 MAX_DUP_LINE_FRAC = 0.30
 MAX_TOP_BIGRAM_CHAR_FRAC = 0.20
+# the rest of the Gopher table-A1 repetition thresholds (Rae et al. 2021)
+MAX_TOP_TRIGRAM_CHAR_FRAC = 0.18
+MAX_TOP_FOURGRAM_CHAR_FRAC = 0.16
+MAX_DUP_5GRAM_CHAR_FRAC = 0.15
+MAX_DUP_10GRAM_CHAR_FRAC = 0.10
 # Gopher's repetition thresholds assume full web pages; on a short doc a
 # SINGLE occurrence of one bigram can exceed 20% of the characters, and
 # unguarded the rule dropped 145/300 clean synthetic pages (measured).
@@ -134,6 +139,7 @@ def quality_filter_full(
     langid_weights=None,
     langid_stats=None,
     repetition_rules: bool = False,
+    gopher_ngram_rules: bool = False,
     **clean_flags,
 ) -> DataFrame:
     """Extended pipeline (north_star): heuristics + KenLM-style perplexity
@@ -153,6 +159,10 @@ def quality_filter_full(
       text_clean: 'high_dup_lines' (dup_line_frac > 0.30) and
       'high_top_bigram' (top_bigram_char_frac > 0.20), again only for
       docs the earlier stages kept.
+    * gopher_ngram_rules=True adds the REST of Gopher table A1 over
+      text_clean: 'high_top_trigram' (> 0.18), 'high_top_fourgram'
+      (> 0.16), 'high_dup_5gram' (> 0.15), 'high_dup_10gram' (> 0.10),
+      with the same 200-char floor.
     The base keep/drop contract (F1 vs reference labels) is unchanged for
     docs the heuristics already decide; the extra stages only ADD drops.
     """
@@ -192,6 +202,42 @@ def quality_filter_full(
                     & (F.length("text_clean") >= MIN_REPETITION_CHARS)
                     & (F.col("top_bigram_char_frac") > MAX_TOP_BIGRAM_CHAR_FRAC),
                     F.lit("high_top_bigram"),
+                )
+                .otherwise(F.col("drop_reason")),
+            )
+            .withColumn("keep", F.col("drop_reason").isNull())
+        )
+
+    if gopher_ngram_rules:
+        from harvesttext_spark.functions.textstats import repetition_ngram_signals
+
+        rn = repetition_ngram_signals(
+            labeled.select(F.col("url").alias("doc_id"), F.col("text_clean").alias("text")),
+        ).withColumnRenamed("doc_id", "url")
+        floor = F.length("text_clean") >= MIN_REPETITION_CHARS
+        labeled = (
+            labeled.join(rn, "url", "left")
+            .withColumn(
+                "drop_reason",
+                F.when(
+                    F.col("keep") & floor
+                    & (F.col("top_3gram_char_frac") > MAX_TOP_TRIGRAM_CHAR_FRAC),
+                    F.lit("high_top_trigram"),
+                )
+                .when(
+                    F.col("keep") & floor
+                    & (F.col("top_4gram_char_frac") > MAX_TOP_FOURGRAM_CHAR_FRAC),
+                    F.lit("high_top_fourgram"),
+                )
+                .when(
+                    F.col("keep") & floor
+                    & (F.col("dup_5gram_char_frac") > MAX_DUP_5GRAM_CHAR_FRAC),
+                    F.lit("high_dup_5gram"),
+                )
+                .when(
+                    F.col("keep") & floor
+                    & (F.col("dup_10gram_char_frac") > MAX_DUP_10GRAM_CHAR_FRAC),
+                    F.lit("high_dup_10gram"),
                 )
                 .otherwise(F.col("drop_reason")),
             )

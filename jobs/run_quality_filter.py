@@ -92,6 +92,12 @@ def main(argv=None) -> None:
         "(byte-equivalent to the Arrow UDF battery; +~19%% on latin corpora)",
     )
     p.add_argument(
+        "--gopher-full",
+        action="store_true",
+        help="with --with-lm: add the remaining Gopher table-A1 repetition "
+        "drops (top-3/4-gram, duplicate-5/10-gram char coverage)",
+    )
+    p.add_argument(
         "--pii-scrub",
         action="store_true",
         help="redact phones/ids/emails from text_clean AFTER labeling "
@@ -171,6 +177,7 @@ def main(argv=None) -> None:
                 pages,
                 ppl_threshold=args.ppl_threshold,
                 repetition_rules=args.repetition_rules,
+                gopher_ngram_rules=args.gopher_full,
                 fast_path=args.fast_path,
             )
         else:

@@ -272,3 +272,47 @@ def test_job_boilerplate_pre_pass_with_dup_urls(spark):
         "https://d.example/q": "unrelated page q",
         "https://d.example/r": "page r keeps this",
     }
+
+
+def test_gopher_ngram_rules(spark):
+    """Extended Gopher table-A1 rules (round 4): a doc with several
+    DIFFERENT repeated 5-grams trips high_dup_5gram while passing every
+    earlier rule (top-n-gram fracs stay small because no single n-gram
+    dominates; diversity/lines/alnum all clean)."""
+    from harvesttext_spark.pipeline.quality_filter import quality_filter_full
+
+    pages = synthesize_pages(spark, n=120, seed=5)
+    segs = [
+        " ".join(f"seg{i}{c}" for c in "abcde") for i in range(4)
+    ]
+    fill = [f"filler{j:02d}" for j in range(40)]
+    parts = []
+    fi = 0
+    for rep in range(2):
+        for s in segs:
+            parts.append(s)
+            parts.extend(fill[fi : fi + 5])
+            fi += 5
+    planted_text = " ".join(parts)
+    planted = pages.limit(1).select(
+        F.lit("https://dup5.example/x").alias("url"),
+        F.col("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(planted_text).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    inp = pages.unionByName(planted.select(*pages.columns))
+    out = quality_filter_full(
+        inp,
+        ppl_threshold=float("inf"),
+        repetition_rules=True,
+        gopher_ngram_rules=True,
+    )
+    r = out.filter(F.col("url") == "https://dup5.example/x").collect()[0]
+    assert r["drop_reason"] == "high_dup_5gram" and not r["keep"], r["drop_reason"]
+    # the extra rules only ADD drops: every base-dropped doc keeps a reason
+    base = quality_filter_full(inp, ppl_threshold=float("inf"))
+    a = {x["url"]: x["drop_reason"] for x in base.collect() if x["drop_reason"]}
+    b = {x["url"]: x["drop_reason"] for x in out.collect()}
+    for url in a:
+        assert b[url] is not None
