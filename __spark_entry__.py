@@ -2141,6 +2141,68 @@ def _sql_pii_scrub() -> str:
     )
 
 
+def q_domain_drop_samples(spark, sf_dir):
+    """Deterministic per-domain drop triage (round 4): the k=3 smallest-
+    md5(url) dropped pages per domain via salted two-level partial top-k
+    (map-side state bounded at k per salt — the non-algebraic aggregate
+    shape the domain metrics tables grow at 100 TB).  Urls synthesized
+    over 7 domains from doc_id; labels from the real quality_filter
+    cascade; full DuckDB oracle (row_number over md5 mirror)."""
+    from harvesttext_spark.pipeline.quality_filter import (
+        domain_drop_samples,
+        quality_filter,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = d.select(
+        F.concat(
+            F.lit("https://d"), F.col("doc_id") % 7, F.lit(".example/p/"), F.col("doc_id")
+        ).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+    )
+    return domain_drop_samples(quality_filter(pages), k=3)
+
+
+def _sql_domain_drop_samples() -> str:
+    c = _sql_clean_chain("text")
+    return f"""
+WITH cleaned AS (
+  SELECT 'https://d' || (doc_id % 7) || '.example/p/' || doc_id AS url,
+         'd' || (doc_id % 7) || '.example' AS domain,
+         {c} AS text_clean
+  FROM documents
+),
+sig AS (
+  SELECT url, domain, text_clean,
+         length(text_clean) AS n_chars,
+         (length(text_clean) - length(regexp_replace(text_clean, '[A-Za-z0-9\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))
+           / greatest(length(text_clean), 1) AS alnum_ratio,
+         list_filter(regexp_split_to_array(text_clean, '\\s+'), x -> x != '') AS toks,
+         len(list_filter(list_distinct(string_split(text_clean, '')),
+                         ch -> ch != '' AND contains(text_clean, repeat(ch, 10)))) > 0 AS char_run10
+  FROM cleaned
+),
+lab AS (
+  SELECT url, domain,
+         CASE WHEN text_clean IS NULL THEN 'null_text'
+              WHEN n_chars < 20 THEN 'too_short'
+              WHEN char_run10 THEN 'char_run'
+              WHEN alnum_ratio < 0.45 THEN 'low_alnum'
+              WHEN len(toks) >= 20 AND len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) < 0.30
+                   THEN 'low_diversity'
+              ELSE NULL END AS drop_reason
+  FROM sig
+),
+ranked AS (
+  SELECT domain, url, drop_reason,
+         row_number() OVER (PARTITION BY domain ORDER BY md5(url), url) - 1 AS rnk
+  FROM lab WHERE drop_reason IS NOT NULL
+)
+SELECT domain, CAST(rnk AS INT) AS rnk, url, drop_reason FROM ranked WHERE rnk < 3
+"""
+
+
 def q_cut_sentences(spark, sf_dir):
     from harvesttext_spark.functions.sentences import explode_sentences
 
@@ -2496,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_labels": q_quality_filter_labels,
         "quality_filter_full_labels": q_quality_filter_full_labels,
         "pii_scrub": q_pii_scrub,
+        "domain_drop_samples": q_domain_drop_samples,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
@@ -2555,5 +2618,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_labels": _sql_quality_filter_labels(),
         "quality_filter_full_labels": _sql_quality_filter_full_labels(),
         "pii_scrub": _sql_pii_scrub(),
+        "domain_drop_samples": _sql_domain_drop_samples(),
         "clean_text": _sql_clean_text(),
     }

@@ -364,6 +364,45 @@ def domain_metrics_full(labeled: DataFrame, n_salts: int = N_SALTS) -> DataFrame
     return base.join(rolled, "domain", "left")
 
 
+def domain_drop_samples(
+    labeled: DataFrame, k: int = 5, n_salts: int = N_SALTS
+) -> DataFrame:
+    """(domain, rnk, url, drop_reason): up to ``k`` example dropped pages
+    per domain, chosen as the k smallest md5(url) — a DETERMINISTIC
+    reservoir (no rand(), repo rule) for drop-triage dashboards at scale.
+
+    This is the non-algebraic aggregate the domain_metrics docstring
+    promises the salted shape for: map-side partial top-k per
+    (domain, salt) bounds state to k rows per salt BEFORE the final
+    shuffle, so the Zipf-head domain never funnels its full drop list
+    to one reducer; level 2 merges n_salts * k rows per domain."""
+    dropped = labeled.filter(~F.col("keep")).select(
+        domain_col().alias("domain"),
+        F.struct(
+            F.md5(F.col("url")).alias("h"),
+            F.col("url").alias("url"),
+            F.col("drop_reason").alias("drop_reason"),
+        ).alias("s"),
+        (F.crc32(F.col("url")) % n_salts).alias("_salt"),
+    )
+    partial = dropped.groupBy("domain", "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("part")
+    )
+    merged = (
+        partial.select("domain", F.explode("part").alias("s"))
+        .groupBy("domain")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("top"))
+    )
+    return merged.select(
+        "domain", F.posexplode("top").alias("rnk", "s")
+    ).select(
+        "domain",
+        "rnk",
+        F.col("s.url").alias("url"),
+        F.col("s.drop_reason").alias("drop_reason"),
+    )
+
+
 def partition_lineage(labeled: DataFrame) -> DataFrame:
     """Per-input-partition lineage row: the audit trail the resume story
     anti-joins against (partition id, doc count, keep count, min/max url)."""

@@ -316,3 +316,42 @@ def test_gopher_ngram_rules(spark):
     b = {x["url"]: x["drop_reason"] for x in out.collect()}
     for url in a:
         assert b[url] is not None
+
+
+def test_domain_drop_samples_two_level_topk(spark):
+    """The salted two-level partial top-k must equal a direct global
+    per-domain top-k (window), and be invariant to input partitioning —
+    the deterministic-reservoir contract."""
+    from pyspark.sql import Window
+
+    from harvesttext_spark.pipeline.quality_filter import (
+        domain_drop_samples,
+        quality_filter,
+    )
+
+    pages = synthesize_pages(spark, n=400, seed=13)
+    labeled = quality_filter(pages)
+    got = {
+        (r["domain"], r["rnk"]): r["url"]
+        for r in domain_drop_samples(labeled, k=3).collect()
+    }
+    # direct reference: global window over the same dropped set
+    dropped = labeled.filter(~F.col("keep")).select(
+        F.regexp_extract("url", "^https?://([^/]+)/.*$", 1).alias("domain"),
+        "url",
+        F.md5("url").alias("h"),
+    )
+    w = Window.partitionBy("domain").orderBy("h", "url")
+    want = {
+        (r["domain"], r["rn"] - 1): r["url"]
+        for r in dropped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want and got
+    # partitioning-invariant
+    got2 = {
+        (r["domain"], r["rnk"]): r["url"]
+        for r in domain_drop_samples(labeled.repartition(13), k=3).collect()
+    }
+    assert got2 == got
