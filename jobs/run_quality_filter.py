@@ -24,10 +24,24 @@ import sys
 import time
 
 
-def apply_pre_passes(pages, url_dedup: bool = False, boilerplate_min_df: int | None = None):
-    """The optional dedup pre-passes, CC-pipeline order: URL-level dedup
-    first, then corpus boilerplate-line removal.  Factored out of main()
-    so the wiring (NOT just the operators) is testable in-process.
+def apply_pre_passes(
+    pages,
+    url_dedup: bool = False,
+    boilerplate_min_df: int | None = None,
+    exact_dedup: bool = False,
+    minhash_jaccard: float | None = None,
+):
+    """The optional dedup pre-passes, CC-pipeline order: URL-level dedup,
+    then corpus boilerplate-line removal, then text-level dedup (exact,
+    then MinHash near-dup) — text dedup runs AFTER the boilerplate pass
+    so pages differing only in chrome become identical and collapse.
+    Factored out of main() so the wiring (NOT just the operators) is
+    testable in-process.
+
+    NULL-text pages (html-only) bypass the text dedup stages entirely:
+    md5(NULL) would group every such page into one digest and silently
+    delete all but one — they must instead reach the filter stage and
+    take the null_text/html-decode path per url.
 
     drop_boilerplate_lines groups lines by url, so its input MUST be
     url-unique: with duplicate urls (the exact shape --url-dedup exists
@@ -57,6 +71,25 @@ def apply_pre_passes(pages, url_dedup: bool = False, boilerplate_min_df: int | N
             .withColumn("text", F.coalesce("_debo", "text"))
             .drop("_debo")
         )
+    if exact_dedup or minhash_jaccard is not None:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.dedup import (
+            drop_exact_dups,
+            drop_near_dups,
+            minhash_dup_pairs,
+        )
+
+        nn = pages.filter(F.col("text").isNotNull())
+        nulls = pages.filter(F.col("text").isNull())
+        if exact_dedup:
+            nn = drop_exact_dups(nn, text_col="text", id_col="url")
+        if minhash_jaccard is not None:
+            pairs = minhash_dup_pairs(
+                nn, text_col="text", id_col="url", min_jaccard=minhash_jaccard
+            )
+            nn = drop_near_dups(nn, pairs, id_col="url")
+        pages = nn.unionByName(nulls)
     return pages
 
 
@@ -90,6 +123,19 @@ def main(argv=None) -> None:
         action="store_true",
         help="route pure-ASCII rows through the Catalyst-native clean chain "
         "(byte-equivalent to the Arrow UDF battery; +~19%% on latin corpora)",
+    )
+    p.add_argument(
+        "--exact-dedup",
+        action="store_true",
+        help="pre-pass: keep one page per identical text (min-url survivor)",
+    )
+    p.add_argument(
+        "--minhash-dedup",
+        type=float,
+        default=None,
+        metavar="JACCARD",
+        help="pre-pass: MinHash-LSH near-dup removal at this estimated-"
+        "Jaccard threshold (e.g. 0.8); min-url survivor per cluster",
     )
     p.add_argument(
         "--gopher-full",
@@ -145,7 +191,11 @@ def main(argv=None) -> None:
 
     t0 = time.time()
     pages = apply_pre_passes(
-        pages, url_dedup=args.url_dedup, boilerplate_min_df=args.drop_boilerplate
+        pages,
+        url_dedup=args.url_dedup,
+        boilerplate_min_df=args.drop_boilerplate,
+        exact_dedup=args.exact_dedup,
+        minhash_jaccard=args.minhash_dedup,
     )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume

@@ -355,3 +355,50 @@ def test_domain_drop_samples_two_level_topk(spark):
         for r in domain_drop_samples(labeled.repartition(13), k=3).collect()
     }
     assert got2 == got
+
+
+def test_job_text_dedup_pre_passes(spark):
+    """--exact-dedup / --minhash-dedup wiring: identical texts collapse to
+    the min-url survivor, near-identical texts collapse via MinHash, and
+    NULL-text (html-only) pages pass through untouched — md5(NULL) must
+    never group them into one digest."""
+    import datetime as dt
+
+    from jobs.run_quality_filter import apply_pre_passes
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away across the wide green field tonight")
+    near = base.replace("tonight", "today")  # high-jaccard near-dup
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/1", ts, base),
+        ("https://a.example/2", ts, base),            # exact dup of /1
+        ("https://a.example/3", ts, near),            # near dup of /1
+        ("https://a.example/4", ts, "something else entirely different here"),
+        ("https://a.example/n1", ts, None),           # html-only pages
+        ("https://a.example/n2", ts, None),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    exact = {
+        r["url"]
+        for r in apply_pre_passes(df, exact_dedup=True).collect()
+    }
+    assert exact == {
+        "https://a.example/1",   # min-url survivor of the exact pair
+        "https://a.example/3",
+        "https://a.example/4",
+        "https://a.example/n1",  # null-text rows ALL survive
+        "https://a.example/n2",
+    }
+    both = {
+        r["url"]
+        for r in apply_pre_passes(
+            df, exact_dedup=True, minhash_jaccard=0.5
+        ).collect()
+    }
+    assert both == {
+        "https://a.example/1",   # near-dup /3 collapsed into /1
+        "https://a.example/4",
+        "https://a.example/n1",
+        "https://a.example/n2",
+    }
