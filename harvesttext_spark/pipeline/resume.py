@@ -47,9 +47,18 @@ def run_with_resume(
     out_dir: str,
     n_buckets: int = N_BUCKETS,
     max_buckets_this_run: int | None = None,
+    filter_fn=None,
 ) -> dict:
     """Process all not-yet-committed buckets (optionally capped, to simulate
-    / bound a run).  Returns {'processed': [...], 'skipped': n}."""
+    / bound a run).  Returns {'processed': [...], 'skipped': n}.
+
+    ``filter_fn`` (default ``quality_filter``) must be PER-ROW
+    deterministic — bucket idempotency means a crashed run's tail
+    buckets reprocess on the next run and must label identically.
+    Corpus-dependent stages (the self-trained LM of
+    quality_filter_full) are excluded by design: their output depends
+    on which buckets are in the batch.  The fast_path variant is fine
+    (byte-equivalent per row, tests/test_fast_path.py)."""
     done = set(committed_buckets(spark, out_dir))
     bucketed = _with_bucket(pages, n_buckets)
     if done:
@@ -75,7 +84,7 @@ def run_with_resume(
         return {"processed": [], "skipped": len(done), "snapshot_id": cur}
 
     batch = bucketed.filter(F.col("bucket").isin(todo))
-    labeled = quality_filter(batch).select(
+    labeled = (filter_fn or quality_filter)(batch).select(
         "url", "warc_ts", "lang", "lang_pred", "text_clean", "keep", "drop_reason", "bucket"
     )
 

@@ -200,9 +200,22 @@ def main(argv=None) -> None:
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume
 
+        if args.with_lm:
+            sys.exit(
+                "--resume is incompatible with --with-lm: the self-trained "
+                "LM depends on the run's bucket batch, so reprocessed tail "
+                "buckets would not label identically (bucket idempotency). "
+                "Run the LM stage as a separate full pass over the resumed "
+                "output with an explicit --ppl-threshold."
+            )
+        filter_fn = None
+        if args.fast_path:
+            from harvesttext_spark.pipeline.quality_filter import quality_filter
+
+            filter_fn = lambda df: quality_filter(df, fast_path=True)  # noqa: E731
         result = run_with_resume(
             spark, pages, args.output, n_buckets=args.buckets,
-            max_buckets_this_run=args.max_buckets,
+            max_buckets_this_run=args.max_buckets, filter_fn=filter_fn,
         )
         summary = {"mode": "resume", **{k: len(v) if isinstance(v, list) else v for k, v in result.items()}}
     else:
