@@ -22,6 +22,11 @@ SECTIONS = {
     "punkt_abbrevs — one groupBy(typ) + broadcast two-scalar totals": "punkt_abbrevs",
     "ann_lsh_topk — bucket join (broadcast probes), no cross join": "ann_lsh_topk",
     "quality_filter_labels — single scan, one Arrow stage, codegen cascade": "quality_filter_labels",
+    "repetition_ngrams — per-n uniform (doc, gram) aggs, no cross-doc joins": "repetition_ngrams",
+    "domain_drop_samples — salted two-level partial top-k (bounded state)": "domain_drop_samples",
+    "pii_scrub — pure codegen regexp chain, zero shuffle": "pii_scrub",
+    "punkt_collocations — lag window + pair agg + broadcast count joins": "punkt_collocations",
+    "boilerplate_dedup — census groupBys + UNFORCED left-anti (AQE decides)": "boilerplate_dedup",
 }
 
 
