@@ -303,10 +303,12 @@ def trained_starter_list(df: DataFrame, text_col: str = "text") -> list[str]:
 #     not the word's intrinsic casing).
 # Both train as one aggregation each over the same first-pass-boundary
 # token frame as the starter stage; both fully mirrored in DuckDB.
-# Honest divergence from nltk (documented): positions right after an
-# abbreviation period count as sentence-internal here (nltk tags them
-# "unknown") — it only changes types with BOTH lowercase and
-# post-abbreviation-uppercase evidence, and errs toward NOT splitting.
+# Position typing follows nltk's three classes: sentence-START (pos 0 or
+# after a non-abbreviation terminator), UNKNOWN (right after an
+# abbreviation period — the ambiguous case the model exists to decide),
+# and INTERNAL (everything else).  Orthographic mid-uppercase evidence
+# counts ONLY the internal class: an uppercase occurrence in an unknown
+# position must not poison a type's boundary evidence.
 
 COLLOCATION_THRESHOLD = 7.88
 MIN_COLLOC_FREQ = 1
@@ -320,10 +322,12 @@ def _first_pass_frame(
     abbrevs: DataFrame,
 ):
     """Shared token frame of the token-stage trainers: (pos, tok, prev,
-    typ, st) with first-pass boundaries (pos==0, or terminator-final
-    previous token that is not a trained abbreviation).  One lag window
-    per doc (tiny per-partition sort), broadcast abbreviation join —
-    identical logic to punkt_sentence_starters round 3."""
+    typ, st, unk) with first-pass boundaries (st: pos==0, or
+    terminator-final previous token that is not a trained abbreviation)
+    and nltk's UNKNOWN position class (unk: right after an abbreviation
+    period — ambiguous, neither boundary nor internal evidence).  One
+    lag window per doc (tiny per-partition sort), broadcast
+    abbreviation join."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -339,11 +343,15 @@ def _first_pass_frame(
     ).withColumn("typ", F.lower(F.regexp_replace("tok", _TYPE_STRIP, "")))
     ab = abbrevs.select(F.col("abbrev").alias("prev_type"), F.lit(1).alias("_isab"))
     t = t.join(F.broadcast(ab), "prev_type", "left")
-    is_start = (F.col("pos") == 0) | (
-        F.col("prev").rlike("[.!?]$")
-        & ~(F.col("prev").endswith(".") & F.col("_isab").isNotNull())
+    after_abbr = (
+        F.col("prev").endswith(".") & F.col("_isab").isNotNull()
     )
-    return t.withColumn("st", is_start.cast("long"))
+    is_start = (F.col("pos") == 0) | (
+        F.col("prev").rlike("[.!?]$") & ~after_abbr
+    )
+    return t.withColumn("st", is_start.cast("long")).withColumn(
+        "unk", ((~is_start) & after_abbr).cast("long")
+    )
 
 
 def _col_ll(ca, cb, cab, n):
@@ -421,7 +429,11 @@ def punkt_ortho_context(
     once — the orthographic-context table the boundary decision consults:
     a capitalized word after an abbreviation period is a boundary iff
     lc_any AND NOT mid_uc (seen lowercase somewhere, never capitalized
-    sentence-internally).  One groupBy(typ) of boolean aggregates."""
+    sentence-internally).  Positions right after an abbreviation period
+    are nltk's UNKNOWN class and count as NEITHER internal nor boundary
+    ('Smith' in a corpus of 'Dr. Smith' sightings has no mid-uc
+    evidence — the ambiguous position can't testify).  One groupBy(typ)
+    of boolean aggregates."""
     if abbrevs is None:
         abbrevs = punkt_abbreviations(df, text_col)
     t = _first_pass_frame(df, text_col, id_col, abbrevs)
@@ -429,7 +441,7 @@ def punkt_ortho_context(
         "typ",
         F.col("tok").rlike("^[a-z]").cast("long").alias("lc"),
         F.col("tok").rlike("^[A-Z]").cast("long").alias("uc"),
-        (F.col("st") == 0).cast("long").alias("mid"),
+        ((F.col("st") == 0) & (F.col("unk") == 0)).cast("long").alias("mid"),
     )
     agg = t.groupBy("typ").agg(
         (F.sum("lc") > 0).alias("lc_any"),
@@ -519,10 +531,16 @@ typed AS (
   SELECT lower(regexp_replace(tok, '{_TYPE_STRIP}', '')) AS typ,
          CASE WHEN regexp_matches(tok, '^[a-z]') THEN 1 ELSE 0 END AS lc,
          CASE WHEN regexp_matches(tok, '^[A-Z]') THEN 1 ELSE 0 END AS uc,
+         -- three position classes: START (0), UNKNOWN after an
+         -- abbreviation period (0 — ambiguous, no internal evidence),
+         -- INTERNAL (1)
          CASE WHEN pos = 0 OR (
                 regexp_matches(prev, '[.!?]$')
                 AND NOT (prev LIKE '%.' AND lower(regexp_replace(prev, '\\.$', '')) IN (SELECT abbrev FROM abbr))
-              ) THEN 0 ELSE 1 END AS mid
+              ) THEN 0
+              WHEN prev LIKE '%.' AND lower(regexp_replace(prev, '\\.$', '')) IN (SELECT abbrev FROM abbr)
+              THEN 0
+              ELSE 1 END AS mid
   FROM toks
 ),
 agg AS (
