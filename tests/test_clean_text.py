@@ -258,3 +258,48 @@ def test_canonical_url_cases(spark):
     }
     for raw, want in cases.items():
         assert got[raw] == want, (raw, got[raw])
+
+
+def test_t2s_three_engine_fuzz(spark):
+    """Seeded fuzz over the dangerous alphabet — phrase chars (incl.
+    overlapping-phrase substrings), PUA placeholders, the full char-map
+    range sample, ascii — all three engines must agree byte-for-byte on
+    every string (the value-identity contract under adversarial input)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.t2s import (
+        t2s_col,
+        t2s_pairs,
+        t2s_phrase_pairs,
+        t2s_py,
+        t2s_sql,
+    )
+
+    rng = random.Random(7)
+    phrase_chars = sorted({c for t, _ in t2s_phrase_pairs() for c in t})
+    char_sample = [t for t, _ in t2s_pairs()[::97]]
+    pua = [chr(0xE000 + i) for i in range(4)] + [chr(0xF8FF)]
+    alphabet = phrase_chars + char_sample + pua + list("ab ,")
+    texts = []
+    for _ in range(120):
+        n = rng.randint(0, 14)
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    # plus whole phrases glued together (overlap stress)
+    ph = [t for t, _ in t2s_phrase_pairs()]
+    for _ in range(40):
+        texts.append("".join(rng.choice(ph) for _ in range(rng.randint(1, 3))))
+
+    want = [t2s_py(t) for t in texts]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["o"] for r in df.select(t2s_col(F.col("text")).alias("o")).collect()]
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i INT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", list(enumerate(texts)))
+    drows = con.execute(
+        "SELECT " + t2s_sql("text") + " FROM tt ORDER BY i"
+    ).fetchall()
+    assert [r[0] for r in drows] == want

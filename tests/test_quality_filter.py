@@ -402,3 +402,60 @@ def test_job_text_dedup_pre_passes(spark):
         "https://a.example/n1",
         "https://a.example/n2",
     }
+
+
+def test_repetition_ngram_signals_property(spark):
+    """Property check vs a brute-force Python reference on 60 random
+    small-vocab docs (seeded): top-n-gram coverage and the duplicate-
+    n-gram overlap-union math must agree exactly."""
+    import random
+
+    from harvesttext_spark.functions.textstats import repetition_ngram_signals
+
+    rng = random.Random(42)
+    vocab = ["aa", "bbb", "cccc", "dd", "e", "ffffff", "gg", "hhh"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 30)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        # half the docs get a planted repeated run to exercise dups
+        if i % 2 == 0 and n >= 12:
+            run = toks[:6]
+            toks = toks[:n // 2] + run + toks[n // 2 :] + run
+        docs.append((i, " ".join(toks)))
+
+    def ref(text, top_ns=(3, 4), dup_ns=(5, 10)):
+        ws = [t for t in text.split() if t]
+        n_chars = len(text)
+        out = {}
+        for n in top_ns:
+            grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            best = 0.0
+            from collections import Counter
+
+            for g, c in Counter(grams).items():
+                best = max(best, c * len(g) / max(n_chars, 1))
+            out[f"top_{n}gram_char_frac"] = round(best, 6)
+        tok_chars = sum(len(t) for t in ws)
+        for n in dup_ns:
+            grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            from collections import Counter
+
+            cnt = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(i, i + n))
+            cov = sum(len(ws[p]) for p in covered)
+            out[f"dup_{n}gram_char_frac"] = round(cov / max(tok_chars, 1), 6)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_ngram_signals(df).collect()
+    }
+    for i, text in docs:
+        want = ref(text)
+        for k, v in want.items():
+            assert abs(got[i][k] - v) < 1e-9, (i, k, got[i][k], v, text)
