@@ -150,6 +150,15 @@ def main(argv=None) -> None:
         "(labels stay reference-parity; redaction is output-only)",
     )
     p.add_argument(
+        "--scrub-words",
+        default=None,
+        metavar="FILE",
+        help="sensitive-word scrub AFTER labeling: FILE has one term per "
+        "line (optionally 'term<TAB>type', default type 'sensitive'); "
+        "matches become #type# placeholders via the broadcast "
+        "Aho-Corasick dictionary scrubber",
+    )
+    p.add_argument(
         "--ppl-threshold",
         type=float,
         default=None,
@@ -255,6 +264,24 @@ def main(argv=None) -> None:
             # changes what ships
             labeled = labeled.withColumn(
                 "text_clean", scrub_pii_regex(F.col("text_clean"))
+            )
+        if args.scrub_words:
+            from pyspark.sql import functions as F
+
+            from harvesttext_spark.operators.linking import EntityKB, scrub_text
+
+            kb = EntityKB()
+            with open(args.scrub_words, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#"):
+                        continue
+                    term, _, typ = line.partition("\t")
+                    kb.add(term, term, typ or "sensitive")
+            labeled = (
+                scrub_text(labeled, kb, text_col="text_clean")
+                .drop("text_clean")
+                .withColumnRenamed("text_scrubbed", "text_clean")
             )
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
