@@ -365,7 +365,10 @@ def domain_metrics_full(labeled: DataFrame, n_salts: int = N_SALTS) -> DataFrame
 
 
 def domain_drop_samples(
-    labeled: DataFrame, k: int = 5, n_salts: int = N_SALTS
+    labeled: DataFrame,
+    k: int = 5,
+    n_salts: int = N_SALTS,
+    by_reason: bool = False,
 ) -> DataFrame:
     """(domain, rnk, url, drop_reason): up to ``k`` example dropped pages
     per domain, chosen as the k smallest md5(url) — a DETERMINISTIC
@@ -375,31 +378,40 @@ def domain_drop_samples(
     promises the salted shape for: map-side partial top-k per
     (domain, salt) bounds state to k rows per salt BEFORE the final
     shuffle, so the Zipf-head domain never funnels its full drop list
-    to one reducer; level 2 merges n_salts * k rows per domain."""
+    to one reducer; level 2 merges n_salts * k rows per domain.
+
+    ``by_reason=True`` samples per (domain, drop_reason) instead — the
+    triage-dashboard grain (k examples of EACH failure mode per
+    domain); same two-level shape, same determinism."""
+    keys = ["domain", "drop_reason"] if by_reason else ["domain"]
     dropped = labeled.filter(~F.col("keep")).select(
         domain_col().alias("domain"),
+        F.col("drop_reason"),
         F.struct(
             F.md5(F.col("url")).alias("h"),
             F.col("url").alias("url"),
-            F.col("drop_reason").alias("drop_reason"),
+            F.col("drop_reason").alias("reason"),
         ).alias("s"),
         (F.crc32(F.col("url")) % n_salts).alias("_salt"),
     )
-    partial = dropped.groupBy("domain", "_salt").agg(
+    partial = dropped.groupBy(*keys, "_salt").agg(
         F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("part")
     )
     merged = (
-        partial.select("domain", F.explode("part").alias("s"))
-        .groupBy("domain")
+        partial.select(*keys, F.explode("part").alias("s"))
+        .groupBy(*keys)
         .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("top"))
     )
-    return merged.select(
-        "domain", F.posexplode("top").alias("rnk", "s")
-    ).select(
+    out = merged.select(*keys, F.posexplode("top").alias("rnk", "s"))
+    if by_reason:
+        return out.select(
+            "domain", "drop_reason", "rnk", F.col("s.url").alias("url")
+        )
+    return out.select(
         "domain",
         "rnk",
         F.col("s.url").alias("url"),
-        F.col("s.drop_reason").alias("drop_reason"),
+        F.col("s.reason").alias("drop_reason"),
     )
 
 

@@ -184,3 +184,33 @@ def read_as_of(
     snap = by_id[snapshot_id] if snapshot_id is not None else snaps[-1]
     data = spark.read.parquet(os.path.join(out_dir, "data"))
     return data.filter(F.col("bucket").isin(snap["buckets_total"]))
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 3) -> list[int]:
+    """Snapshot-log maintenance (the Iceberg expire_snapshots analog):
+    delete snapshot files older than the newest ``keep_last``, never the
+    current pointer's target.  Returns the expired snapshot ids.
+
+    Safe by construction: bucket DATA is never touched (every surviving
+    snapshot's ``buckets_total`` is self-contained — the log is a chain
+    of cumulative states, not deltas — so expiring ancestors cannot
+    orphan data a survivor needs), and the current pointer is re-read
+    after the deletes to assert it still resolves."""
+    snaps = list_snapshots(out_dir)
+    if len(snaps) <= keep_last:
+        return []
+    d = _snap_dir(out_dir)
+    with open(os.path.join(d, "current")) as f:
+        current = int(f.read().strip())
+    keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]} | {current}
+    expired = []
+    for s in snaps:
+        sid = s["snapshot_id"]
+        if sid in keep_ids:
+            continue
+        os.remove(os.path.join(d, f"v{sid}.json"))
+        expired.append(sid)
+    # postcondition: the pointer still resolves to an existing snapshot
+    names = set(os.listdir(d))
+    assert f"v{current}.json" in names, "current snapshot must survive expiry"
+    return expired

@@ -236,3 +236,31 @@ def test_streaming_click_attribution(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib").collect()
     ]
     assert got == [(100, 1, 2)]
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Snapshot expiry keeps the newest N + the current pointer target;
+    time travel to surviving snapshots still works (cumulative states,
+    not deltas — expiring ancestors orphans nothing)."""
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+    from harvesttext_spark.pipeline.resume import (
+        expire_snapshots,
+        list_snapshots,
+        read_as_of,
+        run_with_resume,
+    )
+
+    out = str(tmp_path / "exp")
+    pages = synthesize_pages(spark, n=200, seed=21)
+    for _ in range(5):  # five runs -> five snapshots (2 buckets each)
+        run_with_resume(spark, pages, out, n_buckets=10, max_buckets_this_run=2)
+    assert [s["snapshot_id"] for s in list_snapshots(out)] == [1, 2, 3, 4, 5]
+    expired = expire_snapshots(out, keep_last=2)
+    assert expired == [1, 2, 3]
+    assert [s["snapshot_id"] for s in list_snapshots(out)] == [4, 5]
+    # survivors stay readable and cumulative
+    n4 = read_as_of(spark, out, 4).count()
+    n5 = read_as_of(spark, out, 5).count()
+    assert 0 < n4 < n5 == 200
+    # idempotent / bounded
+    assert expire_snapshots(out, keep_last=2) == []

@@ -459,3 +459,34 @@ def test_repetition_ngram_signals_property(spark):
         want = ref(text)
         for k, v in want.items():
             assert abs(got[i][k] - v) < 1e-9, (i, k, got[i][k], v, text)
+
+
+def test_domain_drop_samples_by_reason(spark):
+    """by_reason grain: k samples of EACH failure mode per domain, same
+    determinism; the flat grain is unchanged by the refactor."""
+    from harvesttext_spark.pipeline.quality_filter import (
+        domain_drop_samples,
+        quality_filter,
+    )
+
+    labeled = quality_filter(synthesize_pages(spark, n=400, seed=13))
+    flat = domain_drop_samples(labeled, k=2)
+    assert flat.columns == ["domain", "rnk", "url", "drop_reason"]
+    per = domain_drop_samples(labeled, k=2, by_reason=True)
+    assert per.columns == ["domain", "drop_reason", "rnk", "url"]
+    rows = per.collect()
+    assert rows
+    # at most k per (domain, reason); rnk dense from 0
+    from collections import Counter
+
+    c = Counter((r["domain"], r["drop_reason"]) for r in rows)
+    assert max(c.values()) <= 2
+    for (d, rs), n in c.items():
+        got = sorted(
+            r["rnk"] for r in rows if r["domain"] == d and r["drop_reason"] == rs
+        )
+        assert got == list(range(n))
+    # per-reason sampling is a superset of grains: every flat sample's
+    # (domain, reason) pair appears in the per-reason output
+    flat_pairs = {(r["domain"], r["drop_reason"]) for r in flat.collect()}
+    assert flat_pairs <= set(c)
