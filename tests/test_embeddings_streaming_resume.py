@@ -123,3 +123,47 @@ def test_real_bmp_pipeline(spark):
     junk = spark.createDataFrame([(99, bytearray(b"not a bmp"))], "item_id long, payload binary")
     r = decode_image_stats(junk).first()
     assert r.width is None
+
+
+def test_real_wav_audio_path(spark):
+    """REAL audio path (round 4, stdlib wave — mirrors the BMP story):
+    encode/decode round-trips byte-exactly, stats are deterministic,
+    downsample halves rates above target, and non-WAV payloads yield
+    NULL stats gracefully."""
+    import numpy as np
+
+    from harvesttext_spark.sources.multimodal import (
+        decode_audio_stats,
+        decode_wav,
+        downsample_audio_table,
+        encode_wav,
+        synth_wav_table,
+    )
+
+    # pure round-trip
+    sig = (np.sin(np.arange(400) / 7.0) * 12000).astype("<i2")
+    rate, back = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and np.array_equal(back, sig)
+
+    tbl = synth_wav_table(spark, n=20, seed=11)
+    stats = {r["item_id"]: r for r in decode_audio_stats(tbl).collect()}
+    assert len(stats) == 20
+    assert all(r["sample_rate"] in (8000, 16000, 22050) for r in stats.values())
+    assert all(r["rms"] > 0 and r["peak"] > 0 for r in stats.values())
+    # determinism across partitionings
+    stats2 = {
+        r["item_id"]: r
+        for r in decode_audio_stats(tbl.repartition(5)).collect()
+    }
+    assert {k: (v["rms"], v["peak"]) for k, v in stats.items()} == {
+        k: (v["rms"], v["peak"]) for k, v in stats2.items()
+    }
+    # downsample: everything lands at <= 8000 with duration preserved ~
+    down = decode_audio_stats(downsample_audio_table(tbl, target_rate=8000))
+    for r in down.collect():
+        assert r["sample_rate"] == 8000 if stats[r["item_id"]]["sample_rate"] >= 8000 else True
+        assert abs(r["duration_s"] - stats[r["item_id"]]["duration_s"]) < 0.01
+    # graceful non-WAV
+    bad = spark.createDataFrame([(99, bytearray(b"not a wav"))], "item_id long, payload binary")
+    row = decode_audio_stats(bad).first()
+    assert row["sample_rate"] is None and row["rms"] is None
