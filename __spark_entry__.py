@@ -2141,6 +2141,59 @@ def _sql_pii_scrub() -> str:
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors (rows-only: the seeded KMeans||
+    quantizer is not SQL-expressible; recall + determinism are pytest-
+    gated).  Assignment is one broadcast-centroid pass; the probe join
+    shuffles on the bounded centroid_id key."""
+    from harvesttext_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_image_stats(spark, sf_dir):
+    """REAL multimodal image stage (rows-only: BMP decoding is binary
+    parsing, not SQL): deterministic synth BMP table -> decode ->
+    width/height/channel means."""
+    from harvesttext_spark.sources.multimodal import (
+        decode_image_stats,
+        synth_bmp_table,
+    )
+
+    out = decode_image_stats(synth_bmp_table(spark, n=40, seed=7))
+    return out.select(
+        "item_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+def q_audio_stats(spark, sf_dir):
+    """REAL multimodal audio stage (rows-only: WAV decoding is binary
+    parsing): deterministic synth PCM table -> decode -> rate/duration/
+    rms/peak."""
+    from harvesttext_spark.sources.multimodal import (
+        decode_audio_stats,
+        synth_wav_table,
+    )
+
+    out = decode_audio_stats(synth_wav_table(spark, n=40, seed=11))
+    return out.select(
+        "item_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )
+
+
 def q_domain_drop_samples(spark, sf_dir):
     """Deterministic per-domain drop triage (round 4): the k=3 smallest-
     md5(url) dropped pages per domain via salted two-level partial top-k
@@ -2559,6 +2612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_full_labels": q_quality_filter_full_labels,
         "pii_scrub": q_pii_scrub,
         "domain_drop_samples": q_domain_drop_samples,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
         "pagerank_tokens": q_pagerank_tokens,
