@@ -179,3 +179,43 @@ def streaming_click_attribution(
     return views.join(clicks, cond, "inner").select(
         F.col("c_user").alias("user_id"), "view_id", "click_id", "v_ts", "c_ts"
     )
+
+
+def streaming_url_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming URL-level dedup: emit each page the FIRST time its
+    canonical URL (functions/urls.py — utm/fragment/case variants
+    collapse) appears; per-key state is one flag.
+
+    Documented semantic difference vs the batch ``drop_url_dups``:
+    append-mode streams cannot retract, so the survivor is the
+    first-SEEN crawl, not the latest — the batch operator remains the
+    backfill/compaction pass that re-picks latest-crawl survivors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from harvesttext_spark.functions.urls import canonical_url
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    keyed = pages.withColumn("curl", canonical_url(F.col("url")))
+
+    def first_only(key, pdfs, state):
+        if state.exists:
+            return iter(())
+        chunks = list(pdfs)
+        all_rows = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        state.update((1,))
+        if len(all_rows) == 0:
+            return iter(())
+        # deterministic within the micro-batch: min (warc_ts, url) row
+        first = all_rows.sort_values(["warc_ts", "url"]).iloc[[0]][
+            ["curl", "url", "warc_ts", "text"]
+        ]
+        return iter((first,))
+
+    return keyed.groupBy("curl").applyInPandasWithState(
+        first_only,
+        outputStructType="curl string, url string, warc_ts timestamp, text string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -203,3 +203,47 @@ def test_streaming_exact_dedup(spark, tmp_path):
     run_stream_to_memory(out, "sdd", mode="append")
     rows = spark.sql("SELECT text FROM sdd").collect()
     assert sorted(r["text"] for r in rows) == ["AAA", "BBB", "CCC"]
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """Streaming canonical-URL dedup: utm/case/fragment variants of one
+    page collapse to a single first-seen emission per canonical key."""
+    import pandas as pd
+
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_url_dedup,
+    )
+
+    src = str(tmp_path / "url_stream")
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "https://a.com/p?utm_source=x",
+                "HTTPS://A.com/p#frag",
+                "https://a.com/p",
+                "https://b.com/q",
+                "https://b.com/q?gclid=z",
+                "https://c.com/r",
+            ],
+            "warc_ts": pd.to_datetime(["2024-01-0%d" % (i + 1) for i in range(6)]),
+            "html": [b""] * 6,
+            "text": [f"t{i}" for i in range(6)],
+            "lang": ["en"] * 6,
+        }
+    )
+    spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    out = streaming_url_dedup(spark, src)
+    run_stream_to_memory(out, "sud", mode="append")
+    rows = spark.sql("SELECT curl, text FROM sud").collect()
+    assert len(rows) == 3
+    assert sorted(r["curl"] for r in rows) == [
+        "https://a.com/p",
+        "https://b.com/q",
+        "https://c.com/r",
+    ]
+    # first-seen survivor: min (warc_ts, url) within the batch
+    got = {r["curl"]: r["text"] for r in rows}
+    assert got["https://a.com/p"] == "t0" and got["https://b.com/q"] == "t3"
