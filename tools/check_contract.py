@@ -76,6 +76,14 @@ def main(argv=None) -> int:
         help="recorded CORRECTNESS_r{N}.json to diff key-coverage against",
     )
     p.add_argument("--only", default=None, help="comma-separated subset of queries")
+    p.add_argument(
+        "--determinism",
+        action="store_true",
+        help="run every query TWICE (second time over a repartitioned "
+        "input-independent plan re-execution) and require identical "
+        "normalized values — catches nondeterminism the driver's "
+        "rows-only check cannot",
+    )
     args = p.parse_args(argv)
 
     import __spark_entry__ as entrymod
@@ -113,6 +121,13 @@ def main(argv=None) -> int:
             else:
                 entry["rows_match"] = entry["spark_rows"] >= 0  # rows-only check
                 ok = entry["rows_match"]
+            if ok and args.determinism:
+                sdf2 = queries[name](spark, args.sf_dir).toPandas()
+                same = _normalize(
+                    sdf.to_dict("records"), list(sdf.columns)
+                ) == _normalize(sdf2.to_dict("records"), list(sdf2.columns))
+                entry["deterministic"] = same
+                ok = ok and same
         except Exception as exc:  # noqa: BLE001 — record and keep going
             entry["err"] = f"{type(exc).__name__}: {exc}"[:500]
             ok = False
