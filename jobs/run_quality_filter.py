@@ -167,6 +167,14 @@ def main(argv=None) -> None:
         "computes the 99th percentile mid-pipeline (one extra full scan)",
     )
     p.add_argument(
+        "--expire-snapshots",
+        type=int,
+        default=None,
+        metavar="KEEP_LAST",
+        help="with --resume: after committing, expire all but the newest "
+        "KEEP_LAST snapshots (log maintenance; data is never touched)",
+    )
+    p.add_argument(
         "--synthesize",
         type=int,
         default=None,
@@ -227,6 +235,12 @@ def main(argv=None) -> None:
             max_buckets_this_run=args.max_buckets, filter_fn=filter_fn,
         )
         summary = {"mode": "resume", **{k: len(v) if isinstance(v, list) else v for k, v in result.items()}}
+        if args.expire_snapshots is not None:
+            from harvesttext_spark.pipeline.resume import expire_snapshots
+
+            summary["snapshots_expired"] = len(
+                expire_snapshots(args.output, keep_last=args.expire_snapshots)
+            )
     else:
         from harvesttext_spark.pipeline.quality_filter import (
             domain_metrics,

@@ -120,6 +120,20 @@ def test_boilerplate_antijoin_unforced(spark):
     assert "CartesianProduct" not in plan_of(out)
 
 
+def test_domain_drop_samples_partial_topk_shape(spark):
+    """The salted two-level top-k must compile to TWO aggregate levels
+    (partial top-k per (domain, salt), then the merge) — i.e. two
+    exchanges whose upstream aggregates bound state at k rows per salt
+    BEFORE any shuffle.  A refactor that collapses it into one global
+    window would funnel the Zipf-head domain's full drop list to one
+    reducer; this pins the shape."""
+    plan = plan_of(entrymod.queries()["domain_drop_samples"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # slice(array_sort(collect_list)) compiles to ObjectHashAggregate
+    assert plan.count("ObjectHashAggregate") >= 4  # partial+final x 2 levels
+    assert "Window" not in plan  # no global per-domain sort
+
+
 def test_plan_keyed_persist_semantics(spark):
     """Same plan -> the SAME cached frame comes back (warm reuse, no
     double-persist); different plan -> previous slot occupant is evicted
