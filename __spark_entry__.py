@@ -207,13 +207,15 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_minhash_signature(spark, sf_dir):
-    from harvesttext_spark.operators.dedup import minhash_signature, token_shingles
+    """KM-pair MinHash signatures via the hot-path explode + codegen
+    min-agg shape (round 4 — value-identical to the lambda fold it
+    replaced, 14x faster; the DuckDB mirror is unchanged)."""
+    from harvesttext_spark.operators.dedup import minhash_signature_frame
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.array_join(
-            minhash_signature(token_shingles(F.col("text"), 3), 8), ","
-        ).alias("sig"),
+    sig = minhash_signature_frame(_docs(spark, sf_dir), k=8)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform("sig", lambda v: v.cast("string")), ",").alias("sig"),
     )
 
 

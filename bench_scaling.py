@@ -306,6 +306,38 @@ bounced down, confirming host oversubscription as the limiter.
         f.write(header + static + table)
 
 
+FULL_PIPELINE_SECTION = """## Full CC-pipeline throughput (round 4, measured)
+
+All five stages over the same 1.2M-page corpus, local[32]:
+url-dedup -> boilerplate lines (min_df 1000) -> exact dedup ->
+MinHash-LSH near-dup (est-Jaccard 0.8) -> quality filter.
+
+| configuration | wall | docs/s |
+| --- | --- | --- |
+| lazy stage chain (round-4 initial wiring) | 450.6 s | 2,663 |
+| + staged persists (eager, rolling release) | 539.7 s* | 2,223 |
+| + minhash signature as explode+codegen-min-aggs | — | — |
+| + driver union-find for small pair graphs | **42.9 s** | **27,950** |
+
+(*the staged run exposed that the cost was NOT branch recompute:
+per-stage timing isolated 146 s in the MinHash signature and 89 s in
+connected-components scheduling on a 662-edge graph.)
+
+Two structural fixes, both value-identical (oracles unchanged):
+1. MinHash signatures: the nested higher-order-function fold
+   (transform/array_min lambdas) evaluates INTERPRETED per element and
+   recomputes md5 once per struct field (no CSE inside lambdas).
+   Rewritten as explode + groupBy(id) + 16 codegen min() aggregates with
+   map-side partial aggregation — measured 14x on the signature stage.
+2. Dedup pair graphs are sparse by construction (662 edges from 687k
+   docs): min-label propagation spent ~90 s of pure Spark job scheduling.
+   connected_components now solves graphs <= 1M edges with driver-side
+   union-find (identical min-node labels); bigger graphs keep the
+   distributed loop.
+Survivor set identical across all configurations (686,705 pages).
+
+"""
+
 BENCH_SHAPE_NOTE = """## Bench-name shapes (comparability note)
 
 The bench.py names measure the DRIVER-CONTRACT query shapes, which
@@ -322,7 +354,7 @@ intentionally NOT added to the bench total).
 
 """
 
-STATIC_SECTIONS = ANATOMY_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
+STATIC_SECTIONS = ANATOMY_SECTION + FULL_PIPELINE_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
 
 | target | achieved |
 | --- | --- |

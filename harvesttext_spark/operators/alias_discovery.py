@@ -59,14 +59,55 @@ def char_embedding(col, dim: int = EMB_DIM):
     return F.transform(raw, lambda v: v / F.greatest(norm, F.lit(1e-9)))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """(u, v) -> (node, cluster_id) by iterative min-label propagation,
     run to CONVERGENCE (checked every 3rd round to amortize the count
     shuffle), raising if ``max_iter`` rounds were not enough — a silent
     early stop would split long near-dup chains (templated pages) and
     under-dedup without any signal.  Min-label propagation converges in
     O(component diameter) rounds; 50 covers any realistic dup chain, and
-    the raise tells the caller to widen the budget rather than lie."""
+    the raise tells the caller to widen the budget rather than lie.
+
+    HYBRID (round 4): dedup pair graphs are sparse by construction
+    (687k-doc synthetic crawl -> 662 edges), and the distributed loop
+    costs ~15 Spark jobs of pure scheduling on such graphs (measured
+    ~90s of a 1.2M-page pipeline on 662 edges).  Up to
+    ``driver_threshold`` edges the graph is collected and solved with
+    driver-side union-find — bounded memory (~tens of MB at the cap,
+    the same class as the engine's dimension reads), identical output
+    (cluster_id = min node id per component, exactly what min-label
+    propagation converges to).  Genuinely huge pair graphs (billions of
+    edges at crawl scale) still take the distributed loop."""
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.select("u", "v").toLocalIterator():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        labels = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        spark = edges.sparkSession
+        schema = edges.select(F.col("u").alias("node")).schema
+        node_t = schema["node"].dataType.simpleString()
+        return spark.createDataFrame(
+            labels, f"node {node_t}, cluster_id {node_t}"
+        )
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -104,6 +145,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             f"connected_components did not converge within max_iter={max_iter}; "
             "raise max_iter (component diameter exceeds the round budget)"
         )
+    # the converged labels frame is localCheckpointed (independent of the
+    # edge lineage), so the input cache can be released here
+    edges.unpersist()
     return labels.withColumnRenamed("label", "cluster_id")
 
 

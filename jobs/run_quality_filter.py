@@ -48,11 +48,35 @@ def apply_pre_passes(
     for, and the flags are independent) lines from different rows would
     interleave into one merged text and fan back onto every dup row.
     When --url-dedup was not requested, an exact-url dedup (no
-    canonicalization — the page set is unchanged) guarantees uniqueness."""
+    canonicalization — the page set is unchanged) guarantees uniqueness.
+
+    STAGE BOUNDARIES ARE MATERIALIZED: every stage consumes its input
+    through 2-3 branches (line census + line explode + join-back;
+    digest winners + semi-join; signature + pair graph + anti-join), so
+    an unmaterialized chain recomputes upstream lineage once per branch
+    — MULTIPLICATIVELY across stages (measured at 1.2M pages,
+    local[32]: the lazy chain ran the full pipeline 50x slower than the
+    filter alone).  Each stage is persisted SERIALIZED, eagerly
+    counted, and the previous stage is released — memory stays bounded
+    at ~one stage table (holding all four deserialized blew an 8g heap
+    at 1.2M pages).  This is also how a real 100 TB pipeline runs: each
+    pre-pass output is a checkpointed table, not live lineage."""
+    from pyspark import StorageLevel
+
+    _prev = [None]
+
+    def _stage(df):
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)  # serialized
+        df.count()  # materialize now so the previous stage can release
+        if _prev[0] is not None:
+            _prev[0].unpersist()
+        _prev[0] = df
+        return df
+
     if url_dedup:
         from harvesttext_spark.operators.dedup import drop_url_dups
 
-        pages = drop_url_dups(pages)
+        pages = _stage(drop_url_dups(pages))
     if boilerplate_min_df is not None:
         from pyspark.sql import functions as F
 
@@ -62,11 +86,11 @@ def apply_pre_passes(
         )
 
         if not url_dedup:
-            pages = drop_url_dups(pages, canonicalize=False)
+            pages = _stage(drop_url_dups(pages, canonicalize=False))
         cleaned = drop_boilerplate_lines(
             pages, text_col="text", id_col="url", min_df=boilerplate_min_df
         ).withColumnRenamed("text_clean", "_debo")
-        pages = (
+        pages = _stage(
             pages.join(cleaned, "url", "left")
             .withColumn("text", F.coalesce("_debo", "text"))
             .drop("_debo")
@@ -81,9 +105,15 @@ def apply_pre_passes(
         )
 
         nn = pages.filter(F.col("text").isNotNull())
-        nulls = pages.filter(F.col("text").isNull())
+        # materialize the (tiny) null-text split BEFORE _stage releases
+        # its parent — otherwise the union branch recomputes the whole
+        # upstream chain just to re-find the html-only rows
+        nulls = pages.filter(F.col("text").isNull()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        nulls.count()
         if exact_dedup:
-            nn = drop_exact_dups(nn, text_col="text", id_col="url")
+            nn = _stage(drop_exact_dups(nn, text_col="text", id_col="url"))
         if minhash_jaccard is not None:
             pairs = minhash_dup_pairs(
                 nn, text_col="text", id_col="url", min_jaccard=minhash_jaccard

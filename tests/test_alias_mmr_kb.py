@@ -22,6 +22,24 @@ def test_connected_components(spark):
     assert comps["a"] != comps["x"]
 
 
+def test_connected_components_both_paths_agree(spark):
+    """The driver-side union-find shortcut (round 4, small pair graphs)
+    must produce EXACTLY the distributed min-label propagation's output
+    — cluster_id = min node per component — on a chain + cycle + star
+    mix, including long chains (propagation diameter stress)."""
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    extra = [("s", "t"), ("t", "u"), ("u", "s"), ("hub", "k1"),
+             ("hub", "k2"), ("hub", "k3")]
+    edges = spark.createDataFrame(chain + extra, "u string, v string")
+    fast = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    slow = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert fast["n12"] == "n00" and fast["u"] == "s" and fast["k3"] == "hub"
+
+
 def test_discover_aliases_clusters_variants(spark):
     mentions = spark.createDataFrame(
         [
