@@ -300,10 +300,13 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
 
 
 def q_simhash(spark, sf_dir):
-    from harvesttext_spark.operators.dedup import simhash32_portable
+    """32-bit portable SimHash via the hot-path explode + codegen-agg
+    shape (round 4 — value-identical to the lambda fold; oracle
+    unchanged)."""
+    from harvesttext_spark.operators.dedup import simhash32_frame
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash32_portable(F.col("text")).alias("sh")
+    return simhash32_frame(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "sh"
     )
 
 

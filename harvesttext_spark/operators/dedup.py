@@ -455,6 +455,54 @@ def simhash64_native(text: Column, shingle_n: int = 2) -> Column:
     )
 
 
+def simhash32_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) — hot-path shape of ``simhash32_portable``: explode the
+    tokens and compute the 32 ±1 bit sums as codegen aggregates (same
+    lesson as minhash_signature_frame: higher-order-function folds
+    evaluate interpreted per element).  Value-identical — same md5-based
+    token hash, same bit order, same sign rule — so the DuckDB oracle is
+    untouched.  Docs with no tokens keep sh=0, NULL text keeps NULL.
+
+    Measured at 1.2M pages, local[32]: 4.6s vs 59.5s for the lambda fold
+    (13x).  The 64-bit ``simhash64_native`` deliberately KEEPS its
+    one-pass lambda: its per-shingle work is 64 literal-shift WHENs
+    (cheap ordinary expressions inside the fold) over ~13 distinct
+    shingles, and an explode variant paid more in the 64-column shuffle
+    than it saved (15.3s vs 13.2s measured) — frame-vs-fold is a
+    measurement call, not a rule."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")).alias("tok"),
+    )
+    v = _hex_to_long(F.substring(F.md5("tok"), 1, 8))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(v, 31 - i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(32)
+    ]
+    folded = toks.groupBy("id").agg(*aggs)
+    sh = None
+    for i in range(32):
+        term = F.when(F.col(f"_s{i}") > 0, F.lit(2 ** (31 - i)).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sh = term if sh is None else sh + term
+    folded = folded.select("id", sh.alias("_sh"))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).isNull().alias("_n"))
+        .join(folded, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_n"), F.lit(None).cast("bigint"))
+            .otherwise(F.coalesce("_sh", F.lit(0).cast("bigint")))
+            .alias("sh"),
+        )
+    )
+
+
 def simhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -530,10 +578,7 @@ def simhash_dup_pairs_portable(
     corpus scale, fine at driver/test scale, documented here."""
     nblocks = max_hamming + 1
     width = 32 // nblocks
-    h = docs.select(
-        F.col(id_col).alias("id"),
-        simhash32_portable(F.col(text_col)).alias("sh"),
-    )
+    h = simhash32_frame(docs, text_col, id_col)
     mask = F.lit((1 << width) - 1).cast("bigint")
     buckets = h.select(
         "id",
