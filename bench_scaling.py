@@ -336,6 +336,12 @@ Two structural fixes, both value-identical (oracles unchanged):
    distributed loop.
 Survivor set identical across all configurations (686,705 pages).
 
+End-to-end via spark-submit --py-files (north rule), same 1.2M-page
+input, all five stages + --fast-path + --pii-scrub + REAL parquet
+output with domain_metrics and lineage tables: **60.8 s wall**
+(the 42.9 s figure above uses the noop sink; the delta is the
+parquet write + metrics/lineage jobs + JVM startup).
+
 """
 
 BENCH_SHAPE_NOTE = """## Bench-name shapes (comparability note)

@@ -11,9 +11,10 @@ quality-filter north star.  Design constraints:
 
 Scale notes (100 TB):
   * exact dedup  — one shuffle on a 128-bit digest; AQE coalesces.
-  * MinHash LSH  — signature is computed per-row (no explode) from the
-    shingle array; the band join shuffles (band_idx, band_key) which is
-    uniform by construction (hash values), so no salting needed.
+  * MinHash LSH  — signature via explode + codegen min-aggregates
+    (map-side partials collapse the shingle stream to one row per doc
+    before the shuffle); the band join shuffles (band_idx, band_key)
+    which is uniform by construction (hash values), so no salting.
   * SimHash      — per-row fold; near-dup candidates join on rotated
     prefix buckets.
 """
