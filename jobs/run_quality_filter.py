@@ -180,6 +180,21 @@ def main(argv=None) -> None:
         "(labels stay reference-parity; redaction is output-only)",
     )
     p.add_argument(
+        "--block-domains",
+        default=None,
+        metavar="FILE",
+        help="drop pages whose domain is listed (one domain per line) "
+        "BEFORE the filter stages — broadcast anti-join on the host",
+    )
+    p.add_argument(
+        "--keep-langs",
+        default=None,
+        metavar="LANGS",
+        help="comma-separated lang_pred whitelist: kept docs with other "
+        "predictions get drop_reason 'lang_filtered' (applied after the "
+        "base cascade, like CCNet/RefinedWeb language selection)",
+    )
+    p.add_argument(
         "--scrub-words",
         default=None,
         metavar="FILE",
@@ -237,6 +252,22 @@ def main(argv=None) -> None:
         pages = spark.read.parquet(args.input)
 
     t0 = time.time()
+    if args.block_domains:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.pipeline.quality_filter import domain_col
+
+        with open(args.block_domains, encoding="utf-8") as f:
+            blocked = [
+                ln.strip().lower()
+                for ln in f
+                if ln.strip() and not ln.startswith("#")
+            ]
+        bl = spark.createDataFrame([(d,) for d in blocked], "domain string")
+        # broadcast anti-join on the host — the blocklist is a dimension
+        pages = pages.withColumn("_dom", F.lower(domain_col())).join(
+            F.broadcast(bl).withColumnRenamed("domain", "_dom"), "_dom", "left_anti"
+        ).drop("_dom")
     pages = apply_pre_passes(
         pages,
         url_dedup=args.url_dedup,
@@ -298,6 +329,17 @@ def main(argv=None) -> None:
             )
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
+        if args.keep_langs:
+            from pyspark.sql import functions as F
+
+            langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
+            labeled = labeled.withColumn(
+                "drop_reason",
+                F.when(
+                    F.col("keep") & ~F.col("lang_pred").isin(langs),
+                    F.lit("lang_filtered"),
+                ).otherwise(F.col("drop_reason")),
+            ).withColumn("keep", F.col("drop_reason").isNull())
         if args.pii_scrub:
             from pyspark.sql import functions as F
 
