@@ -126,6 +126,13 @@ def apply_pre_passes(
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "wet"],
+        default="parquet",
+        help="wet = raw Common-Crawl WET segments (sources/wet.py reader); "
+        "parquet = a pages table",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--resume", action="store_true", help="use bucket-manifest resume")
     p.add_argument("--buckets", type=int, default=4096)
@@ -249,7 +256,12 @@ def main(argv=None) -> None:
         pages = synthesize_pages(spark, n=args.synthesize, seed=42)
     else:
         assert args.input, "--input or --synthesize required"
-        pages = spark.read.parquet(args.input)
+        if args.input_format == "wet":
+            from harvesttext_spark.sources.wet import read_wet
+
+            pages = read_wet(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
 
     t0 = time.time()
     if args.block_domains:

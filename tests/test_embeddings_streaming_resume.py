@@ -167,3 +167,31 @@ def test_real_wav_audio_path(spark):
     bad = spark.createDataFrame([(99, bytearray(b"not a wav"))], "item_id long, payload binary")
     row = decode_audio_stats(bad).first()
     assert row["sample_rate"] is None and row["rms"] is None
+
+
+def test_wet_source_reader(spark, tmp_path):
+    """Native WET reader: records split by lineSep, headers carved with
+    codegen regexes, body CRLF-trimmed; warcinfo preamble dropped; the
+    output feeds quality_filter directly (pages-table shape)."""
+    from harvesttext_spark.pipeline.quality_filter import quality_filter
+    from harvesttext_spark.sources.wet import read_wet, synth_wet_file, write_wet
+
+    p = str(tmp_path / "seg.wet")
+    synth_wet_file(p, n=30, seed=3)
+    df = read_wet(spark, p)
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 30  # warcinfo record dropped
+    r0 = rows["https://wet0.example/p/0"]
+    assert r0["warc_ts"] is not None and r0["html"] is None
+    assert "second line of the page" in r0["text"]  # multi-line body intact
+    assert not r0["text"].endswith("\r\n")          # trailing CRLFs trimmed
+    # hand-built record: exact byte-level expectations
+    p2 = str(tmp_path / "one.wet")
+    write_wet([("https://x.example/a", "2024-02-03T04:05:06Z",
+                "hello world\r\nline two")], p2)
+    (one,) = read_wet(spark, p2).collect()
+    assert one["text"] == "hello world\r\nline two"
+    assert str(one["warc_ts"]).startswith("2024-02-03 04:05:06")
+    # end-to-end: the reader output labels without schema glue
+    out = quality_filter(read_wet(spark, p))
+    assert out.count() == 30 and "drop_reason" in out.columns
