@@ -1952,18 +1952,77 @@ QFF_EXTRA_PROBES = [
     ) + " closing words differ here"),
 ]
 
+# probes isolating each Gopher n-gram rule (round 4): each trips ITS rule
+# while staying under every EARLIER threshold in the when-chain (long
+# unique words tune the tri/bi coverage ratios; distinct fillers prevent
+# accidental longer duplicate runs)
+
+
+def _qff_ngram_probes():
+    fill = [f"fillword{j:03d}" for j in range(130)]
+    # top-3gram: 'trialpha tribetaa trigamma' x6 -> tri 156/~700 > 0.18,
+    # bigram 102/~700 < 0.20; no repeated 4-gram (fillers differ)
+    tri_parts, fi = [], 0
+    for _ in range(6):
+        tri_parts.append("trialpha tribetaa trigamma")
+        tri_parts.extend(fill[fi : fi + 8])
+        fi += 8
+    tri_doc = " ".join(tri_parts)
+    # top-4gram: 4-word phrase x4 -> four ~0.17 > 0.16 while its
+    # sub-trigram stays ~0.13 < 0.18 and bigram ~0.08 < 0.20
+    four_parts, fi = [], 0
+    for _ in range(4):
+        four_parts.append("quadnorth quadsouth quadeaster quadwestern")
+        four_parts.extend(fill[fi : fi + 14])
+        fi += 14
+    four_doc = " ".join(four_parts)
+    # dup-10gram: one 11-token run repeated twice in a long doc ->
+    # dup5 == dup10 (same covered span, 22 positions x 9 chars = 198 of
+    # ~1430 token chars ~ 0.138): passes dup5 (<= 0.15), trips dup10
+    # (> 0.10)
+    run = " ".join(f"runword{j:02d}" for j in range(11))
+    ten_parts = [run] + fill[0:60] + [run] + fill[60:120] + [
+        "closing tail words differ here entirely today"
+    ]
+    ten_doc = " ".join(ten_parts)
+    # dup-5gram: FOUR different 5-token runs each repeated twice ->
+    # dup5 union ~0.38 > 0.15 while no single n-gram dominates (top4
+    # ~0.07) and no 10-token run repeats (distinct fillers between)
+    segs = [" ".join(f"seg{i}{c}" for c in "abcde") for i in range(4)]
+    five_parts, fi = [], 0
+    for _ in range(2):
+        for sg in segs:
+            five_parts.append(sg)
+            five_parts.extend(fill[fi : fi + 5])
+            fi += 5
+    five_doc = " ".join(five_parts)
+    return [
+        (1000015, tri_doc),
+        (1000016, four_doc),
+        (1000017, ten_doc),
+        (1000018, five_doc),
+    ]
+
+
+QFF_NGRAM_PROBES = _qff_ngram_probes()
+
 
 def q_quality_filter_full_labels(spark, sf_dir):
-    """Extended-cascade value oracle (round 4 — the quality_filter_full
-    drops were pytest-only): battery + base cascade + Gopher repetition
-    drops + KenLM-style high_ppl at a FIXED threshold, composed through
-    the real pipeline function and label+ppl hash-checked against a
-    DuckDB mirror of every stage.  Probe rows plant a dup-lines page and
-    a top-bigram page; high_ppl fires on the word-soup ppl outliers."""
+    """FULL-cascade value oracle (round 4 — the quality_filter_full
+    drops were pytest-only): battery + base cascade + BOTH Gopher
+    repetition stages (dup-lines/top-bigram AND the table-A1 n-gram
+    rules) + KenLM-style high_ppl at a FIXED threshold — all TEN drop
+    reasons composed through the real pipeline function and label+ppl
+    hash-checked against a DuckDB mirror of every stage.  Probe rows
+    isolate each rule (dup-lines, top-bigram, top-trigram,
+    top-fourgram, dup-10gram — each tuned under every EARLIER
+    threshold); high_ppl fires on the word-soup ppl outliers."""
     from harvesttext_spark.pipeline.quality_filter import quality_filter_full
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("raw"))
-    base = d.unionByName(_probe_df(spark, QF_PROBES + QFF_EXTRA_PROBES))
+    base = d.unionByName(
+        _probe_df(spark, QF_PROBES + QFF_EXTRA_PROBES + QFF_NGRAM_PROBES)
+    )
     pages = base.select(
         "doc_id",
         F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
@@ -1971,7 +2030,10 @@ def q_quality_filter_full_labels(spark, sf_dir):
         F.col("raw").alias("text"),
     )
     out = quality_filter_full(
-        pages, ppl_threshold=QFF_PPL_THRESHOLD, repetition_rules=True
+        pages,
+        ppl_threshold=QFF_PPL_THRESHOLD,
+        repetition_rules=True,
+        gopher_ngram_rules=True,
     )
     return out.select(
         "doc_id", "keep", "drop_reason", F.round("ppl", 6).alias("ppl")
@@ -1991,8 +2053,51 @@ def _sql_quality_filter_full_labels() -> str:
             if t is None
             else "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'",
         )
-        for i, t in QF_PROBES + QFF_EXTRA_PROBES
+        for i, t in QF_PROBES + QFF_EXTRA_PROBES + QFF_NGRAM_PROBES
     )
+
+    def gram(n: int) -> str:
+        return " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+
+    def top_cte(n: int) -> str:
+        return f"""
+ng{n} AS (
+  SELECT doc_id, n_chars, {gram(n)} AS g
+  FROM (SELECT doc_id, n_chars, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i
+        FROM tok WHERE len(ws) >= {n})
+),
+nt{n} AS (
+  SELECT doc_id, max(cnt * length(g)) * 1.0 / greatest(any_value(n_chars), 1) AS f
+  FROM (SELECT doc_id, n_chars, g, count(*) AS cnt FROM ng{n} GROUP BY doc_id, n_chars, g)
+  GROUP BY doc_id
+)"""
+
+    def dup_cte(n: int) -> str:
+        return f"""
+np{n} AS (
+  SELECT doc_id, i, {gram(n)} AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i
+        FROM tok WHERE len(ws) >= {n})
+),
+nd{n} AS (
+  SELECT doc_id, g FROM (SELECT doc_id, g, count(*) AS cnt FROM np{n} GROUP BY doc_id, g)
+  WHERE cnt >= 2
+),
+ncov{n} AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT p.doc_id, unnest(generate_series(p.i, p.i + {n - 1})) AS pos
+    FROM np{n} p JOIN nd{n} d ON p.doc_id = d.doc_id AND p.g = d.g
+  )
+),
+nc{n} AS (
+  SELECT ncov{n}.doc_id,
+         sum(tp.tlen) * 1.0 / greatest(any_value(tc.tok_chars), 1) AS f
+  FROM ncov{n}
+  JOIN tokpos tp ON ncov{n}.doc_id = tp.doc_id AND ncov{n}.pos = tp.pos
+  JOIN tchars tc ON ncov{n}.doc_id = tc.doc_id
+  GROUP BY ncov{n}.doc_id
+)"""
+
     return f"""
 WITH base AS (
   SELECT doc_id, text AS raw FROM documents
@@ -2046,6 +2151,14 @@ bstats AS (
   SELECT doc_id, max(cnt * length(bg)) * 1.0 / greatest(any_value(n_chars), 1) AS tbcf
   FROM per_bg GROUP BY doc_id
 ),
+tchars AS (
+  SELECT doc_id, coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS tok_chars
+  FROM tok
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, length(ws[i]) AS tlen
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM tok)
+),{top_cte(3)},{top_cte(4)},{dup_cte(5)},{dup_cte(10)},
 lmbase AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text_clean, '\\s+'), t -> t != '') AS ws,
@@ -2085,10 +2198,22 @@ lab2 AS (
                    THEN 'high_dup_lines'
               WHEN length(l.text_clean) >= 200 AND round(coalesce(bs.tbcf, 0), 6) > 0.20
                    THEN 'high_top_bigram'
+              WHEN length(l.text_clean) >= 200 AND round(coalesce(nt3.f, 0), 6) > 0.18
+                   THEN 'high_top_trigram'
+              WHEN length(l.text_clean) >= 200 AND round(coalesce(nt4.f, 0), 6) > 0.16
+                   THEN 'high_top_fourgram'
+              WHEN length(l.text_clean) >= 200 AND round(coalesce(nc5.f, 0), 6) > 0.15
+                   THEN 'high_dup_5gram'
+              WHEN length(l.text_clean) >= 200 AND round(coalesce(nc10.f, 0), 6) > 0.10
+                   THEN 'high_dup_10gram'
               ELSE NULL END AS dr1
   FROM lab l
   LEFT JOIN lstats ls ON l.doc_id = ls.doc_id
   LEFT JOIN bstats bs ON l.doc_id = bs.doc_id
+  LEFT JOIN nt3 ON l.doc_id = nt3.doc_id
+  LEFT JOIN nt4 ON l.doc_id = nt4.doc_id
+  LEFT JOIN nc5 ON l.doc_id = nc5.doc_id
+  LEFT JOIN nc10 ON l.doc_id = nc10.doc_id
 ),
 fin AS (
   SELECT lab2.doc_id,
