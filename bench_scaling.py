@@ -169,6 +169,7 @@ ANATOMY_SECTION = """## ASCII fast path anatomy (round 3, local[32], 1.2M pages)
 | Arrow-batched Python battery, all rows (default) | 69,735 | 178,101 |
 | fast_path routing union (round 2 — REMOVED) | 67,558 (r2 run) | — |
 | fast_path single-scan mask+coalesce (round 3) | 82,765 | 157,924 |
+| fast_path, round-4 scaling run (same corpus/config) | 98,884 | — |
 
 Round 3 replaced the union routing (which re-scanned the input per
 branch — no scan sharing across union sides — and LOST 21% vs default)
