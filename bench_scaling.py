@@ -365,7 +365,7 @@ STATIC_SECTIONS = ANATOMY_SECTION + FULL_PIPELINE_SECTION + BENCH_SHAPE_NOTE + "
 
 | target | achieved |
 | --- | --- |
-| keep/drop F1 >= 0.99 vs reference labels | **1.000000** (20,000 pages, seed 123: tp=14559 fp=0 fn=0 tn=5441) |
+| keep/drop F1 >= 0.99 vs reference labels | **1.000000** (20,000 pages, seed 123: tp=14559 fp=0 fn=0 tn=5441) — verified for BOTH battery routes (default Arrow UDF and --fast-path) by `python tools/f1_gate.py`, re-runnable |
 | byte-identical scrubbed text per url | **0 mismatches / 20,000** (plus the reference suite's 8 golden hard cases) |
 | resumable w/ per-partition lineage | bucket-manifest restart test (no dups/gaps) + spark-submit --resume driven |
 | spark-submit --py-files | all 3 job modes driven end-to-end |
