@@ -318,7 +318,7 @@ MinHash-LSH near-dup (est-Jaccard 0.8) -> quality filter.
 | lazy stage chain (round-4 initial wiring) | 450.6 s | 2,663 |
 | + staged persists (eager, rolling release) | 539.7 s* | 2,223 |
 | + minhash signature as explode+codegen-min-aggs | — | — |
-| + driver union-find for small pair graphs | **42.9 s** | **27,950** |
+| + driver union-find for small pair graphs | **42.9 s** (repeats 42.9-45.5 s, +-3 s host noise) | **27,950** |
 
 (*the staged run exposed that the cost was NOT branch recompute:
 per-stage timing isolated 146 s in the MinHash signature and 89 s in
