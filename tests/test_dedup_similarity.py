@@ -474,3 +474,42 @@ def test_drop_url_dups_exact_mode(spark):
         "https://a.example/p?utm_source=x": "v1",  # distinct exact url kept
         "https://a.example/p": "v3",               # latest crawl wins
     }
+
+
+def test_drop_url_dups_agg_equals_window_reference(spark):
+    """The max_by aggregate must pick EXACTLY the row a row_number window
+    over (ts desc, url desc, payload_hash desc) picks — survivor
+    semantics pinned against future refactors, across 300 pages with
+    planted canonical collisions and ties."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from harvesttext_spark.functions.urls import canonical_url
+    from harvesttext_spark.operators.dedup import drop_url_dups
+    from harvesttext_spark.pipeline.pages import synthesize_pages
+
+    base = synthesize_pages(spark, n=300, seed=17).select("url", "warc_ts", "text")
+    # plant collisions: utm variants + exact-ts ties
+    variants = base.limit(40).select(
+        F.concat(F.col("url"), F.lit("?utm_source=x")).alias("url"),
+        "warc_ts",
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    df = base.unionByName(variants)
+    got = sorted(map(tuple, drop_url_dups(df).collect()))
+    keyed = df.withColumn("_curl", canonical_url(F.col("url")))
+    ph = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy("_curl").orderBy(
+        F.col("warc_ts").desc(), F.col("url").desc(), ph.desc()
+    )
+    want = sorted(
+        map(
+            tuple,
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_curl")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 300
