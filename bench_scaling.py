@@ -354,7 +354,13 @@ build + wider output per query), so their r2 -> r3 deltas
 (clean_text 0.57 -> 2.08s, lang_id 0.42 -> 0.72s) are SHAPE changes,
 not plan regressions — the battery UDF itself was verified unchanged.
 From round 3 on these shapes are frozen; r3 -> r4 comparisons are
-like-for-like on every headline name.  The HEADLINE list itself is
+like-for-like on every headline name, with ONE intentional plan change:
+`simhash` and `minhash_lsh_pairs` now run the explode+codegen-aggregate
+signature shapes.  At the bench's sf0.1 (5,000 docs) the extra shuffle
+costs ~0.3-0.9 s vs the old interpreted fold (warm best-of-3: 0.65 s vs
+0.31 s for simhash); at the 1.2M-page scale the same change is 13-14x
+FASTER — the headline bench sits below the shapes' crossover (~50k
+docs) and the regression there is the price of the at-scale win.  The HEADLINE list itself is
 also frozen (new round-4 contract queries — quality_filter_full_labels,
 pii_scrub, punkt_collocations, punkt_ortho — are correctness entries,
 intentionally NOT added to the bench total).
