@@ -2517,13 +2517,65 @@ def q_entity_linking(spark, sf_dir):
     ).select("doc_id", "e.l", "e.r", "e.entity", "e.type")
 
 
+# Chain-replace mirror of the AC leftmost-longest scan over
+# _DEMO_KB_TRIPLES.  Equivalence holds because the only overlapping
+# mention pair in the KB is ("sort merge", "merge join") — in any text
+# containing "sort merge join" the leftmost-longest scan links
+# "sort merge", so the chain applies "sort merge" FIRST; every other
+# pair of mentions cannot overlap in text (no mention's proper suffix is
+# another's prefix), and no placeholder contains a mention.  The general
+# AC scan and a chain CAN diverge on pathological overlaps outside this
+# KB (e.g. "customerge join" with mentions customer + merge join) —
+# tests/test_entry_contract.py re-verifies row-for-row equality of
+# scrub_text vs this chain on the real tables + probes.
+_SCRUB_CHAIN = [
+    ("sort merge", "#operator#"),
+    ("merge join", "#operator#"),
+    ("hash join", "#operator#"),
+    ("customer", "#table#"),
+    ("lineitem", "#table#"),
+    ("window", "#operator#"),
+    ("spark", "#engine#"),
+    ("flink", "#engine#"),
+]
+
+SCRUB_PROBES = [
+    (3100001, "spark beats flink at the hash join and the merge join"),
+    (3100002, "sort merge join resolves to the leftmost longest match"),
+    (3100003, "customer lineitem window table scan plan"),
+    (3100004, "windowindow glued run and spark spark repeated"),
+    (3100005, "no dictionary mentions in this row at all"),
+]
+
+
 def q_scrub_text(spark, sf_dir):
-    """Sensitive-term scrub: every KB match replaced by its #type#
-    placeholder (rows-only)."""
+    """Sensitive-term scrub (north rule: 'sensitive-word/PII scrub ...
+    broadcast Aho-Corasick automata'): every KB dictionary match replaced
+    by its #type# placeholder via the real AC leftmost-longest scan
+    (reference decoref semantics, harvesttext.py:547-555) inside one
+    Arrow-batched mapInPandas pass.  Value-oracled against the
+    chain-replace mirror (_SCRUB_CHAIN) — see the equivalence note there."""
     from harvesttext_spark.operators.linking import EntityKB, scrub_text
 
     kb = EntityKB.from_triples(_DEMO_KB_TRIPLES)
-    return scrub_text(_docs(spark, sf_dir), kb).select("doc_id", "text_scrubbed")
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, SCRUB_PROBES, col="text")
+    )
+    return scrub_text(base, kb).select("doc_id", "text_scrubbed")
+
+
+def _sql_scrub_text() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''")) for i, t in SCRUB_PROBES
+    )
+    c = "text"
+    for mention, placeholder in _SCRUB_CHAIN:
+        c = f"replace({c}, '{mention}', '{placeholder}')"
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {probes}) v(doc_id, text)) "
+        f"SELECT doc_id, {c} AS text_scrubbed FROM base"
+    )
 
 
 def q_langid_trained(spark, sf_dir):
@@ -2688,6 +2740,12 @@ WHERE regexp_matches(t, '^[a-zA-Z]*$') AND length(t) = 5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records the first 50 entries in
+    # CORRECTNESS_r{N}.json.  Every oracle-bearing query (an entry in
+    # oracle_sql()) sits inside that prefix; rows-only entries absorb the
+    # overflow past the cap and are value-checked locally by
+    # tools/check_contract.py instead.  tests/test_entry_contract.py pins
+    # the invariant so a new query can't silently push an oracle out.
     return {
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
@@ -2725,33 +2783,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punkt_starters": q_punkt_starters,
         "punkt_collocations": q_punkt_collocations,
         "punkt_ortho": q_punkt_ortho,
-        # rows-only (non-SQL-expressible)
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_dup_pairs": q_simhash_dup_pairs,
         "simhash_pairs32": q_simhash_pairs32,
         "repetition_signals": q_repetition_signals,
         "repetition_ngrams": q_repetition_ngrams,
         "boilerplate_dedup": q_boilerplate_dedup,
         "canonical_urls": q_canonical_urls,
-        "seg_posseg_dict": q_seg_posseg_dict,
-        "ner_entities": q_ner_entities,
-        "entity_linking_fuzzy": q_entity_linking_fuzzy,
-        "textrank_keywords": q_textrank_keywords,
         "quality_filter_labels": q_quality_filter_labels,
         "quality_filter_full_labels": q_quality_filter_full_labels,
         "pii_scrub": q_pii_scrub,
         "domain_drop_samples": q_domain_drop_samples,
+        "pagerank_tokens": q_pagerank_tokens,
+        "langid_trained": q_langid_trained,
+        "scrub_text": q_scrub_text,
+        # --- rows-only past the driver's 50-entry cap (non-SQL-expressible;
+        # value-checked by tools/check_contract.py locally) ---
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "seg_posseg_dict": q_seg_posseg_dict,
+        "ner_entities": q_ner_entities,
+        "entity_linking_fuzzy": q_entity_linking_fuzzy,
+        "textrank_keywords": q_textrank_keywords,
         "ann_ivf_topk": q_ann_ivf_topk,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
         "texttile_paragraphs": q_texttile_paragraphs,
         "summarize": q_summarize,
-        "pagerank_tokens": q_pagerank_tokens,
-        "langid_trained": q_langid_trained,
         "alias_discovery": q_alias_discovery,
         "entity_linking": q_entity_linking,
-        "scrub_text": q_scrub_text,
     }
 
 
@@ -2806,4 +2865,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "domain_drop_samples": _sql_domain_drop_samples(),
         "clean_text": _sql_clean_text(),
+        "scrub_text": _sql_scrub_text(),
     }

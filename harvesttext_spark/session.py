@@ -130,3 +130,20 @@ def plan_keyed_persist(df, slot: str):
         df = df.persist()
         _persist_slots[slot] = df
         return df
+
+
+def clear_persist_slots() -> int:
+    """Evict every plan-keyed persist slot (best-effort unpersist).
+    Used by tools/check_contract.py --determinism so the second run is a
+    true plan re-execution instead of a read from the first run's cache,
+    and available to tests that need a cold engine.  Returns the number
+    of slots evicted."""
+    with _persist_lock:
+        n = len(_persist_slots)
+        for df in _persist_slots.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _persist_slots.clear()
+        return n

@@ -1,0 +1,88 @@
+"""Entry-contract invariants.
+
+The driver records only the FIRST 50 entries of ``queries()`` in
+CORRECTNESS_r{N}.json (round-4 verdict, "What's wrong" #1): every
+oracle-bearing query must therefore sit inside that prefix, or its value
+oracle never receives a driver-verified row.  These tests pin the
+ordering so a new query cannot silently push an oracle past the cap, and
+re-verify the scrub_text chain-mirror equivalence the oracle relies on.
+"""
+
+import os
+
+import pytest
+
+DRIVER_CAP = 50
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_inside_driver_cap():
+    import __spark_entry__ as e
+
+    order = list(e.queries())
+    oracles = set(e.oracle_sql())
+    past_cap = [k for i, k in enumerate(order) if i >= DRIVER_CAP and k in oracles]
+    assert past_cap == [], (
+        f"oracle-bearing queries past the driver's {DRIVER_CAP}-entry "
+        f"CORRECTNESS cap: {past_cap} — reorder queries() so rows-only "
+        "entries absorb the overflow"
+    )
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as e
+
+    extra = set(e.oracle_sql()) - set(e.queries())
+    assert not extra, f"oracle_sql() keys with no queries() entry: {extra}"
+
+
+def _chain_scrub(text, chain):
+    if text is None:
+        return None
+    for mention, placeholder in chain:
+        text = text.replace(mention, placeholder)
+    return text
+
+
+@pytest.mark.skipif(not os.path.exists(SF_DIR), reason="testdata absent")
+def test_scrub_text_equals_chain_mirror(spark):
+    """The scrub_text value oracle compares the real AC leftmost-longest
+    scan against a fixed-order chain of literal replaces (DuckDB has no
+    AC automaton).  Equivalence is KB-specific — _SCRUB_CHAIN's comment
+    states the argument — so re-verify it row-for-row on the real table
+    + probes whenever the KB, chain, or scan implementation changes."""
+    import __spark_entry__ as e
+
+    out = {
+        r["doc_id"]: r["text_scrubbed"]
+        for r in e.q_scrub_text(spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in e._docs(spark, SF_DIR).select("doc_id", "text").collect()
+    }
+    docs.update({i: t for i, t in e.SCRUB_PROBES})
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        assert out[doc_id] == _chain_scrub(text, e._SCRUB_CHAIN), doc_id
+
+
+def test_scrub_chain_divergence_class_documented():
+    """The chain mirror and the AC scan DO diverge on pathological
+    overlaps absent from this KB's corpus (leftmost-longest links
+    'customer' in 'customerge join'; a length-ordered chain would hit
+    'merge join' first).  Pin the counter-example so the equivalence
+    argument in _SCRUB_CHAIN's comment stays honest."""
+    from harvesttext_spark.operators.linking import EntityKB, decoref
+
+    import __spark_entry__ as e
+
+    kb = EntityKB.from_triples(e._DEMO_KB_TRIPLES)
+    adversarial = "customerge join"
+    ac = decoref(adversarial, kb.link(adversarial))
+    assert ac == "#table#ge join"  # leftmost-longest
+    by_len = sorted(e._SCRUB_CHAIN, key=lambda mp: -len(mp[0]))
+    assert _chain_scrub(adversarial, by_len) == "custo#operator#"  # differs
+    # the committed chain order happens to agree here (customer precedes
+    # merge join is false — sort merge/merge join lead) — what protects
+    # the oracle is the corpus check above, not chain order alone

@@ -69,7 +69,13 @@ def _normalize(rows, cols):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    p.add_argument("--out", default="CORRECTNESS_local.json")
+    p.add_argument(
+        "--out",
+        default=None,
+        help="report path; defaults to CORRECTNESS_local.json for full runs "
+        "and CORRECTNESS_partial.json when --only is given (a partial run "
+        "must never overwrite the full-contract wrap artifact)",
+    )
     p.add_argument(
         "--against",
         default=None,
@@ -79,12 +85,18 @@ def main(argv=None) -> int:
     p.add_argument(
         "--determinism",
         action="store_true",
-        help="run every query TWICE (second time over a repartitioned "
-        "input-independent plan re-execution) and require identical "
-        "normalized values — catches nondeterminism the driver's "
-        "rows-only check cannot",
+        help="run every query TWICE — before the second run all plan-keyed "
+        "persist slots are evicted and the Spark SQL cache is cleared, so "
+        "it is a true plan re-execution, not a read of the first run's "
+        "cache — and require identical normalized values; catches "
+        "nondeterminism the driver's rows-only check cannot",
     )
     args = p.parse_args(argv)
+    if args.out is None:
+        args.out = "CORRECTNESS_partial.json" if args.only else "CORRECTNESS_local.json"
+    elif args.only and os.path.basename(args.out) == "CORRECTNESS_local.json":
+        p.error("--only runs may not write CORRECTNESS_local.json (the "
+                "full-contract wrap artifact); pick another --out")
 
     import __spark_entry__ as entrymod
     from harvesttext_spark.session import get_spark
@@ -122,6 +134,10 @@ def main(argv=None) -> int:
                 entry["rows_match"] = entry["spark_rows"] >= 0  # rows-only check
                 ok = entry["rows_match"]
             if ok and args.determinism:
+                from harvesttext_spark.session import clear_persist_slots
+
+                clear_persist_slots()
+                spark.catalog.clearCache()
                 sdf2 = queries[name](spark, args.sf_dir).toPandas()
                 same = _normalize(
                     sdf.to_dict("records"), list(sdf.columns)
