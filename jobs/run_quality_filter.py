@@ -119,8 +119,31 @@ def apply_pre_passes(
                 nn, text_col="text", id_col="url", min_jaccard=minhash_jaccard
             )
             nn = drop_near_dups(nn, pairs, id_col="url")
-        pages = nn.unionByName(nulls)
+        # materialize the union through the stage protocol, then release
+        # the nulls split too — without this its cache lingered for the
+        # whole job, eroding the bounded-memory contract stated above
+        pages = _stage(nn.unionByName(nulls))
+        nulls.unpersist()
     return pages
+
+
+def apply_lang_whitelist(labeled, langs):
+    """--keep-langs: kept docs whose predicted language is outside the
+    whitelist become drop_reason=lang_filtered.  NULL-safe: lang_pred
+    NULL makes isin() NULL, and a bare ``keep & ~NULL`` condition would
+    silently let unknown-language docs bypass the whitelist — a language
+    filter must drop docs whose language could not be determined, so
+    NULL coalesces to not-whitelisted."""
+    from pyspark.sql import functions as F
+
+    return labeled.withColumn(
+        "drop_reason",
+        F.when(
+            F.col("keep")
+            & ~F.coalesce(F.col("lang_pred").isin(langs), F.lit(False)),
+            F.lit("lang_filtered"),
+        ).otherwise(F.col("drop_reason")),
+    ).withColumn("keep", F.col("drop_reason").isNull())
 
 
 def main(argv=None) -> None:
@@ -342,16 +365,8 @@ def main(argv=None) -> None:
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
         if args.keep_langs:
-            from pyspark.sql import functions as F
-
             langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
-            labeled = labeled.withColumn(
-                "drop_reason",
-                F.when(
-                    F.col("keep") & ~F.col("lang_pred").isin(langs),
-                    F.lit("lang_filtered"),
-                ).otherwise(F.col("drop_reason")),
-            ).withColumn("keep", F.col("drop_reason").isNull())
+            labeled = apply_lang_whitelist(labeled, langs)
         if args.pii_scrub:
             from pyspark.sql import functions as F
 

@@ -490,3 +490,30 @@ def test_domain_drop_samples_by_reason(spark):
     # (domain, reason) pair appears in the per-reason output
     flat_pairs = {(r["domain"], r["drop_reason"]) for r in flat.collect()}
     assert flat_pairs <= set(c)
+
+
+def test_lang_whitelist_null_pred_filtered(spark):
+    """--keep-langs must be NULL-safe: a kept doc with lang_pred=NULL is
+    outside the whitelist (a bare `keep & ~isin` evaluates NULL and let
+    such docs silently bypass the filter)."""
+    from jobs.run_quality_filter import apply_lang_whitelist
+
+    rows = [
+        ("u1", "zh", True, None),
+        ("u2", "fr", True, None),           # not whitelisted
+        ("u3", None, True, None),           # unknown language -> filtered
+        ("u4", None, False, "null_text"),   # already dropped: untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, lang_pred string, keep boolean, drop_reason string"
+    )
+    got = {
+        r["url"]: (r["keep"], r["drop_reason"])
+        for r in apply_lang_whitelist(df, ["zh", "en"]).collect()
+    }
+    assert got == {
+        "u1": (True, None),
+        "u2": (False, "lang_filtered"),
+        "u3": (False, "lang_filtered"),
+        "u4": (False, "null_text"),
+    }
