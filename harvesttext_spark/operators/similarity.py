@@ -123,6 +123,79 @@ def lsh_topk(
     )
 
 
+def brute_force_topk_blas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine, BLAS scoring path (the 100 TB shape).
+
+    The HOF variant (``brute_force_topk``) evaluates its aggregate/zip_with
+    lambdas INTERPRETED — the same no-codegen pattern that cost 14x on the
+    MinHash signature fold.  Here the (small, bounded) query set is
+    collected to the driver ONCE as a numpy matrix — the same bounded-
+    dimension read as the IVF centroid table — broadcast, and every Arrow
+    batch is scored with one float64 matmul.  Each batch emits only its
+    LOCAL top-k per query, so the final shuffle carries
+    ``n_batches * nq * k`` rows instead of ``n_vectors * nq``; the global
+    window then picks the true top-k.  Ranking contract identical to
+    brute_force_topk (cos desc, id asc tie-break); cosine VALUES can
+    differ from the left-associative HOF fold in the last ulp only, which
+    is why the value-oracle queries keep the HOF path (fold-order
+    contract) while pipelines get this one.
+    -> (query_id, vec_id, cos_sim, rank)."""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        empty = vectors.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
+        return empty
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.divide(mat, norms, out=mat, where=norms != 0)
+            sims = mat @ qmat_.T  # (batch, nq)
+            kk = min(k, len(ids))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(qids_)):
+                col = sims[:, qi]
+                # local top-k with the (cos desc, id asc) tie-break
+                order = np.lexsort((ids, -col))[:kk]
+                out_q.extend([qids_[qi]] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cos_sim": out_s}
+            )
+
+    id_type = dict(vectors.dtypes).get(id_col, "bigint")
+    q_type = dict(queries.dtypes).get(query_id_col, "bigint")
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cos_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
 
 
@@ -146,19 +219,68 @@ def train_ivf_centroids(
     return spark.createDataFrame(centers, "centroid_id int, centroid array<double>")
 
 
+def pairwise_cosine_udf():
+    """Arrow-batched rowwise cosine over two array columns (one numpy
+    einsum per batch).  The engine scoring path for candidate pairs: the
+    HOF ``cosine`` fold evaluates interpreted (measured 29x slower than
+    BLAS at 1M vectors x 32 queries, tools/bench_similarity.py) and is
+    kept only where a DuckDB value oracle pins its left-associative float
+    fold order (brute_force_topk, lsh_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pyspark's hint-inference then rejects the
+    # signature — returnType alone selects the scalar Arrow eval type
+    @F.pandas_udf("double")
+    def _cos(a, b):
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return _cos
+
+
 def _assign_centroid(df: DataFrame, centroids: DataFrame, vec_col: str, out: str) -> DataFrame:
-    """Nearest centroid by cosine: broadcast join + one max_by aggregate
-    (deterministic tie-break on the lower centroid_id; no per-row Python;
-    the centroid table is tiny)."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("centroid"))
-    )
-    return scored.groupBy(*df.columns).agg(
-        F.max_by(
-            "centroid_id",
-            F.struct(F.col("_sim").alias("s"), (-F.col("centroid_id")).alias("nid")),
-        ).alias(out)
-    )
+    """Nearest centroid by cosine — ONE map-side numpy pass, ZERO shuffle.
+
+    The centroid table is a bounded dimension (it already originates on
+    the driver): collect + broadcast it as a normalized float64 matrix,
+    then argmax each Arrow batch with one matmul.  Replaces the previous
+    crossJoin + groupBy(max_by) shape, which shuffled n_vectors x
+    n_centroids rows and scored each with the interpreted HOF fold.
+    Tie-break: numpy argmax takes the FIRST maximal entry = lowest
+    centroid_id (centroids sorted by id), matching the old max_by order."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    crows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
+    cols = list(df.columns)
+
+    def assign(batches):
+        cids_, cmat_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.divide(mat, norms, out=mat, where=norms != 0)
+            pdf = pdf.copy()
+            pdf[out] = cids_[np.argmax(mat @ cmat_.T, axis=1)].astype("int32")
+            yield pdf
+
+    schema = StructType(df.schema.fields + [StructField(out, IntegerType())])
+    return df.mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(
@@ -183,12 +305,13 @@ def ivf_topk(
         centroids = train_ivf_centroids(vectors, n_centroids, vec_col, seed)
     centroids = centroids.cache()
 
+    pcos = pairwise_cosine_udf()
     v = _assign_centroid(vectors, centroids, vec_col, "centroid_id")
     # per-query n_probe nearest centroids
     qs = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     qprobe = (
         qs.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col("_qvec"), F.col("centroid")))
+        .withColumn("_sim", pcos(F.col("_qvec"), F.col("centroid")))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -203,7 +326,7 @@ def ivf_topk(
     scored = v.join(F.broadcast(qprobe), "centroid_id").select(
         query_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+        pcos(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
