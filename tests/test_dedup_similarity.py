@@ -513,3 +513,30 @@ def test_drop_url_dups_agg_equals_window_reference(spark):
         )
     )
     assert got == want and len(got) == 300
+
+
+def test_brute_force_topk_blas_matches_hof(spark):
+    """The BLAS scoring path must return the same ranking as the
+    HOF-fold baseline (same (cos desc, id asc) tie-break); cosine values
+    agree to float tolerance (fold order differs by design)."""
+    from harvesttext_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    hof = brute_force_topk(emb, queries, k=7).collect()
+    blas = brute_force_topk_blas(emb, queries, k=7).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    h = {key(r): r for r in hof}
+    b = {key(r): r for r in blas}
+    assert set(h) == set(b)
+    for kk in h:
+        assert h[kk]["vec_id"] == b[kk]["vec_id"], kk
+        # normalize-then-dot vs dot-then-divide: ~1e-9 float drift
+        assert abs(h[kk]["cos_sim"] - b[kk]["cos_sim"]) < 1e-6, kk
+    # empty query set returns an empty frame with the contract schema
+    none = brute_force_topk_blas(emb, queries.limit(0), k=3)
+    assert none.count() == 0
+    assert set(none.columns) == {"query_id", "vec_id", "cos_sim", "rank"}
