@@ -456,8 +456,48 @@ def simhash64_native(text: Column, shingle_n: int = 2) -> Column:
     )
 
 
+# crossover between the one-pass lambda fold and the explode+codegen-agg
+# shape, measured (BENCH.md round 4): fold wins below ~50k docs (explode
+# pays a 32-column shuffle), explode wins 13x at 1.2M pages.
+SIMHASH32_FOLD_MAX_ROWS = 50_000
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Free row-count estimate (no extra scan).  Prefer the plan's
+    ``maxRows`` upper bound — exact for range/limit-rooted plans, where
+    the byte estimate is badly misleading (a range node carries 8 B/row,
+    so 1.2M synthesized pages looked like "9.6 MB").  Fall back to
+    sizeInBytes / 120 (conservative compressed bytes per web-text row).
+    Both estimators err TOWARD the explode shape, whose mis-pick costs
+    ~0.8 s at small scale vs ~10x the other way at crawl scale."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return None
+    try:
+        mr = plan.maxRows()
+        if mr.isDefined():
+            return int(mr.get())
+    except Exception:
+        pass
+    try:
+        return int(plan.stats().sizeInBytes()) // 120
+    except Exception:
+        return None
+
+
 def simhash32_frame(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shape: str = "auto",
 ) -> DataFrame:
     """(id, sh) — hot-path shape of ``simhash32_portable``: explode the
     tokens and compute the 32 ±1 bit sums as codegen aggregates (same
@@ -472,7 +512,24 @@ def simhash32_frame(
     (cheap ordinary expressions inside the fold) over ~13 distinct
     shingles, and an explode variant paid more in the 64-column shuffle
     than it saved (15.3s vs 13.2s measured) — frame-vs-fold is a
-    measurement call, not a rule."""
+    measurement call, not a rule.
+
+    ``shape``: "auto" (default) picks the lambda fold for inputs under
+    SIMHASH32_FOLD_MAX_ROWS (free Catalyst estimate, see _estimated_rows)
+    and the explode shape above it — both are value-identical, so the
+    choice is pure physical planning; "fold"/"explode" force a shape
+    (tests pin the equivalence; the pipeline can force "explode" when it
+    knows the input is a freshly-deduped crawl)."""
+    if shape == "auto":
+        est = _estimated_rows(docs)
+        shape = (
+            "fold" if est is not None and est <= SIMHASH32_FOLD_MAX_ROWS else "explode"
+        )
+    if shape == "fold":
+        return docs.select(
+            F.col(id_col).alias("id"),
+            simhash32_portable(F.col(text_col)).alias("sh"),
+        )
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")).alias("tok"),

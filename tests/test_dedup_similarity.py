@@ -540,3 +540,27 @@ def test_brute_force_topk_blas_matches_hof(spark):
     none = brute_force_topk_blas(emb, queries.limit(0), k=3)
     assert none.count() == 0
     assert set(none.columns) == {"query_id", "vec_id", "cos_sim", "rank"}
+
+
+def test_simhash32_shapes_value_identical(spark):
+    """auto-shape dispatch: fold and explode shapes must be value-identical
+    (incl. NULL text -> NULL, empty/whitespace text -> 0) so the choice is
+    pure physical planning."""
+    from harvesttext_spark.operators.dedup import simhash32_frame
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),
+        (3, "entirely different words here"),
+        (4, ""),
+        (5, "   "),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = {r["id"]: r["sh"] for r in simhash32_frame(df, shape="fold").collect()}
+    expl = {r["id"]: r["sh"] for r in simhash32_frame(df, shape="explode").collect()}
+    assert fold == expl
+    assert fold[1] == fold[2] and fold[6] is None and fold[4] == 0 and fold[5] == 0
+    # auto on a tiny frame resolves to SOME shape and matches both
+    auto = {r["id"]: r["sh"] for r in simhash32_frame(df).collect()}
+    assert auto == fold
