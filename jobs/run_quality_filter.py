@@ -151,10 +151,11 @@ def main(argv=None) -> None:
     p.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
     p.add_argument(
         "--input-format",
-        choices=["parquet", "wet"],
+        choices=["parquet", "wet", "wet-strict"],
         default="parquet",
-        help="wet = raw Common-Crawl WET segments (sources/wet.py reader); "
-        "parquet = a pages table",
+        help="wet = raw Common-Crawl WET segments (sources/wet.py lineSep "
+        "reader); wet-strict = Content-Length-driven carver (immune to "
+        "bodies embedding the version line); parquet = a pages table",
     )
     p.add_argument("--output", required=True)
     p.add_argument("--resume", action="store_true", help="use bucket-manifest resume")
@@ -283,6 +284,10 @@ def main(argv=None) -> None:
             from harvesttext_spark.sources.wet import read_wet
 
             pages = read_wet(spark, args.input)
+        elif args.input_format == "wet-strict":
+            from harvesttext_spark.sources.wet import read_wet_strict
+
+            pages = read_wet_strict(spark, args.input)
         else:
             pages = spark.read.parquet(args.input)
 

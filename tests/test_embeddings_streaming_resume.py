@@ -195,3 +195,66 @@ def test_wet_source_reader(spark, tmp_path):
     # end-to-end: the reader output labels without schema glue
     out = quality_filter(read_wet(spark, p))
     assert out.count() == 30 and "drop_reason" in out.columns
+
+
+def test_wet_strict_parser_matches_linesep_on_clean_input(spark, tmp_path):
+    """Fuzz: on clean segments (no body embeds the version line, bodies
+    don't end in CRLF) the Content-Length carver and the lineSep scan
+    must agree row-for-row."""
+    import random
+
+    from harvesttext_spark.sources.wet import (
+        read_wet,
+        read_wet_strict,
+        synth_wet_file,
+        write_wet,
+    )
+
+    p = str(tmp_path / "clean.wet")
+    synth_wet_file(p, n=40, seed=11)
+    key = lambda r: (r["url"], str(r["warc_ts"]), r["text"])
+    a = sorted(map(key, read_wet(spark, p).collect()))
+    b = sorted(map(key, read_wet_strict(spark, p).collect()))
+    assert a == b and len(a) == 40
+
+    # fuzzed bodies: CRLFs mid-body, unicode, long runs — still clean
+    rng = random.Random(7)
+    rows = []
+    for i in range(25):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            parts.append(
+                "".join(rng.choice("abc xyz 机器 学习 -") for _ in range(rng.randint(1, 60)))
+            )
+        rows.append(
+            (f"https://f.example/{i}", "2024-03-04T05:06:07Z", "\r\n".join(parts))
+        )
+    p2 = str(tmp_path / "fuzz.wet")
+    write_wet(rows, p2)
+    a = sorted(map(key, read_wet(spark, p2).collect()))
+    b = sorted(map(key, read_wet_strict(spark, p2).collect()))
+    assert a == b and len(a) == 25
+
+
+def test_wet_strict_parser_survives_embedded_version_line(spark, tmp_path):
+    """The adversarial case the lineSep scan documents as its limit: a
+    body that EMBEDS the exact record-start bytes.  The strict parser
+    carves by Content-Length and keeps the body intact; the lineSep scan
+    splits the record early (pinned here so the divergence stays
+    visible)."""
+    from harvesttext_spark.sources.wet import read_wet, read_wet_strict, write_wet
+
+    evil_body = "before the bomb\r\nWARC/1.0\r\nWARC-Target-URI: https://fake.example/x\r\n\r\nafter"
+    rows = [
+        ("https://ok.example/1", "2024-01-01T00:00:00Z", "plain first record"),
+        ("https://evil.example/2", "2024-01-02T00:00:00Z", evil_body),
+        ("https://ok.example/3", "2024-01-03T00:00:00Z", "plain last record"),
+    ]
+    p = str(tmp_path / "evil.wet")
+    write_wet(rows, p)
+
+    strict = {r["url"]: r["text"] for r in read_wet_strict(spark, p).collect()}
+    assert strict == {u: t for (u, _d, t) in rows}  # bodies byte-intact
+
+    loose = {r["url"] for r in read_wet(spark, p).collect()}
+    assert "https://fake.example/x" in loose  # lineSep splits early: documented
