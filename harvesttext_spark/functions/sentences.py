@@ -31,7 +31,14 @@ RE_ZH_ELLIPSIS = re.compile(r"(\…+)([^”’)\]）】….])")
 RE_CLOSE_QUOTE = re.compile(r"([。！？\?!]|\.{3,}|\…+)([”’)\]）】])([^，。！？\?….])")
 
 
-RE_EN_SENT = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])")
+# boundary = terminator (optionally followed by ONE closing quote/bracket,
+# which stays with the left sentence, as nltk's punkt does for
+# ``He said "Stop." Then ...`` / ``(... began.) The ...``) + whitespace +
+# capital/digit/opening.  Two fixed-width lookbehinds because Python re
+# has no variable-length lookbehind.
+RE_EN_SENT = re.compile(
+    r"(?:(?<=[.!?])|(?<=[.!?][\"')\]’”]))\s+(?=[A-Z0-9\"'(])"
+)
 
 # common abbreviations whose trailing period must NOT split (the slice of
 # nltk punkt behavior a rule splitter can honestly cover)
@@ -156,11 +163,39 @@ def cut_sentences_py(
     return sentences
 
 
-def cut_sentences_udf(drop_empty_line=True, strip=True, deduplicate=False):
+def cut_sentences_udf(
+    drop_empty_line=True,
+    strip=True,
+    deduplicate=False,
+    language="zh",
+    extra_abbrevs=None,
+    sentence_starters=None,
+    collocations=None,
+    ortho_starters=None,
+):
+    """Arrow-batched splitter UDF.  ``language="en"`` routes the en path
+    with optional corpus-trained punkt evidence (operators/punkt.py
+    trained_* helpers) — the lists are closure-captured, so they ship to
+    executors once per task like a broadcast of a tiny dimension."""
+    abbrevs = tuple(extra_abbrevs or ())
+    starters = tuple(sentence_starters or ())
+    colloc = tuple(collocations or ())
+    orthos = tuple(ortho_starters or ())
+
     @pandas_udf(ArrayType(StringType()))
     def _cut(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda t: cut_sentences_py(t, drop_empty_line, strip, deduplicate),
+            lambda t: cut_sentences_py(
+                t,
+                drop_empty_line,
+                strip,
+                deduplicate,
+                language=language,
+                extra_abbrevs=abbrevs,
+                sentence_starters=starters,
+                collocations=colloc,
+                ortho_starters=orthos,
+            ),
             na_action="ignore",
         )
 
@@ -168,11 +203,13 @@ def cut_sentences_udf(drop_empty_line=True, strip=True, deduplicate=False):
 
 
 def explode_sentences(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **cut_kwargs
 ) -> DataFrame:
     """(id, text) -> (id, sent_id, sentence) — narrow op then generator;
-    no shuffle, sentence order is preserved via posexplode index."""
-    cut = cut_sentences_udf()
+    no shuffle, sentence order is preserved via posexplode index.
+    ``cut_kwargs`` pass through to ``cut_sentences_udf`` (language="en",
+    trained punkt lists, ...)."""
+    cut = cut_sentences_udf(**cut_kwargs)
     return df.select(
         F.col(id_col),
         F.posexplode(cut(F.col(text_col))).alias("sent_id", "sentence"),
