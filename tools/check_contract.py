@@ -35,6 +35,10 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# the driver records only the first N queries() entries (see the ordering
+# note in __spark_entry__.queries)
+DRIVER_CAP = 50
+
 
 def _duck(sf_dir: str):
     import duckdb
@@ -169,16 +173,29 @@ def main(argv=None) -> int:
         with open(args.against) as f:
             recorded = set(json.load(f))
         live = set(queries)
-        if recorded != live:
+        # the driver records only the first DRIVER_CAP queries() entries,
+        # so a driver artifact lawfully misses live tail entries IF the
+        # recorded set is exactly the live prefix at the cap.  Drift =
+        # stale recorded keys (query renamed/removed) or a recorded set
+        # that is neither the full contract nor the capped prefix.
+        cap_prefix = set(list(queries)[:DRIVER_CAP])
+        stale = recorded - live
+        ok_cover = recorded == live or recorded == cap_prefix
+        if stale or not ok_cover:
             print(
                 f"contract drift vs {args.against}: "
-                f"missing={sorted(live - recorded)} stale={sorted(recorded - live)}",
+                f"missing={sorted(live - recorded)} stale={sorted(stale)} "
+                f"(driver cap prefix={'match' if recorded == cap_prefix else 'MISMATCH'})",
                 file=sys.stderr,
             )
             rc = 1
         else:
-            print(f"coverage complete vs {args.against}: {len(live)} queries",
-                  file=sys.stderr)
+            kind = "full" if recorded == live else f"driver-capped ({DRIVER_CAP})"
+            print(
+                f"coverage complete vs {args.against}: {len(recorded)} recorded "
+                f"[{kind}] of {len(live)} live queries",
+                file=sys.stderr,
+            )
     n_orc = sum(1 for n in names if n in oracles)
     print(
         f"checked {len(names)} queries ({n_orc} value oracles) at {args.sf_dir} "
