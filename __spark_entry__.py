@@ -2324,6 +2324,62 @@ def q_audio_stats(spark, sf_dir):
     )
 
 
+# toxicity lexicon for the oracle: corpus-hitting terms ('slow'/'dup' are
+# in the word-soup vocab) + terms only the probes contain; MiXeD case pins
+# the lowercase fold
+TOX_LEXICON = ("slow", "dup", "Vile", "AWFUL")
+
+TOX_PROBES = [
+    (3200001, "vile awful vile words drown the clean ones"),
+    (3200002, "perfectly fine prose with zero flagged terms"),
+    (3200003, "SLOW Slow slow dup mixed case counts each time"),
+    (3200004, "   "),
+    (3200005, None),
+]
+
+
+def q_toxicity_score(spark, sf_dir):
+    """Toxic-term density per document (north rule: 'PII/toxicity-scrub'
+    — SURVEY §2.6's lexicon scoring as a quality-filter stage): |tokens
+    in lexicon| / |tokens|, multiset, case-folded, whitespace tokens.
+    ONE Arrow-batched per-row map, zero shuffle (operators/sentiment.py
+    toxicity_udf); the job applies it via --max-toxicity."""
+    from harvesttext_spark.operators.sentiment import toxicity_score
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, TOX_PROBES, col="text")
+    )
+    return toxicity_score(base, TOX_LEXICON).select(
+        "doc_id", F.round("toxicity", 6).alias("toxicity")
+    )
+
+
+def _sql_toxicity_score() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in TOX_PROBES
+    )
+    terms = ", ".join("'" + t.lower() + "'" for t in TOX_LEXICON)
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents UNION ALL
+              SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS t
+  FROM base
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN t IN ({terms}) THEN 1 ELSE 0 END) AS h
+  FROM tok GROUP BY doc_id
+)
+SELECT base.doc_id, round(CAST(h AS DOUBLE) / n, 6) AS toxicity
+FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+"""
+
+
 def q_domain_drop_samples(spark, sf_dir):
     """Deterministic per-domain drop triage (round 4): the k=3 smallest-
     md5(url) dropped pages per domain via salted two-level partial top-k
@@ -2768,7 +2824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_rollup": q_events_rollup,
-        "events_grouping_sets": q_events_grouping_sets,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -2796,9 +2851,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_drop_samples": q_domain_drop_samples,
         "pagerank_tokens": q_pagerank_tokens,
         "langid_trained": q_langid_trained,
+        "toxicity_score": q_toxicity_score,
         "scrub_text": q_scrub_text,
-        # --- rows-only past the driver's 50-entry cap (non-SQL-expressible;
-        # value-checked by tools/check_contract.py locally) ---
+        # --- past the driver's 50-entry cap: rows-only entries plus ONE
+        # long-driver-green oracle (events_grouping_sets, value-green in
+        # r02-r04 driver files; still value-checked locally every wrap by
+        # tools/check_contract.py) displaced by the round-5 toxicity oracle ---
+        "events_grouping_sets": q_events_grouping_sets,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
@@ -2866,4 +2925,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_drop_samples": _sql_domain_drop_samples(),
         "clean_text": _sql_clean_text(),
         "scrub_text": _sql_scrub_text(),
+        "toxicity_score": _sql_toxicity_score(),
     }

@@ -145,3 +145,48 @@ def analyse_sent(
         "doc_id",
         F.coalesce("sentis", F.array().cast("array<double>")).alias("sentis"),
     )
+
+
+def toxicity_udf(terms):
+    """Arrow-batched per-document toxic-term density: |tokens in lexicon|
+    / |tokens| (multiset — repeated slurs count each time, unlike
+    analyse_sent's distinct-token sentiment mean).  The lexicon-scoring
+    stage the north rule's "PII/toxicity-scrub" names, recast from SURVEY
+    §2.6's sentiment machinery for whitespace-tokenized (latin /
+    pre-segmented) text; zh callers segment first (functions/tokenize.py).
+
+    Shape: toxicity is a PER-ROW map, so it is one Arrow-batched pandas
+    UDF over the text column — zero shuffle, no join-back, and no
+    uniqueness precondition on the id column (an aggregate + join-back
+    design would silently merge duplicate urls).  The lexicon is a small
+    closure-captured frozenset (a broadcast dim, like the battery's
+    regex tables).  Docs with no tokens (incl. NULL text) score NULL —
+    density over zero tokens is no evidence, not 0."""
+    vocab = frozenset(t.lower() for t in terms)
+
+    # no type hints: module-level future-annotations stringify them and
+    # pyspark's hint inference then rejects the signature
+    @F.pandas_udf("double")
+    def _tox(s):
+        def one(t):
+            toks = t.lower().split()
+            if not toks:
+                return None
+            return sum(tok in vocab for tok in toks) / len(toks)
+
+        return s.map(one, na_action="ignore")
+
+    return _tox
+
+
+def toxicity_score(
+    df: DataFrame,
+    terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "toxicity",
+) -> DataFrame:
+    """(id, toxicity) — ``toxicity_udf`` applied to one table."""
+    return df.select(
+        F.col(id_col), toxicity_udf(terms)(F.col(text_col)).alias(out_col)
+    )

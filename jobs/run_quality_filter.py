@@ -127,6 +127,31 @@ def apply_pre_passes(
     return pages
 
 
+def apply_toxicity_filter(labeled, terms, max_toxicity, text_col="text_clean"):
+    """--max-toxicity: kept docs whose toxic-term density over the CLEANED
+    text exceeds the threshold become drop_reason=toxicity; the density
+    lands in a ``toxicity`` column as a stage metric.  Per-row Arrow map
+    (operators/sentiment.toxicity_udf) — zero shuffle, no url-uniqueness
+    precondition.  NULL density (no tokens) is below any threshold: an
+    empty doc can't be toxic (and is already dropped upstream anyway)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.sentiment import toxicity_udf
+
+    return (
+        labeled.withColumn("toxicity", toxicity_udf(terms)(F.col(text_col)))
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep")
+                & (F.coalesce(F.col("toxicity"), F.lit(0.0)) > max_toxicity),
+                F.lit("toxicity"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+    )
+
+
 def apply_lang_whitelist(labeled, langs):
     """--keep-langs: kept docs whose predicted language is outside the
     whitelist become drop_reason=lang_filtered.  NULL-safe: lang_pred
@@ -209,6 +234,22 @@ def main(argv=None) -> None:
         action="store_true",
         help="redact phones/ids/emails from text_clean AFTER labeling "
         "(labels stay reference-parity; redaction is output-only)",
+    )
+    p.add_argument(
+        "--max-toxicity",
+        type=float,
+        default=None,
+        metavar="X",
+        help="kept docs whose toxic-term density over text_clean exceeds "
+        "X get drop_reason 'toxicity' (applied after the base cascade, "
+        "like --keep-langs; requires --toxicity-lexicon)",
+    )
+    p.add_argument(
+        "--toxicity-lexicon",
+        default=None,
+        metavar="FILE",
+        help="one toxic term per line (lowercased, whitespace-token "
+        "match) for --max-toxicity",
     )
     p.add_argument(
         "--block-domains",
@@ -372,6 +413,12 @@ def main(argv=None) -> None:
         if args.keep_langs:
             langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
             labeled = apply_lang_whitelist(labeled, langs)
+        if args.max_toxicity is not None:
+            if not args.toxicity_lexicon:
+                p.error("--max-toxicity requires --toxicity-lexicon FILE")
+            with open(args.toxicity_lexicon) as fh:
+                terms = [ln.strip() for ln in fh if ln.strip()]
+            labeled = apply_toxicity_filter(labeled, terms, args.max_toxicity)
         if args.pii_scrub:
             from pyspark.sql import functions as F
 

