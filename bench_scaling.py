@@ -345,6 +345,58 @@ parquet write + metrics/lineage jobs + JVM startup).
 
 """
 
+ROUND5_SECTION = """## Round 5: similarity scoring folds measured at scale
+
+`tools/bench_similarity.py` (200k/1M deterministic hash-derived vectors,
+dim 64, identical rankings verified across variants):
+
+| variant | 200k x 8q | 1M x 32q | note |
+| --- | --- | --- | --- |
+| hof (aggregate/zip_with fold) | 1.60 s | 27.8 s | interpreted, no CSE — MinHash pattern confirmed |
+| hof + normalized-once vectors | 3.96 s | — | WORSE: `transform(x/l2_norm(v))` re-evaluates the norm per element |
+| explode + codegen sum | 1.22 s | 9.5 s | 2.9x, but carries nv*nq*dim rows |
+| **BLAS mapInPandas + per-batch top-k** | **0.58 s** | **0.96 s** | **29x at 1M x 32q**; shuffle carries only batches*nq*k rows |
+
+Outcome wired into the engine:
+- `brute_force_topk_blas` — the documented pipeline scoring path
+  (broadcast query matrix, one float64 matmul per Arrow batch, local
+  top-k before the global window).
+- `ivf_topk` internals rewritten: centroid assignment is now ONE
+  map-side numpy pass with ZERO shuffle (was crossJoin + full-width
+  groupBy/max_by over nv*nc rows), candidate pairs scored by an
+  Arrow-batched rowwise-einsum pandas UDF.  1M x 32q, 64 centroids,
+  n_probe 8: 5.1 s warm (kmeans training excluded; assignment dominates
+  — amortized at scale where inverted lists are built once).
+- `brute_force_topk` / `lsh_topk` keep the HOF fold ON PURPOSE: their
+  DuckDB value oracles pin the left-associative float fold order
+  (embedding_topk, ann_lsh_topk); the sf0.1 volumes there are bounded
+  (0.5 s headline) and the BLAS path is the one pipelines compose.
+
+## Round 5: scaling-window variance (two fresh 1.2M runs)
+
+Same protocol, same engine code, two back-to-back windows on the same
+host (values: raw 8->32 efficiency / multiprocessing ceiling /
+ceiling-relative):
+
+| run | raw eff | mp ceiling | eff vs ceiling | local[8] docs/s | local[32] docs/s |
+| --- | --- | --- | --- | --- | --- |
+| round 4 (recorded) | 0.766 | 0.700 | 1.094 | 57,134 | 175,024 |
+| round 5 run A | 0.707 | 0.767 | 0.922 | 54,051 | 152,754 |
+| round 5 run B (recorded) | 0.706 | 0.755 | 0.935 | 60,534 | 170,924 |
+
+Reading: 32-core throughput is stable across rounds (171-175k docs/s in
+the two clean runs); the raw ratio moves 0.71-0.77 mostly because the
+local[8] DENOMINATOR swings +-10% with host state — run B's 8-core leg
+was the fastest ever measured (60.5k), which mechanically lowers the
+ratio with no engine change.  The multiprocessing ceiling itself moved
+0.70->0.77 between rounds, confirming the denominator noise is host-
+side.  The committed scaling_results.json carries the LATEST run (B),
+not the prettiest; the 0.8-raw gate stays formally unmet and remains,
+on this box, a host property — ceiling-relative efficiency holds at
+0.92-1.09 across every clean window.
+
+"""
+
 BENCH_SHAPE_NOTE = """## Bench-name shapes (comparability note)
 
 The bench.py names measure the DRIVER-CONTRACT query shapes, which
@@ -367,7 +419,7 @@ intentionally NOT added to the bench total).
 
 """
 
-STATIC_SECTIONS = ANATOMY_SECTION + FULL_PIPELINE_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
+STATIC_SECTIONS = ANATOMY_SECTION + FULL_PIPELINE_SECTION + ROUND5_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
 
 | target | achieved |
 | --- | --- |
