@@ -397,6 +397,32 @@ on this box, a host property — ceiling-relative efficiency holds at
 
 """
 
+ROUND5_PROFILE_SECTION = """## Round 5: pipeline stage breakdown + a negative result
+
+`tools/profile_pipeline.py` (1.2M pages, local[32], stages persisted
+serialized + rolling release, synthesis excluded from the total):
+
+| stage | sec | share |
+| --- | --- | --- |
+| url_dedup (max_by) | 6.7 | 15% |
+| boilerplate line census + join-back | 7.9 | 18% |
+| exact dedup | 2.7 | 6% |
+| **MinHash LSH dedup** | **25.0** | **56%** |
+| union nulls + filter (fast_path) | 2.0 | 5% |
+| total (excl. synth) | 44.3 | 27.1k docs/s |
+
+MinHash dominates, and within it the signature stage is ~10s.  Tested
+the obvious fix — xxhash64 shingle hashes instead of md5+2 conv()
+decodes ("native" signature variant, mirroring simhash64): **no win**
+(portable 9.7s vs native 10.0s warm at 1.2M) — the cost is the ~30M-row
+shingle explode + map-side aggregation itself, not the hash function;
+the variant was reverted rather than shipped as dead API surface.  The
+signature shape is at its structural floor (one codegen pass, one
+16-column row per doc into the shuffle); further gains would need fewer
+shingles (larger n / sampling), which changes dedup semantics.
+
+"""
+
 BENCH_SHAPE_NOTE = """## Bench-name shapes (comparability note)
 
 The bench.py names measure the DRIVER-CONTRACT query shapes, which
@@ -419,7 +445,7 @@ intentionally NOT added to the bench total).
 
 """
 
-STATIC_SECTIONS = ANATOMY_SECTION + FULL_PIPELINE_SECTION + ROUND5_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
+STATIC_SECTIONS = ANATOMY_SECTION + FULL_PIPELINE_SECTION + ROUND5_SECTION + ROUND5_PROFILE_SECTION + BENCH_SHAPE_NOTE + """## Correctness gates (north rule)
 
 | target | achieved |
 | --- | --- |
