@@ -2324,6 +2324,80 @@ def q_audio_stats(spark, sf_dir):
     )
 
 
+# benchmark set for the decontamination oracle: one long phrase (6
+# 5-gram shingles) + one short row (< n tokens -> whole-text shingle);
+# the word-soup corpus can't collide with the English phrases, so corpus
+# rows score 0 and the probes pin every hit mode
+DECON_BENCH = (
+    "the model must not see this exact evaluation sentence ever",
+    "tiny eval row",
+)
+
+DECON_PROBES = [
+    (3300001, "leading words then must not see this exact evaluation text"),
+    (3300002, "tiny eval row"),
+    (3300003, "prefix tiny eval row suffix"),  # 5 tokens -> 5-gram only: NO hit
+    (3300004, "completely unrelated clean probe text here"),
+    (3300005, None),
+    (3300006, "MUST NOT SEE THIS EXACT evaluation leak in upper case"),
+]
+
+
+def q_contamination_flags(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Pile n-gram overlap rule as an
+    engine pipeline stage): per-doc count of distinct case-folded token
+    n-grams shared with the benchmark set + a contaminated flag.  The
+    benchmark side shingles once and BROADCASTS (eval suites are tiny);
+    the corpus side is one scan + broadcast probe; the only shuffle is
+    the per-doc hit count.  n=5 here so probes can pin hit modes; the
+    job default is the standard 13 (--decontaminate)."""
+    from harvesttext_spark.operators.decontamination import contamination_flags
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, DECON_PROBES, col="text")
+    )
+    bench = spark.createDataFrame([(t,) for t in DECON_BENCH], "text string")
+    return contamination_flags(base, bench, n=5)
+
+
+def _sql_contamination() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in DECON_PROBES
+    )
+    bench = ", ".join("('" + t.replace("'", "''") + "')" for t in DECON_BENCH)
+    # token_shingles mirror: whitespace tokens, n=5 slices (DuckDB list
+    # slicing is 1-based INCLUSIVE), shorter-than-n -> whole-text shingle,
+    # per-side dedup (list_distinct / DISTINCT) like array_distinct
+    shingle = (
+        "CASE WHEN len(toks) >= 5 THEN list_transform(generate_series(1, len(toks) - 4), "
+        "i -> array_to_string(toks[i:i+4], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END"
+    )
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    return f"""
+WITH bench(text) AS (VALUES {bench}),
+bsh AS (
+  SELECT DISTINCT unnest({shingle}) AS s
+  FROM (SELECT {toks} AS toks FROM bench)
+  ), bsh2 AS (SELECT s FROM bsh WHERE s != ''),
+base AS (SELECT doc_id, text FROM documents UNION ALL
+         SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+dsh AS (
+  SELECT doc_id, unnest(list_distinct({shingle})) AS s
+  FROM (SELECT doc_id, {toks} AS toks FROM base)
+),
+hits AS (
+  SELECT doc_id, count(*) AS h FROM dsh JOIN bsh2 USING (s) GROUP BY doc_id
+)
+SELECT base.doc_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+       coalesce(h, 0) > 0 AS contaminated
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+"""
+
+
 # toxicity lexicon for the oracle: corpus-hitting terms ('slow'/'dup' are
 # in the word-soup vocab) + terms only the probes contain; MiXeD case pins
 # the lowercase fold
@@ -2823,7 +2897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
-        "events_rollup": q_events_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -2852,12 +2925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_tokens": q_pagerank_tokens,
         "langid_trained": q_langid_trained,
         "toxicity_score": q_toxicity_score,
+        "contamination_flags": q_contamination_flags,
         "scrub_text": q_scrub_text,
         # --- past the driver's 50-entry cap: rows-only entries plus ONE
         # long-driver-green oracle (events_grouping_sets, value-green in
         # r02-r04 driver files; still value-checked locally every wrap by
         # tools/check_contract.py) displaced by the round-5 toxicity oracle ---
         "events_grouping_sets": q_events_grouping_sets,
+        "events_rollup": q_events_rollup,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
@@ -2926,4 +3001,5 @@ def oracle_sql() -> dict[str, str]:
         "clean_text": _sql_clean_text(),
         "scrub_text": _sql_scrub_text(),
         "toxicity_score": _sql_toxicity_score(),
+        "contamination_flags": _sql_contamination(),
     }

@@ -152,6 +152,45 @@ def apply_toxicity_filter(labeled, terms, max_toxicity, text_col="text_clean"):
     )
 
 
+def apply_decontamination(labeled, bench_texts, n=13, text_col="text_clean"):
+    """--decontaminate: kept docs sharing a case-folded token n-gram with
+    the benchmark set become drop_reason=contaminated (GPT-3/Pile-style
+    eval decontamination, applied post-label so parity gates stay
+    reference-faithful and lineage records WHY a page left).  The marker
+    frame is a DISTINCT url set, so the left join cannot fan out even on
+    duplicate urls."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.decontamination import _bench_shingles
+    from harvesttext_spark.operators.dedup import token_shingles
+
+    spark = labeled.sparkSession
+    bench = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    bs = _bench_shingles(bench, n, "text")
+    bad = (
+        labeled.select(
+            "url",
+            F.explode(token_shingles(F.lower(F.col(text_col)), n)).alias("s"),
+        )
+        .join(F.broadcast(bs), "s")
+        .select("url")
+        .distinct()
+        .withColumn("_cont", F.lit(True))
+    )
+    return (
+        labeled.join(bad, "url", "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & F.coalesce(F.col("_cont"), F.lit(False)),
+                F.lit("contaminated"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_cont")
+    )
+
+
 def apply_lang_whitelist(labeled, langs):
     """--keep-langs: kept docs whose predicted language is outside the
     whitelist become drop_reason=lang_filtered.  NULL-safe: lang_pred
@@ -234,6 +273,21 @@ def main(argv=None) -> None:
         action="store_true",
         help="redact phones/ids/emails from text_clean AFTER labeling "
         "(labels stay reference-parity; redaction is output-only)",
+    )
+    p.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="FILE",
+        help="benchmark decontamination: FILE has one evaluation text per "
+        "line; kept docs sharing a case-folded token n-gram with any of "
+        "them get drop_reason 'contaminated' (GPT-3/Pile 13-gram rule)",
+    )
+    p.add_argument(
+        "--decontaminate-ngram",
+        type=int,
+        default=13,
+        metavar="N",
+        help="n-gram size for --decontaminate (default 13)",
     )
     p.add_argument(
         "--max-toxicity",
@@ -413,6 +467,12 @@ def main(argv=None) -> None:
         if args.keep_langs:
             langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
             labeled = apply_lang_whitelist(labeled, langs)
+        if args.decontaminate:
+            with open(args.decontaminate) as fh:
+                bench_texts = [ln.strip() for ln in fh if ln.strip()]
+            labeled = apply_decontamination(
+                labeled, bench_texts, n=args.decontaminate_ngram
+            )
         if args.max_toxicity is not None:
             if not args.toxicity_lexicon:
                 p.error("--max-toxicity requires --toxicity-lexicon FILE")

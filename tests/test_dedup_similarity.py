@@ -564,3 +564,46 @@ def test_simhash32_shapes_value_identical(spark):
     # auto on a tiny frame resolves to SOME shape and matches both
     auto = {r["id"]: r["sh"] for r in simhash32_frame(df).collect()}
     assert auto == fold
+
+
+def test_contamination_flags_and_drop(spark):
+    """Benchmark decontamination: n-gram overlap flags docs; whole-text
+    shingle rule for shorter-than-n rows; anti-join drop is duplicate-id
+    safe; distinct doc shingles count once."""
+    from harvesttext_spark.operators.decontamination import (
+        contamination_flags,
+        drop_contaminated,
+    )
+
+    bench = spark.createDataFrame(
+        [("the secret eval answer is forty two",), ("short row",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "padding words the secret eval answer is forty two trailing"),
+            (2, "THE SECRET EVAL ANSWER IS FORTY TWO"),  # case fold
+            (3, "the secret eval answer differs here completely now"),
+            (4, "short row"),                    # whole-text match (2 < n)
+            (5, "a short row padded out"),       # 5-gram != whole-text: clean
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_flags(docs, bench, n=5).collect()
+    }
+    assert got[1][1] and got[1][0] >= 1
+    assert got[2] == (3, True)  # 7 tokens -> 3 distinct 5-grams, all hit
+    assert got[3] == (0, False)
+    assert got[4] == (1, True)
+    assert got[5] == (0, False)
+    assert got[6] == (0, False)
+
+    kept = sorted(r["doc_id"] for r in drop_contaminated(docs, bench, n=5).collect())
+    assert kept == [3, 5, 6]
+    # duplicate ids: BOTH copies of a contaminated id drop (anti-join)
+    dup = docs.unionByName(docs.filter("doc_id = 1"))
+    kept2 = [r["doc_id"] for r in drop_contaminated(dup, bench, n=5).collect()]
+    assert sorted(kept2) == [3, 5, 6]

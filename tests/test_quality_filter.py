@@ -543,3 +543,31 @@ def test_toxicity_filter_stage(spark):
     assert got["u2"][:2] == (True, None)
     assert got["u3"][:2] == (False, "too_short")  # untouched
     assert got["u4"][:2] == (True, None) and got["u4"][2] is None
+
+
+def test_decontamination_stage(spark):
+    """--decontaminate wiring: kept docs sharing an n-gram with the
+    benchmark become drop_reason=contaminated; dropped docs keep their
+    reason; duplicate urls are marked identically without fan-out."""
+    from jobs.run_quality_filter import apply_decontamination
+
+    bench = ["never train on this exact evaluation passage at all"]
+    rows = [
+        ("u1", "intro never train on this exact evaluation passage at all end",
+         True, None),
+        ("u2", "perfectly original content with no overlap whatsoever here",
+         True, None),
+        ("u3", "never train on this exact evaluation passage at all",
+         False, "too_short"),
+        ("u1", "intro never train on this exact evaluation passage at all end",
+         True, None),  # duplicate url
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    out = apply_decontamination(df, bench, n=5).collect()
+    assert len(out) == 4  # no fan-out on the duplicate url
+    got = {(r["url"], r["keep"], r["drop_reason"]) for r in out}
+    assert ("u1", False, "contaminated") in got
+    assert ("u2", True, None) in got
+    assert ("u3", False, "too_short") in got
