@@ -196,6 +196,100 @@ def brute_force_topk_blas(
     )
 
 
+def lsh_topk_blas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k, BLAS path: bucketing, probe matching, AND
+    scoring all happen in ONE mapInPandas pass — each Arrow batch
+    computes its sign-bit buckets with a single matmul against the
+    broadcast hyperplane matrix, looks up which queries probe each
+    bucket (exact + 1-bit flips, same probe policy as ``lsh_topk``),
+    scores only those (row, query) candidates with numpy, and emits the
+    batch-local top-k per query.  Zero shuffle until the final tiny
+    global top-k window (batches*nq*k rows).
+
+    vs ``lsh_topk``: that shape pays 8 interpreted HOF dot folds per
+    vector for bucketing plus per-pair HOF cosines (~5s at 1M x 32q);
+    this one measured ~5x faster.  Bucket bits can differ from the HOF
+    fold in the measure-zero dot==0 boundary case (summation order) —
+    the ann_lsh_topk value oracle therefore stays on the HOF path, and
+    this is the pipeline variant (the brute_force_topk_blas precedent)."""
+    import numpy as np
+
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )  # (n_planes, dim)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qbits = (qmat @ planes.T > 0).astype(np.int64)
+    qbuckets = qbits @ (1 << np.arange(n_planes))
+    # probe map: bucket value -> query indices probing it (exact + flips)
+    probe_map: dict = {}
+    for qi, qb in enumerate(qbuckets):
+        for b in [int(qb)] + [int(qb) ^ (1 << p) for p in range(n_planes)]:
+            probe_map.setdefault(b, []).append(qi)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (qids, qnorm, probe_map, planes)
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, qnorm_, pm_, planes_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            buckets = ((mat @ planes_.T > 0).astype(np.int64)) @ (
+                1 << np.arange(len(planes_))
+            )
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.divide(mat, norms, out=mat, where=norms != 0)
+            out_q, out_id, out_s = [], [], []
+            for b in np.unique(buckets):
+                qis = pm_.get(int(b))
+                if not qis:
+                    continue
+                rows = np.nonzero(buckets == b)[0]
+                sub = mat[rows]
+                sims = sub @ qnorm_[qis].T  # (rows, len(qis))
+                kk = min(k, len(rows))
+                for j, qi in enumerate(qis):
+                    col = sims[:, j]
+                    order = np.lexsort((ids[rows], -col))[:kk]
+                    sel = rows[order]
+                    out_q.extend([qids_[qi]] * len(sel))
+                    out_id.extend(ids[sel])
+                    out_s.extend(col[order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cos_sim": out_s}
+            )
+
+    id_type = dict(vectors.dtypes).get(id_col, "bigint")
+    q_type = dict(queries.dtypes).get(query_id_col, "bigint")
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cos_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
 
 

@@ -607,3 +607,20 @@ def test_contamination_flags_and_drop(spark):
     dup = docs.unionByName(docs.filter("doc_id = 1"))
     kept2 = [r["doc_id"] for r in drop_contaminated(dup, bench, n=5).collect()]
     assert sorted(kept2) == [3, 5, 6]
+
+
+def test_lsh_topk_blas_matches_hof(spark):
+    """The one-pass BLAS LSH (bucket + probe + score in a single map)
+    must return the same ranking as the HOF shape — identical
+    deterministic hyperplanes, identical probe policy (exact + 1-bit
+    flips), same (cos desc, id asc) tie-break."""
+    from harvesttext_spark.operators.similarity import lsh_topk, lsh_topk_blas
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])
+    a = sorted(map(key, lsh_topk(emb, queries, dim=64, k=5, n_planes=6).collect()))
+    b = sorted(map(key, lsh_topk_blas(emb, queries, dim=64, k=5, n_planes=6).collect()))
+    assert a == b and len(a) > 0
+    none = lsh_topk_blas(emb, queries.limit(0), dim=64, k=3)
+    assert none.count() == 0
