@@ -2324,6 +2324,49 @@ def q_audio_stats(spark, sf_dir):
     )
 
 
+URL_RISK_PROBES = [
+    (3400001, "https://freepornhub.example/xxx/videos"),       # glued: 2 hits
+    (3400002, "https://www.sussex.ac.uk/history"),             # 'sussex' -> 1 (why it's a score)
+    (3400003, "https://casino-poker.bet/slots?ref=1"),         # 3 hits
+    (3400004, "https://plain.example.org/articles/today"),     # 0
+    (3400005, "https://dl.example.net/warez/keygen-crack.zip"),  # 3
+]
+
+
+def q_url_risk(spark, sf_dir):
+    """RefinedWeb-style URL risk scoring (adult/gambling/pharma/piracy
+    keyword battery over the lowercased url) — pure whole-stage-codegen
+    column math riding the scan, no join/shuffle; the job thresholds it
+    via --max-url-risk.  The documents table has no url column, so the
+    oracle derives a deterministic one from (source, doc_id) identically
+    in both engines, plus probes pinning glued-keyword and
+    false-positive-substring semantics."""
+    from harvesttext_spark.functions.urls import url_risk_score
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"), F.col("doc_id")
+        ).alias("url"),
+    )
+    base = d.unionByName(_probe_df(spark, URL_RISK_PROBES, col="url"))
+    return base.select("doc_id", "url", url_risk_score(F.col("url")).alias("url_risk"))
+
+
+def _sql_url_risk() -> str:
+    from harvesttext_spark.functions.urls import url_risk_score_sql
+
+    probes = ", ".join(
+        "({}::BIGINT, '{}')".format(i, u) for i, u in URL_RISK_PROBES
+    )
+    return (
+        "WITH base AS (SELECT doc_id, 'https://' || source || '.example/p/' || "
+        "CAST(doc_id AS VARCHAR) AS url FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {probes}) v(doc_id, url)) "
+        f"SELECT doc_id, url, {url_risk_score_sql('url')} AS url_risk FROM base"
+    )
+
+
 # benchmark set for the decontamination oracle: one long phrase (6
 # 5-gram shingles) + one short row (< n tokens -> whole-text shingle);
 # the word-soup corpus can't collide with the English phrases, so corpus
@@ -2896,7 +2939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
-        "events_asof": q_events_asof,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -2926,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_trained": q_langid_trained,
         "toxicity_score": q_toxicity_score,
         "contamination_flags": q_contamination_flags,
+        "url_risk": q_url_risk,
         "scrub_text": q_scrub_text,
         # --- past the driver's 50-entry cap: rows-only entries plus ONE
         # long-driver-green oracle (events_grouping_sets, value-green in
@@ -2933,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_contract.py) displaced by the round-5 toxicity oracle ---
         "events_grouping_sets": q_events_grouping_sets,
         "events_rollup": q_events_rollup,
+        "events_asof": q_events_asof,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
@@ -3002,4 +3046,5 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _sql_scrub_text(),
         "toxicity_score": _sql_toxicity_score(),
         "contamination_flags": _sql_contamination(),
+        "url_risk": _sql_url_risk(),
     }

@@ -70,3 +70,43 @@ def canonical_url_sql(col_expr: str, tracking_params: str = TRACKING_PARAMS) -> 
         r = repl.replace("$", "\\")
         c = f"regexp_replace({c}, '{p}', '{r}', 'g')"
     return c
+
+
+# --- URL risk heuristics (RefinedWeb-style URL filtering) -------------------
+
+# public-knowledge keyword battery: adult / gambling / pharma-spam / piracy
+# tokens whose presence in the HOST or PATH marks a page for review.  Small
+# on purpose — production deployments swap in a curated blocklist via the
+# `keywords` parameter (the UT1-style domain blocklist is the job's
+# --block-domains stage; this is the substring fallback for hosts the
+# blocklist has never seen).
+URL_RISK_KEYWORDS = (
+    "porn", "xxx", "sex", "adult", "escort",
+    "casino", "poker", "betting", "slots",
+    "viagra", "cialis", "pharma",
+    "warez", "crack", "keygen", "torrent",
+)
+
+
+def url_risk_score(col: Column, keywords=URL_RISK_KEYWORDS) -> Column:
+    """Count of risk keywords appearing as substrings of the lowercased
+    url (host + path + query).  Pure whole-stage-codegen column math —
+    one `instr` per keyword, no join, no shuffle; at 100 TB this rides
+    the same scan as every other per-row signal.  Substring semantics
+    (not token) on purpose: spam hosts glue keywords (`freepornhub`,
+    `xxxmovies`); false positives (e.g. `sussex`, `essex`) are why this
+    is a SCORE the caller thresholds, not a hard drop."""
+    lowered = F.lower(col)
+    score = F.lit(0)
+    for kw in keywords:
+        score = score + F.when(F.instr(lowered, kw) > 0, 1).otherwise(0)
+    return score
+
+
+def url_risk_score_sql(col_expr: str, keywords=URL_RISK_KEYWORDS) -> str:
+    """DuckDB mirror of url_risk_score (strpos == instr)."""
+    terms = " + ".join(
+        f"CASE WHEN strpos(lower({col_expr}), '{kw}') > 0 THEN 1 ELSE 0 END"
+        for kw in keywords
+    )
+    return f"({terms})"

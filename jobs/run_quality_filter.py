@@ -152,6 +152,30 @@ def apply_toxicity_filter(labeled, terms, max_toxicity, text_col="text_clean"):
     )
 
 
+def apply_url_risk_filter(labeled, max_risk, keywords=None):
+    """--max-url-risk: kept docs whose url risk-keyword score exceeds the
+    threshold become drop_reason=url_risk (RefinedWeb-style URL
+    filtering).  Pure column math on the row — no join, no shuffle, no
+    uniqueness precondition; the score lands in a url_risk metric
+    column."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.urls import URL_RISK_KEYWORDS, url_risk_score
+
+    kws = tuple(keywords) if keywords else URL_RISK_KEYWORDS
+    return (
+        labeled.withColumn("url_risk", url_risk_score(F.col("url"), kws))
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & (F.col("url_risk") > max_risk),
+                F.lit("url_risk"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+    )
+
+
 def apply_decontamination(labeled, bench_texts, n=13, text_col="text_clean"):
     """--decontaminate: kept docs sharing a case-folded token n-gram with
     the benchmark set become drop_reason=contaminated (GPT-3/Pile-style
@@ -273,6 +297,21 @@ def main(argv=None) -> None:
         action="store_true",
         help="redact phones/ids/emails from text_clean AFTER labeling "
         "(labels stay reference-parity; redaction is output-only)",
+    )
+    p.add_argument(
+        "--max-url-risk",
+        type=int,
+        default=None,
+        metavar="N",
+        help="kept docs whose url contains more than N risk keywords "
+        "(adult/gambling/pharma/piracy battery, functions/urls.py) get "
+        "drop_reason 'url_risk'; score is pure column math on the scan",
+    )
+    p.add_argument(
+        "--url-risk-keywords",
+        default=None,
+        metavar="FILE",
+        help="override the builtin risk-keyword battery (one per line)",
     )
     p.add_argument(
         "--decontaminate",
@@ -467,6 +506,12 @@ def main(argv=None) -> None:
         if args.keep_langs:
             langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
             labeled = apply_lang_whitelist(labeled, langs)
+        if args.max_url_risk is not None:
+            kws = None
+            if args.url_risk_keywords:
+                with open(args.url_risk_keywords) as fh:
+                    kws = [ln.strip().lower() for ln in fh if ln.strip()]
+            labeled = apply_url_risk_filter(labeled, args.max_url_risk, kws)
         if args.decontaminate:
             with open(args.decontaminate) as fh:
                 bench_texts = [ln.strip() for ln in fh if ln.strip()]

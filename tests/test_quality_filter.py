@@ -571,3 +571,33 @@ def test_decontamination_stage(spark):
     assert ("u1", False, "contaminated") in got
     assert ("u2", True, None) in got
     assert ("u3", False, "too_short") in got
+
+
+def test_url_risk_filter_stage(spark):
+    """--max-url-risk: pure column-math scoring; kept docs above the
+    threshold drop as url_risk; custom keyword lists override; already-
+    dropped docs keep their reason."""
+    from jobs.run_quality_filter import apply_url_risk_filter
+
+    rows = [
+        ("https://freepornhub.example/xxx", True, None),       # 2 hits
+        ("https://www.sussex.ac.uk/", True, None),             # 1 ('sussex')
+        ("https://plain.example.org/a", True, None),           # 0
+        ("https://casino.example/slots", False, "too_short"),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "url string, keep boolean, drop_reason string")
+    got = {
+        r["url"].split("//")[1].split(".")[0]: (r["keep"], r["drop_reason"], r["url_risk"])
+        for r in apply_url_risk_filter(df, max_risk=1).collect()
+    }
+    assert got["freepornhub"] == (False, "url_risk", 2)
+    assert got["www"] == (True, None, 1)       # at threshold: kept
+    assert got["plain"] == (True, None, 0)
+    assert got["casino"][:2] == (False, "too_short")
+    # custom keywords
+    custom = {
+        r["url"]: r["url_risk"]
+        for r in apply_url_risk_filter(df, 0, ["sussex"]).collect()
+    }
+    assert custom["https://www.sussex.ac.uk/"] == 1
+    assert custom["https://freepornhub.example/xxx"] == 0
