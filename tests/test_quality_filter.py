@@ -601,3 +601,56 @@ def test_url_risk_filter_stage(spark):
     }
     assert custom["https://www.sussex.ac.uk/"] == 1
     assert custom["https://freepornhub.example/xxx"] == 0
+
+
+def test_all_policy_stages_compose(spark, tmp_path):
+    """Full job with EVERY stage enabled at once — pre-passes (url dedup,
+    boilerplate, exact, minhash) + fast-path filter + keep-langs +
+    url-risk + decontamination + toxicity + pii-scrub: stages must not
+    collide on columns and every drop_reason must be attributable."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.pipeline import synthesize_pages
+
+    inp = str(tmp_path / "pages")
+    p = synthesize_pages(spark, n=250, seed=21)
+    p = p.withColumn(
+        "url",
+        F.when(F.col("url").endswith("/9"),
+               F.lit("https://xxx-casino.example/slots")).otherwise(F.col("url")),
+    )
+    p.write.parquet(inp)
+    kept_zh = p.filter("lang = 'zh'").select("text").first()[0]
+
+    lex = tmp_path / "tox.txt"; lex.write_text("casino\nslots\n")
+    bench = tmp_path / "bench.txt"; bench.write_text(kept_zh + "\n")
+    out = str(tmp_path / "out")
+    # subprocess: main() stops its SparkContext, which would kill the
+    # session-scoped pytest fixture if run in-process
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py",
+         "--input", inp, "--output", out,
+         "--url-dedup", "--drop-boilerplate", "3", "--exact-dedup",
+         "--minhash-dedup", "0.8", "--fast-path",
+         "--keep-langs", "zh,en,es,fr",
+         "--max-url-risk", "0",
+         "--decontaminate", str(bench), "--decontaminate-ngram", "2",
+         "--max-toxicity", "0.5", "--toxicity-lexicon", str(lex),
+         "--pii-scrub"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8",
+             "PYTHONPATH": __import__("os").getcwd()},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    df = spark.read.parquet(out + "/data")
+    reasons = {r["drop_reason"] for r in df.select("drop_reason").distinct().collect()}
+    assert "url_risk" in reasons          # the planted risky url
+    assert {"toxicity", "url_risk", "lang_filtered"} - reasons <= {"toxicity", "lang_filtered"}
+    # metric columns from every scoring stage present
+    for col in ("toxicity", "url_risk", "keep", "drop_reason", "text_clean"):
+        assert col in df.columns, col
+    # keep flag consistent with drop_reason everywhere
+    assert df.filter("keep != (drop_reason IS NULL)").count() == 0
