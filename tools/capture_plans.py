@@ -27,6 +27,10 @@ SECTIONS = {
     "pii_scrub — pure codegen regexp chain, zero shuffle": "pii_scrub",
     "punkt_collocations — lag window + pair agg + broadcast count joins": "punkt_collocations",
     "boilerplate_dedup — census groupBys + UNFORCED left-anti (AQE decides)": "boilerplate_dedup",
+    "toxicity_score — one Arrow-batched per-row map, zero shuffle": "toxicity_score",
+    "contamination_flags — broadcast benchmark shingles, one count shuffle": "contamination_flags",
+    "url_risk — pure codegen keyword battery on the scan": "url_risk",
+    "scrub_text — broadcast AC automaton, single mapInPandas pass": "scrub_text",
 }
 
 
