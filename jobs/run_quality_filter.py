@@ -152,6 +152,75 @@ def apply_toxicity_filter(labeled, terms, max_toxicity, text_col="text_clean"):
     )
 
 
+def build_policy_fn(args, parser=None):
+    """Compose the post-label policy stages (--keep-langs, --max-url-risk,
+    --decontaminate, --max-toxicity, --pii-scrub, --scrub-words) into ONE
+    ``labeled -> labeled`` function used by BOTH the full-run and
+    --resume paths — previously --resume silently ignored every policy
+    flag.  All of these are per-row against FIXED external inputs
+    (lexicon/benchmark/keyword files), so they satisfy resume's bucket
+    idempotency — unlike the corpus-trained LM, which stays excluded.
+    Files are read ONCE here (driver side) so validation fails before
+    any Spark work and reprocessed tail buckets see identical inputs."""
+    err = (parser.error if parser else None) or (lambda m: (_ for _ in ()).throw(SystemExit(m)))
+    stages = []
+    if args.keep_langs:
+        langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
+        stages.append(lambda df: apply_lang_whitelist(df, langs))
+    if args.max_url_risk is not None:
+        kws = None
+        if args.url_risk_keywords:
+            with open(args.url_risk_keywords) as fh:
+                kws = [ln.strip().lower() for ln in fh if ln.strip()]
+        stages.append(lambda df: apply_url_risk_filter(df, args.max_url_risk, kws))
+    if args.decontaminate:
+        with open(args.decontaminate) as fh:
+            bench_texts = [ln.strip() for ln in fh if ln.strip()]
+        stages.append(
+            lambda df: apply_decontamination(df, bench_texts, n=args.decontaminate_ngram)
+        )
+    if args.max_toxicity is not None:
+        if not args.toxicity_lexicon:
+            err("--max-toxicity requires --toxicity-lexicon FILE")
+        with open(args.toxicity_lexicon) as fh:
+            terms = [ln.strip() for ln in fh if ln.strip()]
+        stages.append(lambda df: apply_toxicity_filter(df, terms, args.max_toxicity))
+    if args.pii_scrub:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.linking import scrub_pii_regex
+
+        # after labeling: keep/drop and byte-parity gates are computed on
+        # the reference-faithful battery output; redaction only changes
+        # what ships
+        stages.append(
+            lambda df: df.withColumn("text_clean", scrub_pii_regex(F.col("text_clean")))
+        )
+    if args.scrub_words:
+        from harvesttext_spark.operators.linking import EntityKB, scrub_text
+
+        kb = EntityKB()
+        with open(args.scrub_words, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                term, _, typ = line.partition("\t")
+                kb.add(term, term, typ or "sensitive")
+        stages.append(
+            lambda df: scrub_text(df, kb, text_col="text_clean")
+            .drop("text_clean")
+            .withColumnRenamed("text_scrubbed", "text_clean")
+        )
+
+    def policy_fn(labeled):
+        for st in stages:
+            labeled = st(labeled)
+        return labeled
+
+    return policy_fn
+
+
 def apply_url_risk_filter(labeled, max_risk, keywords=None):
     """--max-url-risk: kept docs whose url risk-keyword score exceeds the
     threshold become drop_reason=url_risk (RefinedWeb-style URL
@@ -460,11 +529,14 @@ def main(argv=None) -> None:
                 "Run the LM stage as a separate full pass over the resumed "
                 "output with an explicit --ppl-threshold."
             )
-        filter_fn = None
-        if args.fast_path:
-            from harvesttext_spark.pipeline.quality_filter import quality_filter
+        from harvesttext_spark.pipeline.quality_filter import quality_filter
 
-            filter_fn = lambda df: quality_filter(df, fast_path=True)  # noqa: E731
+        # the policy stages are per-row vs fixed external files, so they
+        # compose with bucket-idempotent resume (build_policy_fn docstring)
+        policy_fn = build_policy_fn(args, p)
+        filter_fn = lambda df: policy_fn(  # noqa: E731
+            quality_filter(df, fast_path=args.fast_path)
+        )
         result = run_with_resume(
             spark, pages, args.output, n_buckets=args.buckets,
             max_buckets_this_run=args.max_buckets, filter_fn=filter_fn,
@@ -503,56 +575,7 @@ def main(argv=None) -> None:
             )
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
-        if args.keep_langs:
-            langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
-            labeled = apply_lang_whitelist(labeled, langs)
-        if args.max_url_risk is not None:
-            kws = None
-            if args.url_risk_keywords:
-                with open(args.url_risk_keywords) as fh:
-                    kws = [ln.strip().lower() for ln in fh if ln.strip()]
-            labeled = apply_url_risk_filter(labeled, args.max_url_risk, kws)
-        if args.decontaminate:
-            with open(args.decontaminate) as fh:
-                bench_texts = [ln.strip() for ln in fh if ln.strip()]
-            labeled = apply_decontamination(
-                labeled, bench_texts, n=args.decontaminate_ngram
-            )
-        if args.max_toxicity is not None:
-            if not args.toxicity_lexicon:
-                p.error("--max-toxicity requires --toxicity-lexicon FILE")
-            with open(args.toxicity_lexicon) as fh:
-                terms = [ln.strip() for ln in fh if ln.strip()]
-            labeled = apply_toxicity_filter(labeled, terms, args.max_toxicity)
-        if args.pii_scrub:
-            from pyspark.sql import functions as F
-
-            from harvesttext_spark.operators.linking import scrub_pii_regex
-
-            # after labeling: keep/drop and byte-parity gates are computed
-            # on the reference-faithful battery output; redaction only
-            # changes what ships
-            labeled = labeled.withColumn(
-                "text_clean", scrub_pii_regex(F.col("text_clean"))
-            )
-        if args.scrub_words:
-            from pyspark.sql import functions as F
-
-            from harvesttext_spark.operators.linking import EntityKB, scrub_text
-
-            kb = EntityKB()
-            with open(args.scrub_words, encoding="utf-8") as f:
-                for line in f:
-                    line = line.rstrip("\n")
-                    if not line or line.startswith("#"):
-                        continue
-                    term, _, typ = line.partition("\t")
-                    kb.add(term, term, typ or "sensitive")
-            labeled = (
-                scrub_text(labeled, kb, text_col="text_clean")
-                .drop("text_clean")
-                .withColumnRenamed("text_scrubbed", "text_clean")
-            )
+        labeled = build_policy_fn(args, p)(labeled)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups

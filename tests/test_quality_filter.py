@@ -654,3 +654,31 @@ def test_all_policy_stages_compose(spark, tmp_path):
         assert col in df.columns, col
     # keep flag consistent with drop_reason everywhere
     assert df.filter("keep != (drop_reason IS NULL)").count() == 0
+
+
+def test_resume_applies_policy_stages(spark, tmp_path):
+    """--resume previously IGNORED every post-label policy flag; now the
+    policy chain composes into filter_fn.  Run a resumed job with
+    --keep-langs and assert resumed output contains lang_filtered rows
+    and zero kept rows outside the whitelist."""
+    import os
+    import subprocess
+    import sys
+
+    from harvesttext_spark.pipeline import synthesize_pages
+
+    inp = str(tmp_path / "pages")
+    synthesize_pages(spark, n=200, seed=31).write.parquet(inp)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py",
+         "--input", inp, "--output", out,
+         "--resume", "--buckets", "8", "--keep-langs", "zh"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": os.getcwd()},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    df = spark.read.parquet(out + "/data")
+    reasons = {r["drop_reason"] for r in df.select("drop_reason").distinct().collect()}
+    assert "lang_filtered" in reasons
+    assert df.filter("keep AND lang_pred != 'zh'").count() == 0
