@@ -583,9 +583,21 @@ def main(argv=None) -> None:
         dm = domain_metrics_full(out) if args.with_lm else domain_metrics(out)
         dm.write.mode("overwrite").parquet(args.output + "/domain_metrics")
         partition_lineage(out).write.mode("overwrite").parquet(args.output + "/lineage")
-        n = out.count()
-        k = out.filter("keep").count()
-        summary = {"mode": "full" if args.with_lm else "base", "n_docs": n, "n_keep": k}
+        # one groupBy pass replaces two full counts AND yields the
+        # per-reason drop census (ops triage without re-reading the table)
+        from pyspark.sql import functions as F
+
+        census = {
+            r["drop_reason"]: r["n"]
+            for r in out.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+        }
+        k = census.pop(None, 0)
+        summary = {
+            "mode": "full" if args.with_lm else "base",
+            "n_docs": k + sum(census.values()),
+            "n_keep": k,
+            "drops_by_reason": dict(sorted(census.items())),
+        }
     summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()
