@@ -2324,6 +2324,71 @@ def q_audio_stats(spark, sf_dir):
     )
 
 
+SUBSTR_PROBES = [
+    (3500001, "w1 w2 w3 w4 w5 w6 w7 w8 first occurrence survives intact"),
+    (3500002, "lead-in w1 w2 w3 w4 w5 w6 w7 w8 trailing words here"),
+    (3500003, "pad1 pad2 pad3 w1 w2 w3 w4 w5 w6 w7 w8 w9 bigger shared run"),
+    (3500004, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8 selfrepeat"),
+    (3500005, "short row"),
+    (3500006, None),
+]
+
+
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring dedup spans (Lee et al. 2022 recast): merged token
+    spans covered by k-token windows whose exact content occurs earlier
+    in the corpus (keep-first, global doc/pos order).  Window census =
+    one per-doc sliding window + a shuffle on the uniform md5 window
+    key; span merge is gaps-and-islands over the (tiny) duplicate set.
+    k=8 here so probes pin every mode (cross-doc, longer-run merge,
+    in-doc self repeat, first-occurrence survival); the operator default
+    is the paper's 50."""
+    from harvesttext_spark.operators.substring_dedup import duplicate_window_spans
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, SUBSTR_PROBES, col="text")
+    )
+    return duplicate_window_spans(base, k=8)
+
+
+def _sql_substring_spans() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in SUBSTR_PROBES
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents UNION ALL
+              SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+tk AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+       FROM base),
+iw AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+       FROM tk WHERE len(toks) >= 8),
+wins AS (SELECT doc_id, i - 1 AS pos,
+                md5(array_to_string(toks[i:i+7], ' ')) AS wkey,
+                doc_id * 1000000 + (i - 1) AS ord
+         FROM iw),
+census AS (SELECT wkey, count(*) AS cnt, min(ord) AS first_ord
+           FROM wins GROUP BY wkey),
+dups AS (SELECT w.doc_id, w.pos FROM wins w JOIN census c USING (wkey)
+         WHERE c.cnt > 1 AND w.ord != c.first_ord),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dups),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+         FROM isl)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+       CAST(max(pos) + 8 AS INT) AS end_tok
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 URL_RISK_PROBES = [
     (3400001, "https://freepornhub.example/xxx/videos"),       # glued: 2 hits
     (3400002, "https://www.sussex.ac.uk/history"),             # 'sussex' -> 1 (why it's a score)
@@ -2937,7 +3002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_edges": q_cooccur_edges,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2969,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity_score": q_toxicity_score,
         "contamination_flags": q_contamination_flags,
         "url_risk": q_url_risk,
+        "substring_spans": q_substring_spans,
         "scrub_text": q_scrub_text,
         # --- past the driver's 50-entry cap: rows-only entries plus ONE
         # long-driver-green oracle (events_grouping_sets, value-green in
@@ -2977,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": q_events_grouping_sets,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
+        "events_window": q_events_window,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
@@ -3047,4 +3113,5 @@ def oracle_sql() -> dict[str, str]:
         "toxicity_score": _sql_toxicity_score(),
         "contamination_flags": _sql_contamination(),
         "url_risk": _sql_url_risk(),
+        "substring_spans": _sql_substring_spans(),
     }

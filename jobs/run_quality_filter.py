@@ -30,6 +30,7 @@ def apply_pre_passes(
     boilerplate_min_df: int | None = None,
     exact_dedup: bool = False,
     minhash_jaccard: float | None = None,
+    cut_dup_spans: int | None = None,
 ):
     """The optional dedup pre-passes, CC-pipeline order: URL-level dedup,
     then corpus boilerplate-line removal, then text-level dedup (exact,
@@ -94,6 +95,21 @@ def apply_pre_passes(
             pages.join(cleaned, "url", "left")
             .withColumn("text", F.coalesce("_debo", "text"))
             .drop("_debo")
+        )
+    if cut_dup_spans is not None:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.dedup import drop_url_dups
+        from harvesttext_spark.operators.substring_dedup import cut_duplicate_spans
+
+        # span census groups windows by url — input must be url-unique
+        # (same precondition and guard as the boilerplate stage)
+        if not url_dedup and boilerplate_min_df is None:
+            pages = _stage(drop_url_dups(pages, canonicalize=False))
+        pages = _stage(
+            cut_duplicate_spans(pages, k=cut_dup_spans, text_col="text", id_col="url")
+            .drop("text")
+            .withColumnRenamed("text_dedup", "text")
         )
     if exact_dedup or minhash_jaccard is not None:
         from pyspark.sql import functions as F
@@ -348,6 +364,15 @@ def main(argv=None) -> None:
         help="pre-pass: keep one page per identical text (min-url survivor)",
     )
     p.add_argument(
+        "--cut-dup-spans",
+        type=int,
+        default=None,
+        metavar="K",
+        help="pre-pass: exact-substring dedup — remove duplicated runs of "
+        ">= K tokens from all but their first occurrence (Lee et al. 2022; "
+        "the paper uses K=50); runs after boilerplate, before text dedup",
+    )
+    p.add_argument(
         "--minhash-dedup",
         type=float,
         default=None,
@@ -517,6 +542,7 @@ def main(argv=None) -> None:
         boilerplate_min_df=args.drop_boilerplate,
         exact_dedup=args.exact_dedup,
         minhash_jaccard=args.minhash_dedup,
+        cut_dup_spans=args.cut_dup_spans,
     )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume

@@ -624,3 +624,37 @@ def test_lsh_topk_blas_matches_hof(spark):
     assert a == b and len(a) > 0
     none = lsh_topk_blas(emb, queries.limit(0), dim=64, k=3)
     assert none.count() == 0
+
+
+def test_exact_substring_dedup(spark):
+    """Lee-et-al-style exact-substring dedup: duplicated >=k-token runs
+    cut from all but the corpus-first occurrence; overlapping windows
+    merge into one span; in-doc self-repeats cut; untouched docs pass
+    through byte-identical."""
+    from harvesttext_spark.operators.substring_dedup import (
+        cut_duplicate_spans,
+        duplicate_window_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h unique tail one"),
+        (2, "prefix two a b c d e f g h suffix two"),
+        (3, "x1 x2 x3 a b c d e f g h i9 j9"),
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8 tail"),
+        (5, "nothing  shared   here with odd   spacing at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in duplicate_window_spans(df, k=8).collect()
+    }
+    assert spans == {(2, 2, 10), (3, 3, 11), (4, 8, 16)}
+    out = {r["doc_id"]: r["text_dedup"] for r in cut_duplicate_spans(df, k=8).collect()}
+    assert out[1] == "a b c d e f g h unique tail one"   # first occurrence intact
+    assert out[2] == "prefix two suffix two"
+    assert out[3] == "x1 x2 x3 i9 j9"
+    assert out[4] == "r1 r2 r3 r4 r5 r6 r7 r8 tail"      # self-repeat cut
+    # untouched docs byte-identical (odd whitespace preserved)
+    assert out[5] == "nothing  shared   here with odd   spacing at all"
+    assert out[6] is None

@@ -21,7 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # has more oracles than that; never park a never-driver-checked oracle here)
 # the events relational family rotates here as new pipeline oracles claim
 # prefix slots — every member is value-green in r01-r04 driver files
-PAST_CAP_ALLOWED = {"events_grouping_sets", "events_rollup", "events_asof"}
+PAST_CAP_ALLOWED = {"events_grouping_sets", "events_rollup", "events_asof", "events_window"}
 
 
 def test_every_oracle_inside_driver_cap():

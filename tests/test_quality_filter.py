@@ -682,3 +682,27 @@ def test_resume_applies_policy_stages(spark, tmp_path):
     reasons = {r["drop_reason"] for r in df.select("drop_reason").distinct().collect()}
     assert "lang_filtered" in reasons
     assert df.filter("keep AND lang_pred != 'zh'").count() == 0
+
+
+def test_cut_dup_spans_pre_pass(spark):
+    """--cut-dup-spans wiring: duplicated runs vanish from later pages,
+    first occurrence survives, null-text rows pass through."""
+    import datetime as dt
+
+    from jobs.run_quality_filter import apply_pre_passes
+
+    run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/1", ts, f"{run} original body here"),
+        ("https://a.example/2", ts, f"other intro {run} other outro"),
+        ("https://a.example/3", ts, None),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {
+        r["url"]: r["text"]
+        for r in apply_pre_passes(df, cut_dup_spans=8).collect()
+    }
+    assert got["https://a.example/1"] == f"{run} original body here"
+    assert got["https://a.example/2"] == "other intro other outro"
+    assert got["https://a.example/3"] is None
