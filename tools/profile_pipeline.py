@@ -84,9 +84,7 @@ def main(argv=None):
     prev.unpersist(); cur.unpersist()
 
     nn = cur2.filter(F.col("text").isNotNull())
-    nulls = nn.sparkSession.createDataFrame([], cur2.schema) if False else cur2.filter(
-        F.col("text").isNull()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nulls = cur2.filter(F.col("text").isNull()).persist(StorageLevel.MEMORY_AND_DISK)
     nulls.count()
 
     cur3 = timed(
