@@ -2338,8 +2338,11 @@ def q_substring_spans(spark, sf_dir):
     """Exact-substring dedup spans (Lee et al. 2022 recast): merged token
     spans covered by k-token windows whose exact content occurs earlier
     in the corpus (keep-first, global doc/pos order).  Window census =
-    one per-doc sliding window + a shuffle on the uniform md5 window
-    key; span merge is gaps-and-islands over the (tiny) duplicate set.
+    one zero-shuffle Arrow pass emitting a 3-channel polynomial rolling
+    hash per position (O(1)/position, no k-token materialization) + a
+    shuffle on the uniform hash triple; span merge is gaps-and-islands
+    over the (tiny) duplicate set.  The oracle reproduces every modular
+    fold bit-exactly in DuckDB BIGINT arithmetic.
     k=8 here so probes pin every mode (cross-doc, longer-run merge,
     in-doc self repeat, first-occurrence survival); the operator default
     is the paper's 50."""
@@ -2358,22 +2361,45 @@ def _sql_substring_spans() -> str:
         )
         for i, t in SUBSTR_PROBES
     )
+    from harvesttext_spark.operators.substring_dedup import (
+        SS_CHAR_BASE,
+        SS_MODS,
+        SS_WIN_BASE,
+    )
+
+    # Per-channel token hash (char fold) and window hash (token-hash
+    # fold) — the same modular arithmetic the Spark census vectorizes;
+    # list_reduce seeds with the first element, which equals the
+    # acc=0 fold since (0*B + x) % m == x for x < m.
+    tok_h = ", ".join(
+        f"""list_transform(toks, t -> list_reduce(
+                  list_transform(list_filter(regexp_split_to_array(t, ''), c -> c != ''),
+                                 c -> CAST(ascii(c) AS BIGINT)),
+                  (a, c) -> (a * {SS_CHAR_BASE} + c) % {m})) AS h{i + 1}"""
+        for i, m in enumerate(SS_MODS)
+    )
+    win_h = ", ".join(
+        f"list_reduce(h{i + 1}[i:i+7], (a, h) -> (a * {SS_WIN_BASE} + h) % {m}) AS k{i + 1}"
+        for i, m in enumerate(SS_MODS)
+    )
     return f"""
 WITH base AS (SELECT doc_id, text FROM documents UNION ALL
               SELECT * FROM (VALUES {probes}) v(doc_id, text)),
 tk AS (SELECT doc_id,
               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
        FROM base),
-iw AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+hs AS (SELECT doc_id, {tok_h}
        FROM tk WHERE len(toks) >= 8),
-wins AS (SELECT doc_id, i - 1 AS pos,
-                md5(array_to_string(toks[i:i+7], ' ')) AS wkey,
-                doc_id * 1000000 + (i - 1) AS ord
+iw AS (SELECT doc_id, h1, h2, h3, unnest(generate_series(1, len(h1) - 7)) AS i
+       FROM hs),
+wins AS (SELECT doc_id, i - 1 AS pos, {win_h}
          FROM iw),
-census AS (SELECT wkey, count(*) AS cnt, min(ord) AS first_ord
-           FROM wins GROUP BY wkey),
-dups AS (SELECT w.doc_id, w.pos FROM wins w JOIN census c USING (wkey)
-         WHERE c.cnt > 1 AND w.ord != c.first_ord),
+ranked AS (SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY k1, k2, k3
+                                     ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY k1, k2, k3) AS cnt
+           FROM wins),
+dups AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1),
 isl AS (SELECT doc_id, pos,
                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
                     OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8

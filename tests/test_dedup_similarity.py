@@ -626,6 +626,37 @@ def test_lsh_topk_blas_matches_hof(spark):
     assert none.count() == 0
 
 
+def test_rolling_hash_matches_fold():
+    """The vectorized prefix-hash window census must equal the sequential
+    fold acc=(acc*B + h) % m the DuckDB oracle runs — exact modular
+    identity, fuzzed over random token streams, window sizes, and all
+    three prime channels (pure numpy, no Spark)."""
+    import numpy as np
+
+    from harvesttext_spark.operators.substring_dedup import (
+        SS_MODS,
+        SS_WIN_BASE,
+        _token_hashes,
+        _window_hash_channel,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        k = int(rng.integers(1, 12))
+        toks = ["t%d" % x for x in rng.integers(0, 10, n)]
+        h = _token_hashes(toks, {})
+        for c, m in enumerate(SS_MODS):
+            got = list(_window_hash_channel(h[:, c], k, m))
+            exp = []
+            for p in range(max(0, n - k + 1)):
+                acc = 0
+                for i in range(p, p + k):
+                    acc = (acc * SS_WIN_BASE + int(h[i, c])) % m
+                exp.append(acc)
+            assert got == exp
+
+
 def test_exact_substring_dedup(spark):
     """Lee-et-al-style exact-substring dedup: duplicated >=k-token runs
     cut from all but the corpus-first occurrence; overlapping windows
