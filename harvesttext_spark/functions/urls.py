@@ -104,9 +104,13 @@ def url_risk_score(col: Column, keywords=URL_RISK_KEYWORDS) -> Column:
 
 
 def url_risk_score_sql(col_expr: str, keywords=URL_RISK_KEYWORDS) -> str:
-    """DuckDB mirror of url_risk_score (strpos == instr)."""
+    """DuckDB mirror of url_risk_score (strpos == instr).  Keywords are
+    arbitrary caller input — quotes are doubled so an apostrophe can't
+    break (or inject into) the generated SQL literal."""
     terms = " + ".join(
-        f"CASE WHEN strpos(lower({col_expr}), '{kw}') > 0 THEN 1 ELSE 0 END"
+        "CASE WHEN strpos(lower({}), '{}') > 0 THEN 1 ELSE 0 END".format(
+            col_expr, kw.replace("'", "''")
+        )
         for kw in keywords
     )
     return f"({terms})"

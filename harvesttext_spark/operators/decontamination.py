@@ -44,7 +44,14 @@ def contamination_flags(
     """(id, n_hits, contaminated) per document: n_hits = how many of the
     document's DISTINCT case-folded n-gram shingles appear anywhere in
     the benchmark set; contaminated = n_hits > 0.  NULL-text docs score
-    0 hits (nothing to leak)."""
+    0 hits (nothing to leak).
+
+    PRECONDITION: ``id_col`` must be unique.  This is an aggregate +
+    join-back on id, so duplicate ids would merge shingle hits across
+    copies and fan the inflated n_hits back onto every copy — the
+    duplicate-id-merging pitfall per-row scores avoid.  For inputs that
+    may carry duplicate ids use ``drop_contaminated`` (anti-join,
+    duplicate-safe, and what the job path calls)."""
     bs = _bench_shingles(bench, n, bench_text_col)
     ds = docs.select(
         F.col(id_col).alias("id"),

@@ -149,12 +149,15 @@ def brute_force_topk_blas(
     -> (query_id, vec_id, cos_sim, rank)."""
     import numpy as np
 
+    id_type = dict(vectors.dtypes).get(id_col, "bigint")
+    q_type = dict(queries.dtypes).get(query_id_col, "bigint")
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
-        empty = vectors.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        # mirror the real output schema (string ids etc.) so an empty
+        # query set doesn't flip dtypes and break downstream unions
+        return vectors.sparkSession.createDataFrame(
+            [], f"{query_id_col} {q_type}, {id_col} {id_type}, cos_sim double, rank int"
         )
-        return empty
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -185,8 +188,6 @@ def brute_force_topk_blas(
                 {query_id_col: out_q, id_col: out_id, "cos_sim": out_s}
             )
 
-    id_type = dict(vectors.dtypes).get(id_col, "bigint")
-    q_type = dict(queries.dtypes).get(query_id_col, "bigint")
     scored = vectors.select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cos_sim double"
     )
@@ -226,10 +227,14 @@ def lsh_topk_blas(
     planes = np.array(
         [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
     )  # (n_planes, dim)
+    id_type = dict(vectors.dtypes).get(id_col, "bigint")
+    q_type = dict(queries.dtypes).get(query_id_col, "bigint")
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
+        # mirror the real output schema (string ids etc.) so an empty
+        # query set doesn't flip dtypes and break downstream unions
         return vectors.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+            [], f"{query_id_col} {q_type}, {id_col} {id_type}, cos_sim double, rank int"
         )
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -279,8 +284,6 @@ def lsh_topk_blas(
                 {query_id_col: out_q, id_col: out_id, "cos_sim": out_s}
             )
 
-    id_type = dict(vectors.dtypes).get(id_col, "bigint")
-    q_type = dict(queries.dtypes).get(query_id_col, "bigint")
     scored = vectors.select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cos_sim double"
     )

@@ -85,12 +85,22 @@ def read_wet_strict(spark: SparkSession, path: str) -> DataFrame:
     equality on clean input is fuzz-pinned in tests.
 
     Malformed tails (truncated final record, missing Content-Length) are
-    dropped, not guessed at — strictness is the point."""
+    dropped, not guessed at — strictness is the point.
+
+    Gzip: real Common-Crawl shards are ``.warc.wet.gz`` (multi-member
+    gzip, one member per record).  ``binaryFile`` does NOT decompress
+    (unlike the ``text`` source's Hadoop codecs), so the carver gunzips
+    blobs that start with the gzip magic — Python's ``gzip.decompress``
+    consumes all concatenated members — before walking records;
+    without this, compressed input would silently yield zero rows."""
+    import gzip as _gzip
     import re as _re
 
     header_re = _re.compile(rb"^([A-Za-z0-9-]+):[ \t]*([^\r\n]*)\r?$")
 
     def carve(blob):
+        if blob.startswith(b"\x1f\x8b"):
+            blob = _gzip.decompress(blob)
         out = []
         pos = 0
         n = len(blob)

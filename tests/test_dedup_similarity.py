@@ -540,6 +540,18 @@ def test_brute_force_topk_blas_matches_hof(spark):
     none = brute_force_topk_blas(emb, queries.limit(0), k=3)
     assert none.count() == 0
     assert set(none.columns) == {"query_id", "vec_id", "cos_sim", "rank"}
+    # ... and with string ids the empty path mirrors the INPUT dtypes
+    # instead of hardcoding long — schema must not flip with |queries|
+    from harvesttext_spark.operators.similarity import lsh_topk_blas
+
+    s_emb = emb.withColumn("vec_id", F.concat(F.lit("v"), "vec_id"))
+    s_q = queries.withColumn("query_id", F.concat(F.lit("q"), "query_id"))
+    expect = dict(brute_force_topk_blas(s_emb, s_q, k=2).dtypes)
+    got = dict(brute_force_topk_blas(s_emb, s_q.limit(0), k=2).dtypes)
+    assert got == expect and got["query_id"] == "string" and got["vec_id"] == "string"
+    expect = dict(lsh_topk_blas(s_emb, s_q, dim=64, k=2).dtypes)
+    got = dict(lsh_topk_blas(s_emb, s_q.limit(0), dim=64, k=2).dtypes)
+    assert got == expect and got["vec_id"] == "string"
 
 
 def test_simhash32_shapes_value_identical(spark):

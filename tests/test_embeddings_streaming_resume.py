@@ -236,6 +236,43 @@ def test_wet_strict_parser_matches_linesep_on_clean_input(spark, tmp_path):
     assert a == b and len(a) == 25
 
 
+def test_wet_strict_parser_gunzips_compressed_segments(spark, tmp_path):
+    """Real Common-Crawl shards are .warc.wet.gz (multi-member gzip, one
+    member per record).  binaryFile does not decompress, so the strict
+    carver must gunzip itself — before round 6 compressed input yielded
+    ZERO rows silently.  Both single-member and per-record-member gzip
+    must match the uncompressed parse row-for-row; the lineSep reader
+    handles .gz transparently via Hadoop codecs and must agree too."""
+    import gzip
+
+    from harvesttext_spark.sources.wet import (
+        read_wet,
+        read_wet_strict,
+        synth_wet_file,
+    )
+
+    p = str(tmp_path / "plain.wet")
+    synth_wet_file(p, n=30, seed=5)
+    raw = open(p, "rb").read()
+
+    gz1 = str(tmp_path / "single.warc.wet.gz")
+    with open(gz1, "wb") as f:
+        f.write(gzip.compress(raw, mtime=0))
+    # per-record members, like real CC output: split at record starts
+    recs = [b"WARC/1.0\r\n" + chunk for chunk in raw.split(b"WARC/1.0\r\n") if chunk]
+    gz2 = str(tmp_path / "multi.warc.wet.gz")
+    with open(gz2, "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(r, mtime=0))
+
+    key = lambda r: (r["url"], str(r["warc_ts"]), r["text"])
+    base = sorted(map(key, read_wet_strict(spark, p).collect()))
+    assert len(base) == 30
+    assert sorted(map(key, read_wet_strict(spark, gz1).collect())) == base
+    assert sorted(map(key, read_wet_strict(spark, gz2).collect())) == base
+    assert sorted(map(key, read_wet(spark, gz1).collect())) == base
+
+
 def test_wet_strict_parser_survives_embedded_version_line(spark, tmp_path):
     """The adversarial case the lineSep scan documents as its limit: a
     body that EMBEDS the exact record-start bytes.  The strict parser
