@@ -61,6 +61,18 @@ def get_qh_typed_words(
 
 
 @functools.lru_cache(maxsize=1)
+def get_en_stopwords() -> set[str]:
+    """English stopwords — the engine analog of the reference's
+    ``get_nltk_en_stopwords`` (``/root/reference/harvesttext/
+    resources.py:47-56``), which downloads nltk's stopword corpus at
+    call time (network + nltk, both absent here).  Ships the same
+    public-domain 179-entry english list as a committed resource; same
+    shape (set of lowercase strings, contractions split nltk-style:
+    "don", "don't", "should've", ...) for the summary/keyword paths."""
+    return set(_load("en_stopwords.json"))
+
+
+@functools.lru_cache(maxsize=1)
 def get_english_senti_lexicon() -> dict[str, list[str]]:
     """Hu & Liu English opinion lexicon {'pos': [...], 'neg': [...]}."""
     return _load("LH_senti_lexicon.json")

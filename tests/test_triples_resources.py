@@ -87,6 +87,18 @@ def test_full_resource_lexicons_reference_golden():
     adj = get_pinyin_adjlist()
     assert "zhui" in adj["zui"]
 
+    # engine analog of get_nltk_en_stopwords (reference resources.py:47-56):
+    # same shape (set of lowercase strings, nltk-style split contractions),
+    # canonical 179-entry english list, committed — no download at call time
+    from harvesttext_spark.functions.resources import get_en_stopwords
+
+    en = get_en_stopwords()
+    assert isinstance(en, set) and len(en) == 179
+    assert {"the", "and", "don't", "should've", "won", "ourselves", "y"} <= en
+    assert all(w == w.lower() for w in en)
+    # usable where the reference README uses the nltk set: keyword filtering
+    assert "machine" not in en and "learning" not in en
+
 
 def test_default_sent_dict_uses_full_qh_lexicon(spark):
     """build_sent_dict with no seeds must use the FULL 清华 lexicon
