@@ -2272,20 +2272,78 @@ def _sql_pii_scrub() -> str:
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbors (rows-only: the seeded KMeans||
-    quantizer is not SQL-expressible; recall + determinism are pytest-
-    gated).  Assignment is one broadcast-centroid pass; the probe join
+    """IVF approximate nearest neighbors — FULL VALUE ORACLE (round 6):
+    the assign/probe/score machinery runs against the deterministic
+    md5-derived centroid fixture, whose components embed in the oracle
+    SQL as literals (the ann_lsh plane-constant precedent), so nearest-
+    centroid assignment, n_probe centroid selection, candidate scoring,
+    and the final top-k window are all value-checked.  The TRAINED
+    quantizer (seeded KMeans||) stays pytest-gated for recall/
+    determinism — training is the one step SQL can't express.
+    Assignment is one broadcast-centroid Arrow pass; the probe join
     shuffles on the bounded centroid_id key."""
-    from harvesttext_spark.operators.similarity import ivf_topk
+    from harvesttext_spark.operators.similarity import fixture_centroids, ivf_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    cent = fixture_centroids(spark, dim=64, n_centroids=8)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, centroids=cent)
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
+
+
+def _sql_ann_ivf(dim: int = 64, n_centroids: int = 8, n_probe: int = 3, k: int = 5) -> str:
+    """DuckDB mirror of q_ann_ivf_topk over the SAME centroid fixture:
+    assignment = rank-1 cosine per vector (first-max tie-break == numpy
+    argmax via cid ASC), probe = top-n_probe centroids per query, score =
+    cosine over the probed inverted lists, round(4) absorbing the
+    numpy-float64 vs DuckDB fold ulp drift (embedding_topk precedent)."""
+    from harvesttext_spark.operators.similarity import _hyperplane
+
+    cent_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(x) for x in _hyperplane(dim, 9000 + j))
+        )
+        for j in range(n_centroids)
+    )
+    cos = (
+        "list_dot_product({v}, {c})"
+        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c})))"
+    )
+    return f"""
+WITH cent(cid, c) AS (VALUES {cent_rows}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {cos.format(v="e.embedding", c="c.c")} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+qprobe AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos.format(v="q.qvec", c="c.c")} DESC,
+                                       c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(v="a.embedding", c="p.qvec")} AS cos_sim
+  FROM asg a JOIN qprobe p USING (cid)),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cos_sim, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_image_stats(spark, sf_dir):
@@ -3014,7 +3072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "quality_signals": q_quality_signals,
-        "fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signature": q_minhash_signature,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3061,10 +3118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_risk": q_url_risk,
         "substring_spans": q_substring_spans,
         "scrub_text": q_scrub_text,
-        # --- past the driver's 50-entry cap: rows-only entries plus ONE
-        # long-driver-green oracle (events_grouping_sets, value-green in
-        # r02-r04 driver files; still value-checked locally every wrap by
-        # tools/check_contract.py) displaced by the round-5 toxicity oracle ---
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # --- past the driver's 50-entry cap: rows-only entries plus the
+        # long-driver-green oracles the newer pipeline oracles displaced
+        # (events relational family, r01-r04 driver files; fingerprint,
+        # r01-r05 driver files — displaced by the round-6 ann_ivf_topk
+        # promotion; all still value-checked locally every wrap by
+        # tools/check_contract.py) ---
+        "fingerprint": q_fingerprint,
         "events_grouping_sets": q_events_grouping_sets,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
@@ -3074,7 +3135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_entities": q_ner_entities,
         "entity_linking_fuzzy": q_entity_linking_fuzzy,
         "textrank_keywords": q_textrank_keywords,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
         "texttile_paragraphs": q_texttile_paragraphs,
@@ -3108,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_edges": SQL_COOCCUR_EDGES,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

@@ -20,8 +20,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # committed CORRECTNESS_r{N}.json files (the cap holds 50 and the contract
 # has more oracles than that; never park a never-driver-checked oracle here)
 # the events relational family rotates here as new pipeline oracles claim
-# prefix slots — every member is value-green in r01-r04 driver files
-PAST_CAP_ALLOWED = {"events_grouping_sets", "events_rollup", "events_asof", "events_window"}
+# prefix slots — every member is value-green in r01-r04 driver files;
+# fingerprint (frozen since r01, value-green in r01-r05 driver files)
+# rotated out in round 6 when ann_ivf_topk was promoted to a value oracle
+PAST_CAP_ALLOWED = {
+    "events_grouping_sets",
+    "events_rollup",
+    "events_asof",
+    "events_window",
+    "fingerprint",
+}
 
 
 def test_every_oracle_inside_driver_cap():
