@@ -149,10 +149,16 @@ def quality_filter_full(
     * ppl over text_clean, self-trained on the kept-candidate corpus; docs
       with ppl above `ppl_threshold` (or above the 99th percentile when
       None) get drop_reason 'high_ppl' unless already dropped.
-      At 100 TB pass an EXPLICIT ppl_threshold (e.g. from the previous
-      run's domain_metrics_full): the None default computes an
-      approxQuantile mid-pipeline — a driver action that forces one
+      At 100 TB pass an EXPLICIT ppl_threshold: the None default computes
+      an approxQuantile mid-pipeline — a driver action that forces one
       extra full pass over the joined frame before the job's real sink.
+      The job path's scheduled-run default is
+      ``--ppl-threshold-from-snapshot PREV_OUTPUT`` (each full run
+      records its ppl p99 in run_stats.json via one column-pruned scan
+      of the output it just wrote); with a non-None threshold this
+      function adds ZERO driver jobs beyond the inherent LM-training
+      collects (pinned by
+      test_quality_filter_full_explicit_threshold_is_lazy).
     * when a trained langid model is provided, lang_pred comes from it
       (margin column included); else the marker heuristic stands.
     * repetition_rules=True adds the Gopher repetition drops over

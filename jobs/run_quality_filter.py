@@ -471,6 +471,17 @@ def main(argv=None) -> None:
         "computes the 99th percentile mid-pipeline (one extra full scan)",
     )
     p.add_argument(
+        "--ppl-threshold-from-snapshot",
+        default=None,
+        metavar="DIR",
+        help="with --with-lm: read the high_ppl cutoff from a previous "
+        "run's DIR/run_stats.json (its recorded ppl p99) — the scale-safe "
+        "scheduled-run default: no mid-pipeline quantile pass; each full "
+        "run records its own p99 (one column-pruned scan of the already-"
+        "written output) for the next run. Mutually exclusive with an "
+        "explicit --ppl-threshold",
+    )
+    p.add_argument(
         "--expire-snapshots",
         type=int,
         default=None,
@@ -583,18 +594,29 @@ def main(argv=None) -> None:
             quality_filter_full,
         )
 
+        ppl_threshold = args.ppl_threshold
         if args.with_lm:
-            if args.ppl_threshold is None:
+            if args.ppl_threshold_from_snapshot is not None:
+                if ppl_threshold is not None:
+                    raise SystemExit(
+                        "--ppl-threshold and --ppl-threshold-from-snapshot "
+                        "are mutually exclusive"
+                    )
+                stats_path = os.path.join(
+                    args.ppl_threshold_from_snapshot, "run_stats.json"
+                )
+                with open(stats_path) as f:
+                    ppl_threshold = float(json.load(f)["ppl_p99"])
+            if ppl_threshold is None:
                 print(
                     "note: no --ppl-threshold; computing the 99th percentile "
                     "mid-pipeline (one extra full scan — scheduled runs should "
-                    "pass an explicit value from the previous run's "
-                    "domain_metrics)",
+                    "pass --ppl-threshold-from-snapshot PREV_OUTPUT instead)",
                     file=sys.stderr,
                 )
             labeled = quality_filter_full(
                 pages,
-                ppl_threshold=args.ppl_threshold,
+                ppl_threshold=ppl_threshold,
                 repetition_rules=args.repetition_rules,
                 gopher_ngram_rules=args.gopher_full,
                 fast_path=args.fast_path,
@@ -608,6 +630,17 @@ def main(argv=None) -> None:
         # (avg ppl + coherence) alongside the keep/drop stats
         dm = domain_metrics_full(out) if args.with_lm else domain_metrics(out)
         dm.write.mode("overwrite").parquet(args.output + "/domain_metrics")
+        if args.with_lm:
+            # record this run's ppl p99 for the NEXT run's threshold
+            # (--ppl-threshold-from-snapshot): a column-pruned scan of the
+            # parquet just written, not a pipeline recompute
+            p99 = out.approxQuantile("ppl", [0.99], 0.01)
+            run_stats = {
+                "ppl_p99": p99[0] if p99 else None,
+                "ppl_threshold_applied": ppl_threshold,  # None = mid-pipeline quantile
+            }
+            with open(os.path.join(args.output, "run_stats.json"), "w") as f:
+                json.dump(run_stats, f)
         partition_lineage(out).write.mode("overwrite").parquet(args.output + "/lineage")
         # one groupBy pass replaces two full counts AND yields the
         # per-reason drop census (ops triage without re-reading the table)

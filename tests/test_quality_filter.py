@@ -706,3 +706,79 @@ def test_cut_dup_spans_pre_pass(spark):
     assert got["https://a.example/1"] == f"{run} original body here"
     assert got["https://a.example/2"] == "other intro other outro"
     assert got["https://a.example/3"] is None
+
+
+def test_quality_filter_full_explicit_threshold_is_lazy(spark):
+    """Plan construction always trains the LM (bounded count-table
+    collects — inherent), but an explicit ppl_threshold must add ZERO
+    jobs beyond that; the None path runs the mid-pipeline approxQuantile
+    on top (the full-scan action --ppl-threshold-from-snapshot avoids),
+    so it must cost strictly more driver jobs on the same input."""
+    from harvesttext_spark.pipeline import synthesize_pages
+    from harvesttext_spark.pipeline.quality_filter import quality_filter_full
+
+    pages = synthesize_pages(spark, n=60, seed=9)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("qff_lazy", "explicit threshold plan build")
+    quality_filter_full(pages, ppl_threshold=123.0)
+    lazy_jobs = tracker.getJobIdsForGroup("qff_lazy")
+    sc.setJobGroup("qff_eager", "None threshold plan build")
+    quality_filter_full(pages, ppl_threshold=None)
+    eager_jobs = tracker.getJobIdsForGroup("qff_eager")
+    sc.setJobGroup(None, None)
+
+    assert len(eager_jobs) > len(lazy_jobs), (
+        f"None-threshold path should pay extra quantile job(s): "
+        f"explicit={sorted(lazy_jobs)} none={sorted(eager_jobs)}"
+    )
+
+
+def test_job_ppl_threshold_from_snapshot(spark, tmp_path):
+    """Scheduled-run contract: a --with-lm run records its ppl p99 in
+    run_stats.json; the next run consumes it via
+    --ppl-threshold-from-snapshot (no mid-pipeline quantile — the
+    stderr note must be absent) and records the applied value."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from harvesttext_spark.pipeline import synthesize_pages
+
+    inp = str(tmp_path / "pages")
+    synthesize_pages(spark, n=150, seed=13).write.parquet(inp)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": os.getcwd()}
+
+    out1 = str(tmp_path / "day1")
+    p1 = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py",
+         "--input", inp, "--output", out1, "--with-lm"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    assert "no --ppl-threshold" in p1.stderr  # bootstrap run pays the pass
+    stats1 = json.load(open(out1 + "/run_stats.json"))
+    assert stats1["ppl_p99"] is not None and stats1["ppl_threshold_applied"] is None
+
+    out2 = str(tmp_path / "day2")
+    p2 = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py",
+         "--input", inp, "--output", out2, "--with-lm",
+         "--ppl-threshold-from-snapshot", out1],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "no --ppl-threshold" not in p2.stderr  # no quantile pass
+    stats2 = json.load(open(out2 + "/run_stats.json"))
+    assert stats2["ppl_threshold_applied"] == stats1["ppl_p99"]
+    # both flags at once must refuse
+    p3 = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py",
+         "--input", inp, "--output", str(tmp_path / "day3"), "--with-lm",
+         "--ppl-threshold", "50", "--ppl-threshold-from-snapshot", out1],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p3.returncode != 0
+    assert "mutually exclusive" in p3.stderr
