@@ -127,6 +127,7 @@ def minhash_signature_frame(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     k: int = 16,
+    shingle_sample_mod: int | None = None,
 ) -> DataFrame:
     """(id, sig array<bigint>) — the HOT-PATH signature shape: explode the
     shingles and compute the k mins as ORDINARY aggregate expressions.
@@ -143,18 +144,35 @@ def minhash_signature_frame(
 
     Docs whose text yields no shingles (NULL text) keep a row with NULL
     components (min over no non-null input), matching the lazy shape's
-    NULL signature for downstream band-explode purposes."""
+    NULL signature for downstream band-explode purposes.
+
+    ``shingle_sample_mod=p`` (opt-in, round 6) applies the standard
+    sketch-thinning rule: keep a shingle iff an INDEPENDENT md5 channel
+    (hex chars 17-24 — disjoint from the h1/h2 minhash channels, so no
+    hash-i=0 bias) is ≡ 0 mod p.  Sampling is content-deterministic, so
+    any two docs sample the SAME shingle subset and signature equality
+    still estimates Jaccard over the (1/p-thinned) shingle universe —
+    this CHANGES dedup semantics (short docs may thin to no shingles →
+    NULL signature; borderline pairs can flip), which is why it is a
+    parameter, never a default.  Measured at 1.2M pages in BENCH.md
+    (recall vs the exact signature per p, alongside the speedup).
+    ``None``/``1`` ⇒ bit-identical to the exact signature (pinned by
+    test_minhash_shingle_sampling)."""
     ex = (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s"),
         )
         .select("id", F.md5("s").alias("hx"))
-        .select(
-            "id",
-            _hex_to_long(F.substring("hx", 1, 8)).alias("h1"),
-            _hex_to_long(F.substring("hx", 9, 8)).alias("h2"),
+    )
+    if shingle_sample_mod is not None and shingle_sample_mod > 1:
+        ex = ex.filter(
+            _hex_to_long(F.substring("hx", 17, 8)) % shingle_sample_mod == 0
         )
+    ex = ex.select(
+        "id",
+        _hex_to_long(F.substring("hx", 1, 8)).alias("h1"),
+        _hex_to_long(F.substring("hx", 9, 8)).alias("h2"),
     )
     aggs = [
         F.min((F.col("h1") + i * F.col("h2")) % M32).alias(f"_m{i}")
@@ -186,6 +204,7 @@ def minhash_dup_pairs(
     bands: int = 4,
     min_jaccard: float = 0.5,
     eager_cleanup: bool = False,
+    shingle_sample_mod: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with signature-estimated Jaccard:
     (id_a, id_b, est_jaccard), id_a < id_b.
@@ -195,6 +214,9 @@ def minhash_dup_pairs(
     ``eager_cleanup=True`` checkpoints the result and unpersists the
     signature cache before returning — for long-lived sessions calling
     this repeatedly (see inline note).
+    ``shingle_sample_mod=p`` opts into 1/p shingle thinning before the
+    signature (see minhash_signature_frame — a SEMANTIC change, measured
+    in BENCH.md, never a default).
     """
     rows = num_hashes // bands
     # explode + codegen min-aggs (minhash_signature_frame — 14x the HOF
@@ -202,7 +224,9 @@ def minhash_dup_pairs(
     # explode AND two probe joins; without it the whole chain re-executes
     # per branch (measured 3-4x slower).  At 100TB this is a checkpointed
     # signature table on storage, not a cache.
-    sig = minhash_signature_frame(docs, text_col, id_col, shingle_n, num_hashes)
+    sig = minhash_signature_frame(
+        docs, text_col, id_col, shingle_n, num_hashes, shingle_sample_mod
+    )
     # bounded cache by DEFAULT (round 3): at most ONE cached signature
     # table per session, keyed by plan (see session.plan_keyed_persist) —
     # zero extra materialization cost vs eager_cleanup's ~4s checkpoint.

@@ -31,6 +31,7 @@ def apply_pre_passes(
     exact_dedup: bool = False,
     minhash_jaccard: float | None = None,
     cut_dup_spans: int | None = None,
+    minhash_sample_mod: int | None = None,
 ):
     """The optional dedup pre-passes, CC-pipeline order: URL-level dedup,
     then corpus boilerplate-line removal, then text-level dedup (exact,
@@ -132,7 +133,8 @@ def apply_pre_passes(
             nn = _stage(drop_exact_dups(nn, text_col="text", id_col="url"))
         if minhash_jaccard is not None:
             pairs = minhash_dup_pairs(
-                nn, text_col="text", id_col="url", min_jaccard=minhash_jaccard
+                nn, text_col="text", id_col="url", min_jaccard=minhash_jaccard,
+                shingle_sample_mod=minhash_sample_mod,
             )
             nn = drop_near_dups(nn, pairs, id_col="url")
         # materialize the union through the stage protocol, then release
@@ -381,6 +383,17 @@ def main(argv=None) -> None:
         "Jaccard threshold (e.g. 0.8); min-url survivor per cluster",
     )
     p.add_argument(
+        "--minhash-sample-mod",
+        type=int,
+        default=None,
+        metavar="P",
+        help="with --minhash-dedup: opt-in 1/P shingle sampling before the "
+        "signature (sketch thinning on an independent md5 channel). This "
+        "CHANGES dedup semantics — borderline pairs can flip and short "
+        "docs may thin to no shingles; see BENCH.md for measured recall "
+        "vs the exact signature per P",
+    )
+    p.add_argument(
         "--gopher-full",
         action="store_true",
         help="with --with-lm: add the remaining Gopher table-A1 repetition "
@@ -554,6 +567,7 @@ def main(argv=None) -> None:
         exact_dedup=args.exact_dedup,
         minhash_jaccard=args.minhash_dedup,
         cut_dup_spans=args.cut_dup_spans,
+        minhash_sample_mod=args.minhash_sample_mod,
     )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume

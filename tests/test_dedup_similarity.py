@@ -638,6 +638,53 @@ def test_lsh_topk_blas_matches_hof(spark):
     assert none.count() == 0
 
 
+def test_minhash_shingle_sampling(spark):
+    """Opt-in sketch thinning: sampling OFF (None or 1) must be
+    bit-identical to the exact signature; sampling ON thins the shingle
+    stream deterministically (content-keyed — the same shingle samples
+    identically everywhere) and still finds heavily-duplicated pairs."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.dedup import (
+        minhash_dup_pairs,
+        minhash_signature_frame,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {r["id"]: r["sig"] for r in minhash_signature_frame(docs).collect()}
+    off_none = {
+        r["id"]: r["sig"]
+        for r in minhash_signature_frame(docs, shingle_sample_mod=None).collect()
+    }
+    off_one = {
+        r["id"]: r["sig"]
+        for r in minhash_signature_frame(docs, shingle_sample_mod=1).collect()
+    }
+    assert exact == off_none == off_one
+
+    sampled = {
+        r["id"]: r["sig"]
+        for r in minhash_signature_frame(docs, shingle_sample_mod=2).collect()
+    }
+    assert sampled != exact  # thinning really changes the sketch
+    # exact duplicates still pair under sampling (same text -> same
+    # sampled shingle set -> identical signature)
+    dup = docs.limit(6).unionByName(
+        docs.limit(6).withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(
+            dup, min_jaccard=0.9, shingle_sample_mod=2
+        ).collect()
+    }
+    base = {r["doc_id"] for r in docs.limit(6).filter("text IS NOT NULL").collect()}
+    for d in base:
+        assert (d, d + 1000000) in pairs, d
+
+
 def test_rolling_hash_matches_fold():
     """The vectorized prefix-hash window census must equal the sequential
     fold acc=(acc*B + h) % m the DuckDB oracle runs — exact modular
