@@ -165,3 +165,26 @@ def seg_documents(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", " + extra
     return df.mapInPandas(run, schema=schema)
+
+
+def zh_cut_join_udf(cutter: str = "auto"):
+    """Arrow pandas UDF: text -> its dict-DAG segmentation joined by
+    single spaces (NULL -> NULL).  The composition shim for the
+    whitespace-token policy stages (toxicity density, benchmark
+    decontamination): zh text carries no spaces, so those stages see one
+    giant token and silently score 0 — segmenting first makes zh policy
+    filtering actually fire (job flag --zh-policy-seg).  Latin tokens
+    pass through the cutter unchanged, so mixed-script text keeps its
+    existing token semantics.  The cutter lexicon is built once per
+    Python worker (lru_cache), not broadcast."""
+    from pyspark.sql import functions as F
+
+    # no type hints: module-level future-annotations stringify them and
+    # pyspark's hint inference then rejects the signature
+    @F.pandas_udf("string")
+    def _seg(s):
+        return s.map(
+            lambda t: " ".join(base_cut(t, cutter)), na_action="ignore"
+        )
+
+    return _seg

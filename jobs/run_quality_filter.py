@@ -182,6 +182,24 @@ def build_policy_fn(args, parser=None):
     any Spark work and reprocessed tail buckets see identical inputs."""
     err = (parser.error if parser else None) or (lambda m: (_ for _ in ()).throw(SystemExit(m)))
     stages = []
+    zh_seg = getattr(args, "zh_policy_seg", False)
+    if zh_seg and not (args.decontaminate or args.max_toxicity is not None):
+        err("--zh-policy-seg requires --decontaminate and/or --max-toxicity")
+    tox_col = dec_col = "text_clean"
+    if zh_seg:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.functions.tokenize import zh_cut_join_udf
+
+        # segment ONCE into a scratch column both token-matching stages
+        # share; dropped after the last stage so the output schema is
+        # unchanged.  Per-row Arrow map -> bucket-idempotent under resume.
+        stages.append(
+            lambda df: df.withColumn(
+                "_policy_seg", zh_cut_join_udf()(F.col("text_clean"))
+            )
+        )
+        tox_col = dec_col = "_policy_seg"
     if args.keep_langs:
         langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
         stages.append(lambda df: apply_lang_whitelist(df, langs))
@@ -194,15 +212,28 @@ def build_policy_fn(args, parser=None):
     if args.decontaminate:
         with open(args.decontaminate) as fh:
             bench_texts = [ln.strip() for ln in fh if ln.strip()]
+        if zh_seg:
+            # the benchmark side must tokenize IDENTICALLY to the corpus
+            # side, so segment it with the same cutter (driver side — the
+            # benchmark file is a bounded local input)
+            from harvesttext_spark.functions.tokenize import base_cut
+
+            bench_texts = [" ".join(base_cut(t)) for t in bench_texts]
         stages.append(
-            lambda df: apply_decontamination(df, bench_texts, n=args.decontaminate_ngram)
+            lambda df: apply_decontamination(
+                df, bench_texts, n=args.decontaminate_ngram, text_col=dec_col
+            )
         )
     if args.max_toxicity is not None:
         if not args.toxicity_lexicon:
             err("--max-toxicity requires --toxicity-lexicon FILE")
         with open(args.toxicity_lexicon) as fh:
             terms = [ln.strip() for ln in fh if ln.strip()]
-        stages.append(lambda df: apply_toxicity_filter(df, terms, args.max_toxicity))
+        stages.append(
+            lambda df: apply_toxicity_filter(
+                df, terms, args.max_toxicity, text_col=tox_col
+            )
+        )
     if args.pii_scrub:
         from pyspark.sql import functions as F
 
@@ -230,6 +261,9 @@ def build_policy_fn(args, parser=None):
             .drop("text_clean")
             .withColumnRenamed("text_scrubbed", "text_clean")
         )
+
+    if zh_seg:
+        stages.append(lambda df: df.drop("_policy_seg"))
 
     def policy_fn(labeled):
         for st in stages:
@@ -381,6 +415,16 @@ def main(argv=None) -> None:
         metavar="JACCARD",
         help="pre-pass: MinHash-LSH near-dup removal at this estimated-"
         "Jaccard threshold (e.g. 0.8); min-url survivor per cluster",
+    )
+    p.add_argument(
+        "--zh-policy-seg",
+        action="store_true",
+        help="segment text with the dict-DAG zh cutter before the "
+        "token-matching policy stages (--max-toxicity, --decontaminate) "
+        "so zh policy filtering fires on unsegmented text; the benchmark "
+        "file is segmented with the same cutter. Toxicity lexicon terms "
+        "and benchmark n-grams match at TOKEN level: zh terms must be "
+        "words the cutter emits (multi-word phrases stay unmatched)",
     )
     p.add_argument(
         "--minhash-sample-mod",

@@ -782,3 +782,70 @@ def test_job_ppl_threshold_from_snapshot(spark, tmp_path):
     )
     assert p3.returncode != 0
     assert "mutually exclusive" in p3.stderr
+
+
+def test_zh_policy_seg_makes_zh_stages_fire(spark, tmp_path):
+    """--zh-policy-seg (round 6): toxicity density and benchmark
+    decontamination are whitespace-token stages, so unsegmented zh text
+    is ONE giant token and both silently score 0.  With the flag, the
+    dict-DAG cutter segments text (and the benchmark file) first: the
+    same fixture must flip from untouched to dropped, and the scratch
+    column must not leak into the output schema."""
+    import datetime as dt
+    from types import SimpleNamespace
+
+    from jobs.run_quality_filter import build_policy_fn
+
+    def mk_args(**kw):
+        base = dict(
+            keep_langs=None, max_url_risk=None, url_risk_keywords=None,
+            decontaminate=None, decontaminate_ngram=13,
+            max_toxicity=None, toxicity_lexicon=None,
+            pii_scrub=False, scrub_words=None, zh_policy_seg=False,
+        )
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    lex = tmp_path / "tox_zh.txt"
+    lex.write_text("暴力\n")
+    bench = tmp_path / "bench_zh.txt"
+    bench.write_text("世界杯决赛在今晚举行\n")
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://zh.example/tox", ts, "这个游戏充满暴力内容", True, None),
+        ("https://zh.example/leak", ts, "据报道世界杯决赛在今晚举行谢谢", True, None),
+        ("https://zh.example/ok", ts, "城市交通拥堵问题需要长期规划", True, None),
+    ]
+    labeled = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text_clean string, keep boolean, drop_reason string"
+    )
+
+    # whitespace path: zh text is one token -> nothing fires
+    plain = build_policy_fn(
+        mk_args(max_toxicity=0.0, toxicity_lexicon=str(lex),
+                decontaminate=str(bench), decontaminate_ngram=2)
+    )(labeled)
+    assert {r["drop_reason"] for r in plain.collect()} == {None}
+    assert plain.filter("toxicity > 0").count() == 0
+
+    # composed path: segmentation first -> both stages fire
+    seg = build_policy_fn(
+        mk_args(max_toxicity=0.0, toxicity_lexicon=str(lex),
+                decontaminate=str(bench), decontaminate_ngram=2,
+                zh_policy_seg=True)
+    )(labeled)
+    got = {r["url"]: r["drop_reason"] for r in seg.collect()}
+    assert got["https://zh.example/leak"] == "contaminated"
+    assert got["https://zh.example/tox"] == "toxicity"
+    assert got["https://zh.example/ok"] is None
+    assert "_policy_seg" not in seg.columns
+    # density computed over SEGMENTED tokens (暴力 is 1 of 5)
+    tox = {r["url"]: r["toxicity"] for r in seg.collect()}
+    assert abs(tox["https://zh.example/tox"] - 0.2) < 1e-9
+
+    # flag without either token stage must refuse
+    import pytest
+
+    with pytest.raises(SystemExit):
+        build_policy_fn(mk_args(zh_policy_seg=True))
