@@ -2392,6 +2392,67 @@ SUBSTR_PROBES = [
 ]
 
 
+PARA_PROBES = [
+    (3600001, "alpha one\nshared paragraph here\ntail a"),       # first occurrence
+    (3600002, "beta intro\nshared paragraph here\nbeta tail"),   # later: cut
+    (3600003, "SHARED PARAGRAPH HERE  \nonly unique stuff"),     # case/trim-normalized dup
+    (3600004, "untouched doc\n\nwith empty line"),               # byte-identical, empty line kept
+    (3600005, "shared paragraph here"),                          # all paragraphs removed -> ''
+    (3600006, None),
+]
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level keep-first paragraph dedup (CCNet rule): every
+    occurrence of a duplicated lower(trim)-normalized paragraph except
+    the globally first (id, pos) is removed; untouched docs pass through
+    byte-identical, all-removed docs become '', NULL stays NULL.  One
+    explode + census groupBy on the md5 paragraph key + reassembly over
+    ONLY the affected docs (semi-join on the dup-id set)."""
+    from harvesttext_spark.operators.dedup import drop_duplicate_paragraphs
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, PARA_PROBES, col="text")
+    )
+    return drop_duplicate_paragraphs(base).select("doc_id", "text_dedup")
+
+
+def _sql_paragraph_dedup() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in PARA_PROBES
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents UNION ALL
+              SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+tk AS (SELECT doc_id, string_split(text, chr(10)) AS parr FROM base
+       WHERE text IS NOT NULL),
+iw AS (SELECT doc_id, parr, unnest(generate_series(1, len(parr))) AS i FROM tk),
+paras AS (SELECT doc_id, i - 1 AS pos, parr[i] AS para FROM iw),
+ranked AS (SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY lower(trim(para))
+                                     ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY lower(trim(para))) AS cnt
+           FROM paras WHERE trim(para) != ''),
+dups AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1),
+affected AS (SELECT DISTINCT doc_id FROM dups),
+kept AS (SELECT p.doc_id, p.pos, p.para
+         FROM paras p JOIN affected a USING (doc_id)
+         LEFT JOIN dups d ON p.doc_id = d.doc_id AND p.pos = d.pos
+         WHERE d.doc_id IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS txt
+            FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       CASE WHEN a.doc_id IS NULL THEN b.text
+            ELSE coalesce(rb.txt, '') END AS text_dedup
+FROM base b
+LEFT JOIN affected a USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
+"""
+
+
 def q_substring_spans(spark, sf_dir):
     """Exact-substring dedup spans (Lee et al. 2022 recast): merged token
     spans covered by k-token windows whose exact content occurs earlier
@@ -3076,7 +3137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
-        "token_freq": q_token_freq,
         "token_docfreq": q_token_docfreq,
         "bigram_stats": q_bigram_stats,
         "tfidf_topk": q_tfidf_topk,
@@ -3119,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "scrub_text": q_scrub_text,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- past the driver's 50-entry cap: rows-only entries plus the
         # long-driver-green oracles the newer pipeline oracles displaced
         # (events relational family, r01-r04 driver files; fingerprint,
@@ -3126,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promotion; all still value-checked locally every wrap by
         # tools/check_contract.py) ---
         "fingerprint": q_fingerprint,
+        "token_freq": q_token_freq,
         "events_grouping_sets": q_events_grouping_sets,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
@@ -3169,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
+        "paragraph_dedup": _sql_paragraph_dedup(),
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

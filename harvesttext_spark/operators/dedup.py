@@ -786,6 +786,79 @@ def drop_boilerplate_lines(
     )
 
 
+def drop_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Corpus-level keep-FIRST paragraph dedup (the CCNet/RefinedWeb rule
+    at paragraph granularity — in WET text a paragraph is a line): every
+    occurrence of a duplicated normalized paragraph EXCEPT the globally
+    first (lexicographic (id, pos) struct-min, so string url ids work)
+    is removed.  Complements ``drop_boilerplate_lines``: that one drops
+    lines by document-frequency threshold everywhere; this one keeps one
+    canonical copy of each repeated paragraph regardless of df.
+
+    Normalization for the key: lower(trim(para)); paragraphs that
+    normalize to '' are structural whitespace, never deduped.  Docs that
+    lose nothing pass through BYTE-IDENTICAL (no reassembly); NULL text
+    stays NULL; a doc whose every paragraph loses becomes ''.
+
+    Scale shape: one explode; census = groupBy on the bounded md5 key
+    (map-side partial agg absorbs hot boilerplate paragraphs); the
+    dup-occurrence join shuffles on that same key (AQE skew-join); the
+    reassembly groupBy touches ONLY affected docs (semi-join on the
+    small dup-id set), never the whole corpus."""
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    cand = paras.filter(F.trim(F.col("para")) != "").select(
+        "id",
+        "pos",
+        "para",
+        F.md5(F.lower(F.trim(F.col("para")))).alias("pkey"),
+        F.struct(F.col("id").alias("i"), F.col("pos").alias("p")).alias("ord"),
+    )
+    census = cand.groupBy("pkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("ord").alias("first_ord")
+    )
+    dups = (
+        cand.join(census.filter(F.col("cnt") > 1), "pkey")
+        .filter(F.col("ord") != F.col("first_ord"))
+        .select("id", "pos")
+    )
+    affected = dups.select("id").distinct()
+    kept = paras.join(affected, "id", "left_semi").join(
+        dups, ["id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    return (
+        docs.join(
+            affected.withColumn("_hit", F.lit(True)).withColumnRenamed("id", id_col),
+            id_col,
+            "left",
+        )
+        .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_hit").isNull(), F.col(text_col)).otherwise(
+                F.coalesce("_rebuilt", F.lit(""))
+            ),
+        )
+        .drop("_hit", "_rebuilt")
+    )
+
+
 def drop_url_dups(
     pages: DataFrame,
     url_col: str = "url",

@@ -32,6 +32,7 @@ def apply_pre_passes(
     minhash_jaccard: float | None = None,
     cut_dup_spans: int | None = None,
     minhash_sample_mod: int | None = None,
+    dedup_paragraphs: bool = False,
 ):
     """The optional dedup pre-passes, CC-pipeline order: URL-level dedup,
     then corpus boilerplate-line removal, then text-level dedup (exact,
@@ -97,6 +98,21 @@ def apply_pre_passes(
             .withColumn("text", F.coalesce("_debo", "text"))
             .drop("_debo")
         )
+    if dedup_paragraphs:
+        from harvesttext_spark.operators.dedup import (
+            drop_duplicate_paragraphs,
+            drop_url_dups,
+        )
+
+        # paragraph census keys (url, pos) — input must be url-unique
+        # (same precondition and guard as the boilerplate stage)
+        if not url_dedup and boilerplate_min_df is None:
+            pages = _stage(drop_url_dups(pages, canonicalize=False))
+        pages = _stage(
+            drop_duplicate_paragraphs(pages, text_col="text", id_col="url")
+            .drop("text")
+            .withColumnRenamed("text_dedup", "text")
+        )
     if cut_dup_spans is not None:
         from pyspark.sql import functions as F
 
@@ -105,7 +121,7 @@ def apply_pre_passes(
 
         # span census groups windows by url — input must be url-unique
         # (same precondition and guard as the boilerplate stage)
-        if not url_dedup and boilerplate_min_df is None:
+        if not url_dedup and boilerplate_min_df is None and not dedup_paragraphs:
             pages = _stage(drop_url_dups(pages, canonicalize=False))
         pages = _stage(
             cut_duplicate_spans(pages, k=cut_dup_spans, text_col="text", id_col="url")
@@ -409,6 +425,14 @@ def main(argv=None) -> None:
         "the paper uses K=50); runs after boilerplate, before text dedup",
     )
     p.add_argument(
+        "--dedup-paragraphs",
+        action="store_true",
+        help="pre-pass: corpus-level keep-first paragraph dedup (CCNet "
+        "rule) — every occurrence of a duplicated normalized paragraph "
+        "except the globally first is removed; runs after boilerplate, "
+        "before exact-substring/text dedup",
+    )
+    p.add_argument(
         "--minhash-dedup",
         type=float,
         default=None,
@@ -612,6 +636,7 @@ def main(argv=None) -> None:
         minhash_jaccard=args.minhash_dedup,
         cut_dup_spans=args.cut_dup_spans,
         minhash_sample_mod=args.minhash_sample_mod,
+        dedup_paragraphs=args.dedup_paragraphs,
     )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume

@@ -638,6 +638,42 @@ def test_lsh_topk_blas_matches_hof(spark):
     assert none.count() == 0
 
 
+def test_paragraph_dedup_keep_first(spark):
+    """CCNet-style corpus paragraph dedup: later occurrences of a
+    duplicated (lower/trim-normalized) paragraph are removed, the global
+    first survives, untouched docs are byte-identical (empty lines
+    preserved), an all-duplicate doc becomes '', NULL stays NULL, and
+    string ids order lexicographically."""
+    from harvesttext_spark.operators.dedup import drop_duplicate_paragraphs
+
+    rows = [
+        (1, "alpha one\nshared paragraph here\ntail a"),
+        (2, "beta intro\nshared paragraph here\nbeta tail"),
+        (3, "SHARED PARAGRAPH HERE  \nonly unique stuff"),
+        (4, "untouched doc\n\nwith empty line"),
+        (5, "shared paragraph here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_dedup"] for r in drop_duplicate_paragraphs(df).collect()}
+    assert out[1] == "alpha one\nshared paragraph here\ntail a"
+    assert out[2] == "beta intro\nbeta tail"
+    assert out[3] == "only unique stuff"
+    assert out[4] == "untouched doc\n\nwith empty line"
+    assert out[5] == ""
+    assert out[6] is None
+
+    # string url ids: struct-min keep-first still well-defined
+    srows = [("https://a.example/1", "dup para\nx"), ("https://b.example/2", "dup para\ny")]
+    sdf = spark.createDataFrame(srows, "url string, text string")
+    got = {
+        r["url"]: r["text_dedup"]
+        for r in drop_duplicate_paragraphs(sdf, id_col="url").collect()
+    }
+    assert got["https://a.example/1"] == "dup para\nx"
+    assert got["https://b.example/2"] == "y"
+
+
 def test_minhash_shingle_sampling(spark):
     """Opt-in sketch thinning: sampling OFF (None or 1) must be
     bit-identical to the exact signature; sampling ON thins the shingle

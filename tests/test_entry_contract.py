@@ -29,6 +29,7 @@ PAST_CAP_ALLOWED = {
     "events_asof",
     "events_window",
     "fingerprint",
+    "token_freq",  # rotated round 6 for paragraph_dedup (green r01-r05)
 }
 
 
