@@ -2392,6 +2392,57 @@ SUBSTR_PROBES = [
 ]
 
 
+MOJI_PROBES = [
+    (3700001, "CafÃ© au lait â€” itâ€™s good"),
+    (3700002, "clean text stays byte-identical"),
+    (3700003, "quotes: â€œhiâ€\x9d and â€¦ and â‚¬99"),   # sloppy 0x9D + 3-byte family
+    (3700004, "double-encoded: ÃƒÂ© lands on e-acute"),
+    (3700005, "espaÃ±ol maÃ±ana Â¿quÃ©? Â¡sÃ­!"),
+    (3700006, None),
+]
+
+
+def q_mojibake_fix(spark, sf_dir):
+    """UTF-8-as-cp1252 mojibake repair (ftfy-class, the C4/CCNet crawl
+    pre-fix): a fixed deterministic chain of literal replaces — pure
+    whole-stage-codegen string work riding the scan (no UDF, no
+    shuffle) — plus the chars-removed metric.  The oracle runs the
+    IDENTICAL chain as nested DuckDB replace() calls, so repaired bytes
+    and metric are value-checked exactly."""
+    from harvesttext_spark.functions.mojibake import (
+        fix_mojibake,
+        mojibake_chars_fixed,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, MOJI_PROBES, col="text")
+    )
+    return base.select(
+        "doc_id",
+        fix_mojibake(F.col("text")).alias("text_fixed"),
+        mojibake_chars_fixed(F.col("text")).alias("chars_fixed"),
+    )
+
+
+def _sql_mojibake_fix() -> str:
+    from harvesttext_spark.functions.mojibake import fix_mojibake_sql
+
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in MOJI_PROBES
+    )
+    fixed = fix_mojibake_sql("text")
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents UNION ALL
+              SELECT * FROM (VALUES {probes}) v(doc_id, text))
+SELECT doc_id, {fixed} AS text_fixed,
+       CAST(length(text) - length({fixed}) AS INT) AS chars_fixed
+FROM base
+"""
+
+
 PARA_PROBES = [
     (3600001, "alpha one\nshared paragraph here\ntail a"),       # first occurrence
     (3600002, "beta intro\nshared paragraph here\nbeta tail"),   # later: cut
@@ -3137,7 +3188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
-        "token_docfreq": q_token_docfreq,
         "bigram_stats": q_bigram_stats,
         "tfidf_topk": q_tfidf_topk,
         "so_pmi": q_so_pmi,
@@ -3180,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         "ann_ivf_topk": q_ann_ivf_topk,
         "paragraph_dedup": q_paragraph_dedup,
+        "mojibake_fix": q_mojibake_fix,
         # --- past the driver's 50-entry cap: rows-only entries plus the
         # long-driver-green oracles the newer pipeline oracles displaced
         # (events relational family, r01-r04 driver files; fingerprint,
@@ -3188,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_contract.py) ---
         "fingerprint": q_fingerprint,
         "token_freq": q_token_freq,
+        "token_docfreq": q_token_docfreq,
         "events_grouping_sets": q_events_grouping_sets,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
@@ -3232,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "paragraph_dedup": _sql_paragraph_dedup(),
+        "mojibake_fix": _sql_mojibake_fix(),
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,

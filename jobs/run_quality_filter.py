@@ -33,6 +33,7 @@ def apply_pre_passes(
     cut_dup_spans: int | None = None,
     minhash_sample_mod: int | None = None,
     dedup_paragraphs: bool = False,
+    fix_mojibake: bool = False,
 ):
     """The optional dedup pre-passes, CC-pipeline order: URL-level dedup,
     then corpus boilerplate-line removal, then text-level dedup (exact,
@@ -76,6 +77,15 @@ def apply_pre_passes(
         _prev[0] = df
         return df
 
+    if fix_mojibake:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.functions import mojibake
+
+        # FIRST: every downstream stage (dedup keys, battery, policy)
+        # should see repaired text.  Narrow per-row map — rides the scan,
+        # no persist needed, no uniqueness precondition.
+        pages = pages.withColumn("text", mojibake.fix_mojibake(F.col("text")))
     if url_dedup:
         from harvesttext_spark.operators.dedup import drop_url_dups
 
@@ -425,6 +435,15 @@ def main(argv=None) -> None:
         "the paper uses K=50); runs after boilerplate, before text dedup",
     )
     p.add_argument(
+        "--fix-mojibake",
+        action="store_true",
+        help="pre-pass (runs first): repair UTF-8-as-cp1252 mojibake "
+        "('Ã©' -> e-acute, 'â€™' -> right quote; the ftfy-class fix) via a "
+        "deterministic literal-replace chain — pure codegen string work "
+        "on the scan. Opt-in: text legitimately containing the mojibake "
+        "byte sequences would be altered",
+    )
+    p.add_argument(
         "--dedup-paragraphs",
         action="store_true",
         help="pre-pass: corpus-level keep-first paragraph dedup (CCNet "
@@ -637,6 +656,7 @@ def main(argv=None) -> None:
         cut_dup_spans=args.cut_dup_spans,
         minhash_sample_mod=args.minhash_sample_mod,
         dedup_paragraphs=args.dedup_paragraphs,
+        fix_mojibake=args.fix_mojibake,
     )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume

@@ -30,6 +30,7 @@ PAST_CAP_ALLOWED = {
     "events_window",
     "fingerprint",
     "token_freq",  # rotated round 6 for paragraph_dedup (green r01-r05)
+    "token_docfreq",  # rotated round 6 for mojibake_fix (green r01-r05)
 }
 
 

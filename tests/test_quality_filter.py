@@ -849,3 +849,35 @@ def test_zh_policy_seg_makes_zh_stages_fire(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         build_policy_fn(mk_args(zh_policy_seg=True))
+
+
+def test_fix_mojibake_stage(spark):
+    """--fix-mojibake pre-pass: UTF-8-as-cp1252 damage repairs (incl.
+    the sloppy 0x9D case and one level of double-encoding via chain
+    composition), clean text passes byte-identical, NULL stays NULL,
+    and every generated pair round-trips (pattern == sloppy-cp1252 view
+    of the target's UTF-8 bytes, so the chain inverts the real-world
+    corruption exactly)."""
+    import datetime as dt
+
+    from jobs.run_quality_filter import apply_pre_passes
+    from harvesttext_spark.functions.mojibake import MOJIBAKE_PAIRS, _sloppy_cp1252
+
+    for moji, fixed in MOJIBAKE_PAIRS:
+        assert moji == _sloppy_cp1252(fixed.encode("utf-8"))
+        assert len(moji) > len(fixed)  # metric counts chars removed
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://m.example/1", ts, "CafÃ© â€” itâ€™s â€œfineâ€\x9d"),
+        ("https://m.example/2", ts, "already clean — café “fine”"),
+        ("https://m.example/3", ts, None),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {
+        r["url"]: r["text"]
+        for r in apply_pre_passes(df, fix_mojibake=True).collect()
+    }
+    assert got["https://m.example/1"] == "Café — it’s “fine”"
+    assert got["https://m.example/2"] == "already clean — café “fine”"
+    assert got["https://m.example/3"] is None
