@@ -156,3 +156,29 @@ def test_plan_keyed_persist_semantics(spark):
     assert n_persisted() <= base + 1  # old occupant evicted
     p3.unpersist()
     _persist_slots.pop("_test_slot", None)
+
+
+def test_window_census_zero_shuffle(spark):
+    """The round-6 substring-dedup census is ONE Arrow pass over the scan
+    — no Exchange, no Window/Sort, no collect_list materialization may
+    reappear in its physical plan."""
+    from harvesttext_spark.operators.substring_dedup import window_census
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "text")
+    plan = plan_of(window_census(docs, k=8))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_paragraph_dedup_census_partial_agg(spark):
+    """Paragraph-dedup census must keep map-side partial aggregation (the
+    hot-boilerplate-key safety) — two HashAggregate passes around its
+    exchange, and no cartesian product anywhere in the full plan."""
+    from harvesttext_spark.operators.dedup import drop_duplicate_paragraphs
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "text")
+    plan = plan_of(drop_duplicate_paragraphs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
