@@ -31,6 +31,10 @@ SECTIONS = {
     "contamination_flags — broadcast benchmark shingles, one count shuffle": "contamination_flags",
     "url_risk — pure codegen keyword battery on the scan": "url_risk",
     "scrub_text — broadcast AC automaton, single mapInPandas pass": "scrub_text",
+    "substring_spans — zero-shuffle rolling-hash census, keep-first join": "substring_spans",
+    "paragraph_dedup — md5-key census (partial agg), affected-docs-only rebuild": "paragraph_dedup",
+    "mojibake_fix — 113-replace codegen chain riding the scan, zero shuffle": "mojibake_fix",
+    "ann_ivf_topk — broadcast centroid fixture, map-side assign, probe join": "ann_ivf_topk",
 }
 
 
