@@ -721,6 +721,36 @@ def test_minhash_shingle_sampling(spark):
         assert (d, d + 1000000) in pairs, d
 
 
+def test_substring_census_tokenizer_matches_java_ws(spark):
+    """The census's Python tokenizer must split on EXACTLY Java's default
+    \\s class ([ \\t\\n\\x0b\\f\\r]) — NOT Python re's Unicode \\s — so the
+    mapInPandas census, the cut stage's F.split, and the RE2 oracle all
+    agree.  NBSP (U+00A0) is the canonical divergence: it must NOT split,
+    so two docs differing only by NBSP-vs-space tokenization share no
+    8-token window here."""
+    from harvesttext_spark.operators.substring_dedup import (
+        cut_duplicate_spans,
+        window_census,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    nbsp_run = run.replace(" ", " ")  # ONE token under Java \s
+    rows = [
+        (1, f"{run} tail"),
+        (2, f"lead {run}"),            # real dup of doc 1's window
+        (3, f"lead {nbsp_run} x y z"), # NBSP glue: no 8-token window match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    census = window_census(df, k=8).collect()
+    assert {r["id"] for r in census} == {1, 2}  # doc 3 has only 5 tokens
+    out = {r["doc_id"]: r["text_dedup"] for r in cut_duplicate_spans(df, k=8).collect()}
+    assert out[2] == "lead"
+    assert out[3] == f"lead {nbsp_run} x y z"  # byte-identical, NBSP intact
+    # vertical tab/form feed DO split (they are in Java's \s)
+    vt = spark.createDataFrame([(9, run.replace(" ", "\x0b"))], "doc_id long, text string")
+    assert window_census(vt, k=8).count() == 1
+
+
 def test_rolling_hash_matches_fold():
     """The vectorized prefix-hash window census must equal the sequential
     fold acc=(acc*B + h) % m the DuckDB oracle runs — exact modular
