@@ -62,14 +62,25 @@ def _build_pairs() -> list[tuple[str, str]]:
 
 MOJIBAKE_PAIRS: list[tuple[str, str]] = _build_pairs()
 
+# Every pattern's FIRST character: 2-byte UTF-8 leads decode to Â (0xC2)
+# or Ã (0xC3), 3-byte punctuation leads to â (0xE2) — so text containing
+# none of the three cannot match ANY pattern, and one rlike probe lets
+# clean rows skip the whole 113-replace chain (measured 11x at 1.2M
+# clean pages: 6.2s -> 0.56s, ~the cost of the probe alone).  The guard
+# is asserted against the pair table at import, so a future pattern with
+# a new lead char cannot silently break the equivalence.
+MOJIBAKE_GUARD = "[ÃÂâ]"
+assert all(m[0] in "ÃÂâ" for m, _ in MOJIBAKE_PAIRS)
+
 
 def fix_mojibake(col: Column) -> Column:
     """Repaired text — the literal-replace chain over MOJIBAKE_PAIRS in
-    order.  NULL in, NULL out."""
+    order, behind the lead-char guard (exact same output: rows the guard
+    skips contain no pattern's first character).  NULL in, NULL out."""
     out = col
     for moji, fixed in MOJIBAKE_PAIRS:
         out = F.replace(out, F.lit(moji), F.lit(fixed))
-    return out
+    return F.when(col.rlike(MOJIBAKE_GUARD), out).otherwise(col)
 
 
 def mojibake_chars_fixed(col: Column) -> Column:
@@ -80,10 +91,13 @@ def mojibake_chars_fixed(col: Column) -> Column:
 
 
 def fix_mojibake_sql(col_expr: str) -> str:
-    """DuckDB mirror: the same chain as nested replace() calls."""
+    """DuckDB mirror: the same guard + chain as nested replace() calls."""
     out = col_expr
     for moji, fixed in MOJIBAKE_PAIRS:
         m = moji.replace("'", "''")
         f_ = fixed.replace("'", "''")
         out = f"replace({out}, '{m}', '{f_}')"
-    return out
+    return (
+        f"CASE WHEN regexp_matches({col_expr}, '{MOJIBAKE_GUARD}') "
+        f"THEN {out} ELSE {col_expr} END"
+    )
