@@ -829,34 +829,24 @@ def drop_duplicate_paragraphs(
         .filter(F.col("ord") != F.col("first_ord"))
         .select("id", "pos")
     )
-    affected = dups.select("id").distinct()
-    kept = paras.join(affected, "id", "left_semi").join(
-        dups, ["id", "pos"], "left_anti"
-    )
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
-                lambda s: s["para"],
-            ),
-            "\n",
-        ).alias("_rebuilt")
-    )
-    return (
-        docs.join(
-            affected.withColumn("_hit", F.lit(True)).withColumnRenamed("id", id_col),
-            id_col,
-            "left",
-        )
-        .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
-        .withColumn(
-            out_col,
-            F.when(F.col("_hit").isNull(), F.col(text_col)).otherwise(
-                F.coalesce("_rebuilt", F.lit(""))
-            ),
-        )
-        .drop("_hit", "_rebuilt")
-    )
+    # ONE aggregation turns the duplicate set into per-doc removal
+    # position lists (one row per affected doc), and the cut is a
+    # positional HOF filter over the doc's own split — the
+    # cut_duplicate_spans pattern.  No second explode, no anti-join, no
+    # reassembly groupBy, and dups has exactly ONE consumer so the
+    # explode+census chain runs once (the earlier anti-join shape
+    # re-ran it per consumer: measured +30s at 1.2M in the 8-stage
+    # chain, and its extra persist pressed the 8g heap).
+    per_doc = dups.groupBy("id").agg(F.collect_list("pos").alias("_rm"))
+    out = docs.join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+    paras_of = F.split(F.col(text_col), "\n")
+    kept = F.filter(paras_of, lambda p, i: ~F.array_contains(F.col("_rm"), i))
+    return out.withColumn(
+        out_col,
+        F.when(F.col("_rm").isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, "\n")
+        ),
+    ).drop("_rm")
 
 
 def drop_url_dups(
