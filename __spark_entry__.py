@@ -2458,8 +2458,8 @@ def q_paragraph_dedup(spark, sf_dir):
     occurrence of a duplicated lower(trim)-normalized paragraph except
     the globally first (id, pos) is removed; untouched docs pass through
     byte-identical, all-removed docs become '', NULL stays NULL.  One
-    explode + census groupBy on the md5 paragraph key + reassembly over
-    ONLY the affected docs (semi-join on the dup-id set)."""
+    explode + census groupBy on the md5 paragraph key + per-doc removal
+    position lists + positional HOF cut (no second explode)."""
     from harvesttext_spark.operators.dedup import drop_duplicate_paragraphs
 
     base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(

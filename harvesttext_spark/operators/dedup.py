@@ -807,9 +807,11 @@ def drop_duplicate_paragraphs(
 
     Scale shape: one explode; census = groupBy on the bounded md5 key
     (map-side partial agg absorbs hot boilerplate paragraphs); the
-    dup-occurrence join shuffles on that same key (AQE skew-join); the
-    reassembly groupBy touches ONLY affected docs (semi-join on the
-    small dup-id set), never the whole corpus."""
+    dup-occurrence join shuffles on that same key (AQE skew-join); one
+    aggregation turns the duplicate set into per-doc removal position
+    lists, and the cut is a positional HOF filter over each affected
+    doc's own split — no second explode, no reassembly groupBy, and the
+    explode+census chain has exactly one consumer."""
     paras = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
