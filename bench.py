@@ -35,6 +35,11 @@ HEADLINE = [
     "so_pmi",                 # broadcast seed joins
     "embedding_topk",         # vector math, broadcast cross join
     "events_sessionize",      # lag window + running sum
+    # round-6 additions (new names — earlier-round totals compare
+    # like-for-like on the frozen names above; see BENCH.md note)
+    "substring_spans",        # zero-shuffle rolling-hash census + keep-first
+    "paragraph_dedup",        # md5-key census + positional cut
+    "mojibake_fix",           # guarded 113-replace codegen chain
 ]
 
 REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))

@@ -607,10 +607,15 @@ def main(argv=None) -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # cluster runs size the driver via spark-submit; this only affects
-    # plain-python smoke runs, where the 1g default OOMs the LM stage
-    if os.environ.get("SPARK_DRIVER_MEM"):
-        builder = builder.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEM"])
+    # cluster runs size the driver via spark-submit (the JVM is already
+    # up there, so this config is a no-op); it only affects plain-python
+    # smoke runs, where the 1g default OOMs the LM stage — and, with 6+
+    # dedup pre-passes chained, even CacheManager's plan normalization
+    # (each _stage persist re-walks the full upstream analyzed tree).
+    # Default to the same 8g as harvesttext_spark.session.get_spark.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+    )
     spark = builder.getOrCreate()
 
     if args.synthesize:

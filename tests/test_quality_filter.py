@@ -633,13 +633,14 @@ def test_all_policy_stages_compose(spark, tmp_path):
     proc = subprocess.run(
         [sys.executable, "jobs/run_quality_filter.py",
          "--input", inp, "--output", out,
-         "--url-dedup", "--drop-boilerplate", "3", "--exact-dedup",
+         "--fix-mojibake", "--url-dedup", "--drop-boilerplate", "3",
+         "--dedup-paragraphs", "--cut-dup-spans", "8", "--exact-dedup",
          "--minhash-dedup", "0.8", "--fast-path",
          "--keep-langs", "zh,en,es,fr",
          "--max-url-risk", "0",
          "--decontaminate", str(bench), "--decontaminate-ngram", "2",
          "--max-toxicity", "0.5", "--toxicity-lexicon", str(lex),
-         "--pii-scrub"],
+         "--zh-policy-seg", "--pii-scrub"],
         capture_output=True, text=True, timeout=600,
         env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8",
              "PYTHONPATH": __import__("os").getcwd()},
