@@ -34,6 +34,7 @@ def apply_pre_passes(
     minhash_sample_mod: int | None = None,
     dedup_paragraphs: bool = False,
     fix_mojibake: bool = False,
+    stage_dir: str | None = None,
 ):
     """The optional dedup pre-passes, CC-pipeline order: URL-level dedup,
     then corpus boilerplate-line removal, then text-level dedup (exact,
@@ -64,12 +65,25 @@ def apply_pre_passes(
     counted, and the previous stage is released — memory stays bounded
     at ~one stage table (holding all four deserialized blew an 8g heap
     at 1.2M pages).  This is also how a real 100 TB pipeline runs: each
-    pre-pass output is a checkpointed table, not live lineage."""
+    pre-pass output is a checkpointed table, not live lineage — and
+    ``stage_dir`` (job flag ``--stage-dir``) makes that literal: each
+    stage writes parquet under it and is re-read, a TRUE lineage cut.
+    Unlike persist, the analyzed plan then stays O(1) per stage (each
+    persist-shape stage re-walks the full upstream tree — plan
+    normalization alone OOM'd a 1g driver at 6 chained stages), the
+    stage tables survive the session for debugging/lineage audits, and
+    memory holds zero cached stages."""
     from pyspark import StorageLevel
 
     _prev = [None]
+    _n = [0]
 
     def _stage(df):
+        if stage_dir is not None:
+            path = f"{stage_dir}/stage_{_n[0]:02d}"
+            _n[0] += 1
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)  # serialized
         df.count()  # materialize now so the previous stage can release
         if _prev[0] is not None:
@@ -435,6 +449,17 @@ def main(argv=None) -> None:
         "the paper uses K=50); runs after boilerplate, before text dedup",
     )
     p.add_argument(
+        "--stage-dir",
+        default=None,
+        metavar="DIR",
+        help="materialize every dedup pre-pass stage as parquet under DIR "
+        "and re-read it (true lineage cut) instead of caching in memory: "
+        "plans stay O(1) per stage, stage tables survive for lineage "
+        "audits, and zero stages are held in executor memory — the "
+        "100 TB-shape default; in-memory persist remains the small-run "
+        "default",
+    )
+    p.add_argument(
         "--fix-mojibake",
         action="store_true",
         help="pre-pass (runs first): repair UTF-8-as-cp1252 mojibake "
@@ -662,6 +687,7 @@ def main(argv=None) -> None:
         minhash_sample_mod=args.minhash_sample_mod,
         dedup_paragraphs=args.dedup_paragraphs,
         fix_mojibake=args.fix_mojibake,
+        stage_dir=args.stage_dir,
     )
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume

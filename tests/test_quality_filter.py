@@ -882,3 +882,34 @@ def test_fix_mojibake_stage(spark):
     assert got["https://m.example/1"] == "Café — it’s “fine”"
     assert got["https://m.example/2"] == "already clean — café “fine”"
     assert got["https://m.example/3"] is None
+
+
+def test_stage_dir_lineage_cut_matches_persist_path(spark, tmp_path):
+    """--stage-dir: every pre-pass stage materializes as parquet and is
+    re-read (true lineage cut — the 100 TB shape).  Output rows must be
+    IDENTICAL to the in-memory persist path, and the stage tables must
+    exist on disk for lineage audits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.pipeline import synthesize_pages
+    from jobs.run_quality_filter import apply_pre_passes
+
+    pages = synthesize_pages(spark, n=200, seed=17)
+    kw = dict(
+        fix_mojibake=True, url_dedup=True, boilerplate_min_df=3,
+        dedup_paragraphs=True, cut_dup_spans=8, exact_dedup=True,
+        minhash_jaccard=0.8,
+    )
+    key = lambda r: (r["url"], r["text"])
+    mem = sorted(map(key, apply_pre_passes(pages, **kw).select("url", "text").collect()))
+    sd = str(tmp_path / "stages")
+    disk = sorted(
+        map(key, apply_pre_passes(pages, stage_dir=sd, **kw).select("url", "text").collect())
+    )
+    assert mem == disk and len(mem) > 0
+    stages = sorted(d for d in os.listdir(sd) if d.startswith("stage_"))
+    assert len(stages) >= 5  # url, boiler, paragraph, cutspans, exact, minhash/union
+    # each stage is a complete readable parquet table
+    assert spark.read.parquet(sd + "/" + stages[0]).count() > 0
