@@ -78,3 +78,53 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_paragraph_dedup_hot_key(spark):
+    """The textbook paragraph-dedup skew: ONE boilerplate paragraph in
+    half the corpus.  The census groupBy's map-side partial aggregation
+    absorbs the hot key; the dup join is AQE-splittable.  Functional
+    check: all 5,000 later occurrences cut, first survives, uniques
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.dedup import drop_duplicate_paragraphs
+
+    hot = "subscribe to our newsletter today"
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit(f"{hot}\nunique line "), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("solo text "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    out = drop_duplicate_paragraphs(df)
+    with_hot = out.filter(F.col("text_dedup").contains(hot))
+    assert with_hot.count() == 1
+    assert with_hot.first()["doc_id"] == 0  # global (id, pos) first survives
+    assert out.filter(~F.col("text_dedup").contains(hot)).count() == 9_999
+
+
+def test_substring_dedup_hot_window(spark):
+    """Exact-substring dedup under window skew: the same 8-token run in
+    2,000 docs — one census key holding 2,000 occurrences.  Keep-first
+    must leave exactly one intact copy."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.substring_dedup import cut_duplicate_spans
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("p"), F.col("id").cast("string"), F.lit(f" {run} tail"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = cut_duplicate_spans(df, k=8)
+    intact = out.filter(F.col("text_dedup").contains(run))
+    assert intact.count() == 1 and intact.first()["doc_id"] == 0
+    cut = out.filter(F.col("doc_id") == 1).first()["text_dedup"]
+    assert cut == "p1 tail1"
