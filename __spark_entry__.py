@@ -2346,6 +2346,30 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (rows-only: the trained per-subspace
+    codebooks are not SQL-expressible — the same honest split as the
+    trained IVF path; a pure-numpy reference implementation is pinned
+    row-for-row in pytest, plus recall + determinism bounds).  Encoding
+    is one zero-shuffle Arrow pass; ADC scoring gathers n_sub lookup
+    table entries per code row with batch-local top-k."""
+    from harvesttext_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = train_pq_codebooks(emb, dim=64, n_sub=8, k_codes=16, sample=1000, seed=7)
+    out = pq_topk(pq_encode(emb, cb), queries, cb, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 4).alias("adc_dist"), "rank"
+    )
+
+
 def q_image_stats(spark, sf_dir):
     """REAL multimodal image stage (rows-only: BMP decoding is binary
     parsing, not SQL): deterministic synth BMP table -> decode ->
@@ -3249,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_entities": q_ner_entities,
         "entity_linking_fuzzy": q_entity_linking_fuzzy,
         "textrank_keywords": q_textrank_keywords,
+        "pq_topk": q_pq_topk,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
         "texttile_paragraphs": q_texttile_paragraphs,

@@ -814,3 +814,104 @@ def test_exact_substring_dedup(spark):
     # untouched docs byte-identical (odd whitespace preserved)
     assert out[5] == "nothing  shared   here with odd   spacing at all"
     assert out[6] is None
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    """The distributed PQ path (encode mapInPandas + ADC LUT scoring +
+    global top-k window) must reproduce a pure-numpy reference
+    implementation ROW-FOR-ROW given the same codebooks — encoding
+    argmins, LUT distances, and the (dist asc, id asc) tie-break all
+    pinned."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    cb = train_pq_codebooks(emb, dim=64, n_sub=8, k_codes=16, sample=500, seed=7)
+    n_sub, kc, dsub = cb.shape
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    # reference encode
+    ref_codes = np.empty((len(X), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+        ref_codes[:, s] = np.argmin(d, axis=1)
+    got_codes = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()
+    }
+    for i, v in enumerate(ids):
+        assert got_codes[v] == list(ref_codes[i]), v
+
+    # reference ADC top-k
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["adc_dist"], 9))
+        for r in pq_topk(pq_encode(emb, cb), queries, cb, k=7).collect()
+    ]
+    exp = []
+    for q in sorted(r["query_id"] for r in queries.collect()):
+        qv = X[list(ids).index(q)]
+        lut = np.empty((n_sub, kc))
+        for s in range(n_sub):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            lut[s] = ((qs[None, :] - cb[s]) ** 2).sum(-1)
+        d = lut[np.arange(n_sub)[None, :], ref_codes].sum(1)
+        order = np.lexsort((ids, d))[:7]
+        for rk, j in enumerate(order, 1):
+            exp.append((q, rk, ids[j], round(float(d[j]), 9)))
+    assert sorted(got) == sorted(exp)
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ quality floor on the (worst-case, structureless) synthetic
+    embeddings: recall@10 >= 0.4 at 8x64 codebooks and every query finds
+    ITSELF at rank 1; codebook training is double-run deterministic;
+    IVF-PQ (fused assign+encode, probe-list ADC) returns sane rows;
+    empty queries keep the contract schema."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from harvesttext_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = train_pq_codebooks(emb, dim=64, n_sub=8, k_codes=64, sample=500, seed=7)
+    assert np.array_equal(
+        cb, train_pq_codebooks(emb, dim=64, n_sub=8, k_codes=64, sample=500, seed=7)
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=10).collect()}
+    rows = pq_topk(pq_encode(emb, cb), queries, cb, k=10).collect()
+    pq = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(pq & exact) / len(exact) >= 0.4
+    assert sum(1 for r in rows if r["rank"] == 1 and r["vec_id"] == r["query_id"]) == 5
+
+    ivfpq = ivf_pq_topk(
+        emb, queries, dim=64, k=10, n_centroids=8, n_probe=4, n_sub=8,
+        k_codes=64, codebooks=cb,
+    ).collect()
+    assert {r["query_id"] for r in ivfpq} == {0, 1, 2, 3, 4}
+    # probing 4/8 lists can only shrink the candidate set vs full PQ
+    ivf_pairs = {(r["query_id"], r["vec_id"]) for r in ivfpq}
+    assert len(ivf_pairs & pq) >= len(pq) // 2
+
+    none = pq_topk(pq_encode(emb, cb), queries.limit(0), cb, k=3)
+    assert none.count() == 0
+    assert set(none.columns) == {"query_id", "vec_id", "adc_dist", "rank"}
