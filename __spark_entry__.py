@@ -2416,6 +2416,56 @@ SUBSTR_PROBES = [
 ]
 
 
+SPLIT_PROBES = [(9100001,), (9100001,), (9100002,), (None,)]  # dup id + NULL
+
+
+def q_curation_split(spark, sf_dir):
+    """Deterministic train/eval/holdout split (curation primitive): the
+    split is a pure function of (id, seed) — salted md5 ppm against
+    cumulative fraction boundaries, pure codegen on the scan, no rand()
+    and no shuffle, so membership survives any partitioning/resume and
+    duplicate ids can never straddle the eval boundary.  Probes pin the
+    dup-id and NULL modes."""
+    from harvesttext_spark.operators.curation import hash_split
+
+    base = _docs(spark, sf_dir).select("doc_id").unionByName(
+        spark.createDataFrame(SPLIT_PROBES, "doc_id bigint")
+    )
+    return hash_split(
+        base, {"train": 0.9, "eval": 0.08, "holdout": 0.02}, id_col="doc_id"
+    )
+
+
+def _sql_curation_split() -> str:
+    probes = ", ".join(
+        "({})".format("NULL::BIGINT" if i is None else f"{i}::BIGINT")
+        for (i,) in SPLIT_PROBES
+    )
+    # hex -> bigint via the strpos digit fold (the fingerprint/minhash
+    # oracle pattern; DuckDB has no conv()): 15 hex digits < 2^60
+    return f"""
+WITH base AS (SELECT doc_id FROM documents UNION ALL
+              SELECT * FROM (VALUES {probes}) v(doc_id)),
+h AS (SELECT doc_id,
+             CASE WHEN doc_id IS NULL THEN NULL ELSE
+               list_reduce(
+                 list_transform(
+                   list_filter(regexp_split_to_array(
+                     substring(md5('42:' || doc_id::VARCHAR), 1, 15), ''),
+                     c -> c != ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, c) -> a * 16 + c) % 1000000
+             END AS ppm
+      FROM base)
+SELECT doc_id,
+       CASE WHEN ppm IS NULL THEN NULL
+            WHEN ppm < 900000 THEN 'train'
+            WHEN ppm < 980000 THEN 'eval'
+            ELSE 'holdout' END AS split
+FROM h
+"""
+
+
 MOJI_PROBES = [
     (3700001, "CafÃ© au lait â€” itâ€™s good"),
     (3700002, "clean text stays byte-identical"),
@@ -3208,7 +3258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "quality_signals": q_quality_signals,
-        "exact_dup_groups": q_exact_dup_groups,
         "minhash_signature": q_minhash_signature,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
@@ -3255,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "paragraph_dedup": q_paragraph_dedup,
         "mojibake_fix": q_mojibake_fix,
+        "curation_split": q_curation_split,
         # --- past the driver's 50-entry cap: rows-only entries plus the
         # long-driver-green oracles the newer pipeline oracles displaced
         # (events relational family, r01-r04 driver files; fingerprint,
@@ -3264,7 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_freq": q_token_freq,
         "token_docfreq": q_token_docfreq,
-        "events_grouping_sets": q_events_grouping_sets,
+        "exact_dup_groups": q_exact_dup_groups,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
         "events_window": q_events_window,
@@ -3310,11 +3360,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf(),
         "paragraph_dedup": _sql_paragraph_dedup(),
         "mojibake_fix": _sql_mojibake_fix(),
+        "curation_split": _sql_curation_split(),
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
         "events_rollup": SQL_EVENTS_ROLLUP,
-        "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
+
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "region_revenue": SQL_REGION_REVENUE,

@@ -23,14 +23,17 @@ SF_DIR = "/root/testdata/sf0.001"
 # prefix slots — every member is value-green in r01-r04 driver files;
 # fingerprint (frozen since r01, value-green in r01-r05 driver files)
 # rotated out in round 6 when ann_ivf_topk was promoted to a value oracle
+# events_grouping_sets was RETIRED outright in round 6 (redundant with
+# events_rollup, per the round-5 verdict's suggestion) — its operator and
+# SQL mirror remain verified by test_retired_grouping_sets_oracle_parity
 PAST_CAP_ALLOWED = {
-    "events_grouping_sets",
     "events_rollup",
     "events_asof",
     "events_window",
     "fingerprint",
     "token_freq",  # rotated round 6 for paragraph_dedup (green r01-r05)
     "token_docfreq",  # rotated round 6 for mojibake_fix (green r01-r05)
+    "exact_dup_groups",  # rotated round 6 for curation_split (green r01-r05)
 }
 
 

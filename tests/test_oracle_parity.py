@@ -76,3 +76,19 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_retired_grouping_sets_oracle_parity(spark):
+    """events_grouping_sets was retired from the driver contract in
+    round 6 (redundant with events_rollup's slot; 4 rounds of committed
+    driver green history) — the OPERATOR and its SQL mirror stay fully
+    verified here with the same rows/columns/values compare the
+    contract used."""
+    sdf = entrymod.q_events_grouping_sets(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_EVENTS_GROUPING_SETS).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b

@@ -913,3 +913,54 @@ def test_stage_dir_lineage_cut_matches_persist_path(spark, tmp_path):
     assert len(stages) >= 5  # url, boiler, paragraph, cutspans, exact, minhash/union
     # each stage is a complete readable parquet table
     assert spark.read.parquet(sd + "/" + stages[0]).count() > 0
+
+
+def test_hash_split_deterministic_and_leakage_safe(spark):
+    """Curation split contract: membership is a pure function of (id,
+    seed) — identical across partitionings and runs; fractions land
+    within tolerance; duplicate ids share a split (no eval leakage);
+    NULL ids get NULL; sample_by_hash composes consistently (a kept id
+    stays kept at any higher rate)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.curation import hash_split, sample_by_hash
+
+    ids = [(f"https://d{i % 97}.example/p/{i}",) for i in range(5000)] + [(None,)]
+    df = spark.createDataFrame(ids, "url string")
+    fr = {"train": 0.9, "eval": 0.08, "holdout": 0.02}
+    a = {r["url"]: r["split"] for r in hash_split(df, fr).collect()}
+    b = {
+        r["url"]: r["split"]
+        for r in hash_split(df.repartition(17), fr).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert a[None] is None
+    counts = {}
+    for v in a.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert abs(counts["train"] / 5000 - 0.9) < 0.02
+    assert abs(counts["eval"] / 5000 - 0.08) < 0.02
+    assert counts.get(None, 0) == 1
+    # duplicate ids share a split
+    dup = df.unionByName(df.limit(100))
+    per_id = (
+        hash_split(dup, fr)
+        .filter("url IS NOT NULL")
+        .groupBy("url")
+        .agg(F.countDistinct("split").alias("n"))
+    )
+    assert per_id.filter("n > 1").count() == 0
+    # different seed reshuffles membership
+    c = {r["url"]: r["split"] for r in hash_split(df, fr, seed=7).collect()}
+    assert c != a
+    # sample_by_hash monotone: kept at 10% => kept at 30%
+    s10 = {r["url"] for r in sample_by_hash(df, 0.10).collect()}
+    s30 = {r["url"] for r in sample_by_hash(df, 0.30).collect()}
+    assert s10 <= s30
+    assert abs(len(s10) / 5000 - 0.10) < 0.02
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        sample_by_hash(df, 1.5)
