@@ -2413,6 +2413,11 @@ SUBSTR_PROBES = [
     (3500004, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8 selfrepeat"),
     (3500005, "short row"),
     (3500006, None),
+    # \x0b (vertical tab) separates tokens on the Spark/Java side; RE2's
+    # \s EXCLUDES it, so the oracle must use the explicit class
+    # '[ \t\n\v\f\r]+' — this probe duplicates 3500001's 8-token run with
+    # a \x0b separator and fails the hash match if the tokenizers diverge.
+    (3500007, "w1 w2\x0bw3 w4 w5\x0bw6 w7 w8 vertical tab dup of the run"),
 ]
 
 
@@ -2630,7 +2635,7 @@ def _sql_substring_spans() -> str:
 WITH base AS (SELECT doc_id, text FROM documents UNION ALL
               SELECT * FROM (VALUES {probes}) v(doc_id, text)),
 tk AS (SELECT doc_id,
-              list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+              list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), x -> x != '') AS toks
        FROM base),
 hs AS (SELECT doc_id, {tok_h}
        FROM tk WHERE len(toks) >= 8),

@@ -48,6 +48,11 @@ def hash_split(
     for name, frac in fractions.items():
         acc += round(frac * _M)
         bounds.append((name, acc))
+    # per-fraction round() can leave the final cumulative bound 1-2 ppm
+    # short of _M even when the fractions pass the sum check (e.g.
+    # {1/3, 1/3, 1/3} -> 999999): clamp the LAST bound to _M so every
+    # ppm value maps to a split — ids must never silently fall out.
+    bounds[-1] = (bounds[-1][0], _M)
     # build when-chain from the last bound down so earlier names win ties
     for name, hi in reversed(bounds):
         expr = F.when(ppm < hi, F.lit(name)).otherwise(expr)

@@ -222,10 +222,7 @@ def ivf_pq_topk(
     billion-vector index runs.  Assignment and encoding are each one
     zero-shuffle Arrow pass; the probe join shuffles on the bounded
     centroid_id key; ADC scores only probed candidates."""
-    from harvesttext_spark.operators.similarity import (
-        _assign_centroid,
-        train_ivf_centroids,
-    )
+    from harvesttext_spark.operators.similarity import train_ivf_centroids
 
     if centroids is None:
         centroids = train_ivf_centroids(vectors, n_centroids, vec_col, seed)
@@ -265,6 +262,14 @@ def ivf_pq_topk(
     )
     # ADC score the candidate (vector, query) pairs
     qrows = q.collect()
+    if not qrows:
+        # same typed-empty contract as pq_topk / the BLAS top-ks: schema
+        # (and id dtypes) must not flip with |queries|
+        id_type = dict(vectors.dtypes).get(id_col, "bigint")
+        q_type = dict(queries.dtypes).get(query_id_col, "bigint")
+        return vectors.sparkSession.createDataFrame(
+            [], f"{query_id_col} {q_type}, {id_col} {id_type}, adc_dist double, rank int"
+        )
     qmap_ids = np.array([r[0] for r in qrows])
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     lut = np.empty((len(Q), n_sub, k_codes), dtype=np.float64)

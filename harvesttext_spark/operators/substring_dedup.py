@@ -68,10 +68,12 @@ SS_MODS = (2147483629, 2147483587, 2147483563)
 SS_CHAR_BASE = 131  # same char-fold base as functions/textstats.doc_fingerprint
 SS_WIN_BASE = 1000003
 
-# Java's default (non-UNICODE_CHARACTER_CLASS) \s — also RE2's \s, which
-# the DuckDB oracle uses.  Python re's \s is Unicode-aware (NBSP etc.),
-# so the census tokenizer must spell the class out to agree byte-for-byte
-# with cut_duplicate_spans' F.split(text, "\\s+") and the oracle.
+# Java's default (non-UNICODE_CHARACTER_CLASS) \s = [ \t\n\x0b\f\r].
+# RE2's \s is NOT the same — it EXCLUDES \x0b (vertical tab) — so the
+# DuckDB oracle spells the class out explicitly ('[ \t\n\v\f\r]+') to
+# tokenize identically.  Python re's \s is Unicode-aware (NBSP etc.),
+# so the census tokenizer must spell the class out too, to agree
+# byte-for-byte with cut_duplicate_spans' F.split(text, "\\s+").
 _JAVA_WS = "[ \t\n\x0b\f\r]+"
 
 

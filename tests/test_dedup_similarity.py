@@ -915,3 +915,12 @@ def test_pq_recall_and_determinism(spark):
     none = pq_topk(pq_encode(emb, cb), queries.limit(0), cb, k=3)
     assert none.count() == 0
     assert set(none.columns) == {"query_id", "vec_id", "adc_dist", "rank"}
+    # ivf_pq_topk honors the same typed-empty contract (used to IndexError
+    # on Q[:, slice] with a 1-D empty array)
+    inone = ivf_pq_topk(
+        emb, queries.limit(0), dim=64, k=3, n_centroids=8, n_probe=4,
+        n_sub=8, k_codes=64, codebooks=cb,
+    )
+    assert inone.count() == 0
+    assert dict(inone.dtypes)["vec_id"] == dict(emb.dtypes)["vec_id"]
+    assert set(inone.columns) == {"query_id", "vec_id", "adc_dist", "rank"}

@@ -964,3 +964,19 @@ def test_hash_split_deterministic_and_leakage_safe(spark):
         hash_split(df, {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         sample_by_hash(df, 1.5)
+
+
+def test_hash_split_rounded_bounds_cover_full_ppm_range(spark):
+    """Per-fraction round() on {1/3, 1/3, 1/3} leaves the last cumulative
+    bound at 999999 unless clamped — an id hashing to ppm 999999 would
+    silently get NULL split and fall out of every split.  'gap1561274'
+    hashes to exactly ppm 999999 under seed 42 (found by search), so this
+    pins the clamp with a witness, not a probability."""
+    from harvesttext_spark.operators.curation import hash_split
+
+    thirds = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    df = spark.createDataFrame([("gap1561274",), ("x1",), (None,)], "url string")
+    out = {r["url"]: r["split"] for r in hash_split(df, thirds).collect()}
+    assert out["gap1561274"] == "c"  # the gap id lands in the LAST split
+    assert out["x1"] is not None
+    assert out[None] is None
