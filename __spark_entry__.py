@@ -1162,6 +1162,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 # arithmetic end to end (KM hash pairs -> 16-component signature -> md5 of
 # each 4-component band slice -> (band, key) self-join -> signature-equality
 # estimate), so DuckDB reproduces candidate PAIRS and estimates exactly.
+# The hot-band cap (left side = the DEFAULT_MAX_BAND_DF smallest ids per
+# bucket, dedup.py's 100TB guard) is mirrored via row_number so the oracle
+# stays exact even on fixtures with oversized buckets.
 SQL_MINHASH_LSH_PAIRS = """
 WITH sh AS (
   SELECT doc_id,
@@ -1196,10 +1199,15 @@ bands AS (
          md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
 ),
+ra AS (
+  SELECT doc_id, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band, key)
-  WHERE a.doc_id < b.doc_id
+  FROM ra a JOIN bands b USING (band, key)
+  WHERE a.doc_id < b.doc_id AND a.rk <= {MAX_BAND_DF}
 )
 SELECT c.id_a, c.id_b,
        round(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0, 6) AS est_jaccard
@@ -1208,6 +1216,15 @@ JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.4
 """
+
+
+def _interp_max_band_df(sql: str) -> str:
+    from harvesttext_spark.operators.dedup import DEFAULT_MAX_BAND_DF
+
+    return sql.replace("{MAX_BAND_DF}", str(DEFAULT_MAX_BAND_DF))
+
+
+SQL_MINHASH_LSH_PAIRS = _interp_max_band_df(SQL_MINHASH_LSH_PAIRS)
 
 
 def _t2s_probe_prefix() -> str:

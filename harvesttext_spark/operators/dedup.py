@@ -195,6 +195,11 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+DEFAULT_MAX_BAND_DF = 256
+"""Default hot-band cap for ``minhash_dup_pairs`` (interpolated into the
+DuckDB oracle too, so Spark and oracle stay pinned together)."""
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -205,6 +210,7 @@ def minhash_dup_pairs(
     min_jaccard: float = 0.5,
     eager_cleanup: bool = False,
     shingle_sample_mod: int | None = None,
+    max_band_df: int | None = DEFAULT_MAX_BAND_DF,
 ) -> DataFrame:
     """LSH candidate pairs with signature-estimated Jaccard:
     (id_a, id_b, est_jaccard), id_a < id_b.
@@ -217,6 +223,33 @@ def minhash_dup_pairs(
     ``shingle_sample_mod=p`` opts into 1/p shingle thinning before the
     signature (see minhash_signature_frame — a SEMANTIC change, measured
     in BENCH.md, never a default).
+
+    ``max_band_df`` is the HOT-BAND cap — the 100 TB guard the band
+    self-join was missing (the analog of ``jaccard_dup_pairs``'s
+    ``max_shingle_df``).  The raw ``a.join(b, [band, key])`` is quadratic
+    in bucket membership: exact dedup first is mandatory (a real 1.2M-page
+    crawl carried a 19,418-member exact-dup cluster = 1.19e9 intra-band
+    pairs), but NEAR-identical template families (boilerplate pages
+    differing by a date) survive exact dedup and can still produce
+    million-member buckets at crawl scale -> 10^12-pair joins.  The cap
+    ranks each (band, key) bucket's members by id (deterministic) and
+    keeps only the first ``max_band_df`` as LEFT-side representatives;
+    the right side stays full.  Per bucket of size n this emits
+    n*min(n, B) - ... pairs instead of n^2/2 — linear in n once n > B.
+
+    Semantics under the cap: for buckets <= B the output is BIT-IDENTICAL
+    to the uncapped join (every member has rank <= B, and the pair
+    (a, b) with a.id < b.id always has a on the representative side or is
+    emitted from the bucket where it does).  For oversized buckets every
+    member still pairs with ALL B smallest-id representatives, so the
+    bucket stays one connected candidate component and
+    ``drop_near_dups``'s connected-components consumption yields the same
+    survivor per template family; only rep-to-rep estimates are complete,
+    non-rep/non-rep pairs are delegated to their shared representatives
+    (equivalence-gated + planted-family survivor test in
+    tests/test_dedup_similarity.py; 1.2M-page planted-100k-family
+    measurement in BENCH.md).  ``None`` disables the cap (oracle parity
+    on pathological fixtures).
     """
     rows = num_hashes // bands
     # explode + codegen min-aggs (minhash_signature_frame — 14x the HOF
@@ -240,7 +273,25 @@ def minhash_dup_pairs(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
-    a = bands_df.alias("a")
+    if max_band_df is not None:
+        # hot-band cap: left side = the max_band_df smallest ids per
+        # (band, key).  Spark 4 plans this as WindowGroupLimit with a
+        # PARTIAL pass before the (band, key) exchange (pinned by
+        # tests/test_dedup_similarity.py): each map task pre-trims its
+        # slice of a hot bucket to the cap, so a million-member bucket
+        # ships at most cap rows per input partition on the left side,
+        # and the post-shuffle sort satisfies the merge-join ordering.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key").orderBy("id")
+        a = (
+            bands_df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_band_df)
+            .drop("_rk")
+            .alias("a")
+        )
+    else:
+        a = bands_df.alias("a")
     b = bands_df.alias("b")
     pairs = (
         a.join(b, ["band", "key"])

@@ -160,6 +160,72 @@ def test_jaccard_df_cap_bounds_and_exact_values(spark):
     assert uncapped.count() > len(got)
 
 
+def test_minhash_band_cap_equivalence_and_planted_family(spark):
+    """Hot-band cap (max_band_df) contract, mirroring the jaccard df-cap:
+
+    1. buckets <= cap  => pair set BIT-IDENTICAL to the uncapped join;
+    2. oversized bucket => pairs bounded (reps-only left side) but every
+       member still pairs with all cap smallest-id reps, so
+       drop_near_dups keeps the SAME survivor set as uncapped.
+    """
+    from harvesttext_spark.operators.dedup import drop_near_dups
+
+    template = (
+        "breaking local news update weather traffic sports schedule "
+        "community events calendar notice council meeting agenda published"
+    )
+    near_base = (
+        "product listing catalog page size color material shipping returns "
+        "warranty details customer reviews rating summary item"
+    )
+    rows = [(100 + i, template) for i in range(12)]  # identical family:
+    # identical signatures -> ONE bucket of 12 in every band (the planted
+    # hot bucket; exact-dedup-first would normally remove it, which is
+    # exactly why the near family below matters too)
+    rows += [(200 + i, f"{near_base} d{i}") for i in range(6)]  # near family
+    rows += [
+        (i, f"unique background document number {i} spark tokens {i * 7} {i * 13}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pair_set(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    uncapped_df = minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=None)
+    uncapped = pair_set(uncapped_df)
+    # cap far above every bucket: bit-identical to uncapped
+    assert pair_set(minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=256)) == uncapped
+
+    capped_df = minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=4)
+    capped = pair_set(capped_df)
+    # cap only ever REMOVES candidate pairs
+    assert capped <= uncapped
+    # identical family arithmetic: uncapped emits all C(12,2)=66 pairs;
+    # capped emits C(4,2) rep-rep + 8 non-reps x 4 reps = 38
+    fam_un = {(a, b) for a, b in uncapped if a >= 100 and b < 200}
+    fam_cap = {(a, b) for a, b in capped if a >= 100 and b < 200}
+    assert len(fam_un) == 66 and len(fam_cap) == 38
+    # every family member still pairs with ALL 4 smallest-id reps
+    for m in range(104, 112):
+        assert all((r, m) in fam_cap for r in (100, 101, 102, 103))
+    # survivor equality: connected-components consumption is cap-invariant
+    kept_un = sorted(r["doc_id"] for r in drop_near_dups(docs, uncapped_df).collect())
+    kept_cap = sorted(r["doc_id"] for r in drop_near_dups(docs, capped_df).collect())
+    assert kept_un == kept_cap
+    # the near family must actually exercise the path (it survives exact
+    # dedup, unlike the identical family) and collapse to its min id
+    assert 200 in kept_cap and all(i not in kept_cap for i in range(201, 206))
+    # plan shape: Spark must push the rank filter into a PARTIAL
+    # WindowGroupLimit BEFORE the (band,key) exchange — each map task
+    # pre-trims its slice of a hot bucket to the cap, so a million-member
+    # bucket never ships more than cap rows per input partition.  If this
+    # ever degrades to a full Window-after-shuffle, the 100TB guard is
+    # paying a full shuffle of the hot bucket and the test should scream.
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_simhash_block_buckets_bounded(docs):
     """Manku blocking: 4×16-bit blocks at max_hamming=3 — every block value
     is in [0, 2^16) so bucket keys have 65,536 distinct values per block
