@@ -176,6 +176,87 @@ FROM t
 """
 
 
+# probes: scripts the synthetic corpus lacks (cyrillic/arabic/fullwidth
+# punct), the explicit whitespace class incl. \x0b, and the empty-doc
+# 'none' branch — so the oracle exercises every class, not just the
+# corpus's latin/han diet
+SCRIPT_PROBES = [
+    (1000001, "Привет мир это тест кириллицы сегодня"),
+    (1000002, "مرحبا بالعالم هذا اختبار عربي"),
+    (1000003, "中文字符 mixed with Latin words 123 等等"),
+    (1000004, "！？（）、。「」【】：；"),
+    (1000005, "tab\tvtab\x0bnewline\nspaces   end"),
+    (1000006, "àéîõü Ωμέγα ελληνικά dashes…"),
+    (1000007, "12345 67890 !!! ??? ..."),
+    (1000008, ""),
+]
+
+
+def q_script_mix(spark, sf_dir):
+    """Charset-composition signal (CCNet/RefinedWeb-class): per-script
+    char fractions + dominant content script.  Pure codegen on the scan
+    (functions/textstats.py script_mix_signals); the oracle interpolates
+    the SAME class strings (all BMP ranges, so Java regex and RE2 agree
+    char for char)."""
+    from harvesttext_spark.functions.textstats import script_mix_signals
+
+    d = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, SCRIPT_PROBES, col="text")
+    )
+    sig = script_mix_signals(F.col("text"))
+    cols = [F.col("doc_id")]
+    for k, v in sig.items():
+        cols.append(v.alias(k) if k == "dominant_script" else F.round(v, 6).alias(k))
+    return d.select(*cols)
+
+
+def _sql_script_mix() -> str:
+    from harvesttext_spark.functions.textstats import (
+        SCRIPT_CLASSES,
+        SCRIPT_DOMINANCE_ORDER,
+    )
+
+    counts = ",\n         ".join(
+        "length(text) - length(regexp_replace(text, '"
+        + cls
+        + "', '', 'g')) AS c_" + name
+        for name, cls in SCRIPT_CLASSES.items()
+    )
+    all_sum = " + ".join("c_" + n for n in SCRIPT_CLASSES)
+    dom_max = "greatest(" + ", ".join("c_" + n for n in SCRIPT_DOMINANCE_ORDER) + ")"
+    dom_case = "\n            ".join(
+        f"WHEN c_{n} = g THEN '{n}'" for n in SCRIPT_DOMINANCE_ORDER
+    )
+    fracs = ",\n       ".join(
+        f"round(c_{n} * 1.0 / greatest(n, 1), 6) AS {n}_frac" for n in SCRIPT_CLASSES
+    )
+    probe_rows = ", ".join(
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''"))
+        for i, t in SCRIPT_PROBES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {probe_rows}) v(doc_id, text)
+),
+c AS (
+  SELECT doc_id, length(text) AS n,
+         {counts}
+  FROM base
+),
+g AS (SELECT *, {dom_max} AS g FROM c)
+SELECT doc_id,
+       {fracs},
+       round((n - ({all_sum})) * 1.0 / greatest(n, 1), 6) AS other_frac,
+       CASE WHEN g = 0 THEN 'none'
+            {dom_case}
+       END AS dominant_script,
+       round(g * 1.0 / greatest(n, 1), 6) AS dominant_frac
+FROM g
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fp")
@@ -3280,7 +3361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "quality_signals": q_quality_signals,
-        "minhash_signature": q_minhash_signature,
+        # minhash_signature RETIRED round 7 (its sh->hp->sig chain is
+        # recomputed end-to-end inside the minhash_lsh_pairs oracle;
+        # test_retired_minhash_signature_oracle_parity keeps the full
+        # per-doc value check) — slot goes to script_mix
+        "script_mix": q_script_mix,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "bigram_stats": q_bigram_stats,
@@ -3362,7 +3447,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": SQL_QUALITY_SIGNALS,
         "fingerprint": SQL_FINGERPRINT,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
-        "minhash_signature": SQL_MINHASH_SIGNATURE,
+        "script_mix": _sql_script_mix(),
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "simhash": SQL_SIMHASH,
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,

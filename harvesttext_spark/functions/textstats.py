@@ -126,6 +126,72 @@ def quality_signals(text: Column) -> dict[str, Column]:
     }
 
 
+# --- script mix / charset composition ------------------------------------
+
+# Per-script BMP codepoint classes.  POSITIVE classes only (the negated-
+# class 5x penalty measured for quality_signals applies here too), and
+# every range is BMP so Java regex (Spark) and RE2 (DuckDB) agree char
+# for char.  Latin deliberately EXCLUDES U+00D7 (×) and U+00F7 (÷) —
+# they are math symbols inside the Latin-1 letter run.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{00FF}\\x{0100}-\\x{024F}]",
+    "han": "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "digit": "[0-9]",
+    # ASCII punct runs + CJK symbols/punct + fullwidth punct (fullwidth
+    # LETTER/DIGIT ranges excluded on purpose)
+    "punct": (
+        "[!-/:-@\\[-`{-~\\x{3000}-\\x{303F}\\x{FF01}-\\x{FF0F}"
+        "\\x{FF1A}-\\x{FF20}\\x{FF3B}-\\x{FF40}\\x{FF5B}-\\x{FF65}]"
+    ),
+    # explicit class: Java default \s and RE2 \s disagree on \x0b
+    # (substring_dedup.py precedent), so neither side uses \s
+    "space": "[ \\t\\n\\x0b\\f\\r]",
+}
+# deterministic dominance preference on count ties (content scripts first)
+SCRIPT_DOMINANCE_ORDER = ["han", "latin", "cyrillic", "arabic", "digit", "punct"]
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script char counts via positive-class strip + length diff."""
+    n = F.length(text)
+    return {
+        name: n - F.length(F.regexp_replace(text, cls, ""))
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+
+
+def script_mix_signals(text: Column) -> dict[str, Column]:
+    """Charset-composition quality features — the standard CC-pipeline
+    signal (CCNet/RefinedWeb use per-script char fractions to catch
+    wrong-charset decodes, script-mixing spam, and encoding mojibake
+    that survives repair): per-script char fraction, an ``other_frac``
+    for unclassified codepoints, and the dominant content script with
+    its fraction.  Pure codegen column arithmetic, DuckDB-mirrorable."""
+    counts = script_counts(text)
+    n_chars = F.length(text)
+    safe = F.greatest(n_chars, F.lit(1))
+    fracs = {f"{k}_frac": (v / safe).cast("double") for k, v in counts.items()}
+    classified = None
+    for v in counts.values():
+        classified = v if classified is None else classified + v
+    dom_names = SCRIPT_DOMINANCE_ORDER
+    dom_count = F.greatest(*[counts[k] for k in dom_names])
+    # first script in preference order holding the max count; all-zero
+    # (empty / whitespace-free-unclassified) docs report 'none'
+    dominant = F.lit("none")
+    for name in reversed(dom_names):
+        dominant = F.when(counts[name] == dom_count, F.lit(name)).otherwise(dominant)
+    dominant = F.when(dom_count > 0, dominant).otherwise(F.lit("none"))
+    return {
+        **fracs,
+        "other_frac": ((n_chars - classified) / safe).cast("double"),
+        "dominant_script": dominant,
+        "dominant_frac": (dom_count / safe).cast("double"),
+    }
+
+
 def has_char_run(text: Column, k: int = 10) -> Column:
     """True iff some single character repeats >= k times consecutively
     (repeated-char junk rule) — ONE backreference probe, not a probe ladder.

@@ -210,6 +210,36 @@ def apply_toxicity_filter(labeled, terms, max_toxicity, text_col="text_clean"):
     )
 
 
+def apply_script_mix_filter(labeled, min_dominant_frac, text_col="text_clean"):
+    """--min-dominant-script-frac: kept docs whose dominant content
+    script (han/latin/cyrillic/arabic/digit/punct char classes,
+    functions/textstats.script_mix_signals) covers less than the
+    threshold fraction of CLEANED chars become drop_reason=script_mix —
+    the CCNet/RefinedWeb charset-composition rule catching wrong-charset
+    decodes and script-mixing spam.  ``dominant_script`` and
+    ``dominant_frac`` land as stage-metric columns.  Pure codegen on the
+    row — zero shuffle, bucket-idempotent under resume.  NULL text
+    reports dominant 'none'/frac 0.0 but is already dropped upstream."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.textstats import script_mix_signals
+
+    sig = script_mix_signals(F.col(text_col))
+    return (
+        labeled.withColumn("dominant_script", sig["dominant_script"])
+        .withColumn("dominant_frac", F.round(sig["dominant_frac"], 6))
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep")
+                & (F.coalesce(F.col("dominant_frac"), F.lit(0.0)) < min_dominant_frac),
+                F.lit("script_mix"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+    )
+
+
 def build_policy_fn(args, parser=None):
     """Compose the post-label policy stages (--keep-langs, --max-url-risk,
     --decontaminate, --max-toxicity, --pii-scrub, --scrub-words) into ONE
@@ -249,6 +279,13 @@ def build_policy_fn(args, parser=None):
             with open(args.url_risk_keywords) as fh:
                 kws = [ln.strip().lower() for ln in fh if ln.strip()]
         stages.append(lambda df: apply_url_risk_filter(df, args.max_url_risk, kws))
+    if getattr(args, "min_dominant_script_frac", None) is not None:
+        # cheapest policy stage (pure codegen) — runs before the
+        # token-matching stages so their Arrow work skips nothing it
+        # shouldn't but the common drop happens first
+        stages.append(
+            lambda df: apply_script_mix_filter(df, args.min_dominant_script_frac)
+        )
     if args.decontaminate:
         with open(args.decontaminate) as fh:
             bench_texts = [ln.strip() for ln in fh if ln.strip()]
@@ -562,6 +599,15 @@ def main(argv=None) -> None:
         metavar="FILE",
         help="one toxic term per line (lowercased, whitespace-token "
         "match) for --max-toxicity",
+    )
+    p.add_argument(
+        "--min-dominant-script-frac",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="drop kept docs whose dominant content script covers less "
+        "than FRAC of cleaned chars (drop_reason=script_mix; the "
+        "CCNet/RefinedWeb charset-composition rule)",
     )
     p.add_argument(
         "--block-domains",

@@ -78,6 +78,23 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_retired_minhash_signature_oracle_parity(spark):
+    """minhash_signature was retired from the driver contract in round 7
+    (its shingle->hashpair->signature chain is recomputed end-to-end
+    inside the minhash_lsh_pairs oracle; 6 rounds of committed driver
+    green history) — the per-doc signature value check stays here with
+    the same compare the contract used, freeing the prefix slot for
+    script_mix."""
+    sdf = entrymod.q_minhash_signature(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_MINHASH_SIGNATURE).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
 def test_retired_grouping_sets_oracle_parity(spark):
     """events_grouping_sets was retired from the driver contract in
     round 6 (redundant with events_rollup's slot; 4 rounds of committed

@@ -545,6 +545,76 @@ def test_toxicity_filter_stage(spark):
     assert got["u4"][:2] == (True, None) and got["u4"][2] is None
 
 
+def test_script_mix_signals_hand_values(spark):
+    """Hand-computed per-script fractions + dominance tie-breaks."""
+    from harvesttext_spark.functions.textstats import script_mix_signals
+
+    rows = [
+        (0, "abc 中文"),        # 3 latin, 2 han, 1 space -> latin dominant 0.5
+        (1, "中中 aa"),         # tie 2 han / 2 latin -> han wins (preference)
+        (2, "Привет"),          # 6 cyrillic
+        (3, ""),                # empty -> none, all 0
+        (4, "1234!"),           # 4 digit, 1 punct -> digit dominant
+        (5, "Ωμέγα"),           # greek: unclassified -> other_frac 1, none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = script_mix_signals(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in sig.items()],
+        ).collect()
+    }
+    assert got[0]["latin_frac"] == 0.5 and got[0]["han_frac"] == pytest.approx(1 / 3)
+    assert got[0]["dominant_script"] == "latin" and got[0]["dominant_frac"] == 0.5
+    assert got[1]["dominant_script"] == "han"  # tie -> preference order
+    assert got[2]["cyrillic_frac"] == 1.0 and got[2]["dominant_script"] == "cyrillic"
+    assert got[3]["dominant_script"] == "none" and got[3]["dominant_frac"] == 0.0
+    assert got[4]["dominant_script"] == "digit" and got[4]["digit_frac"] == 0.8
+    assert got[5]["other_frac"] == 1.0 and got[5]["dominant_script"] == "none"
+    # fractions + other always sum to 1 (exhaustive partition of chars)
+    for r in got.values():
+        if r["doc_id"] == 3:
+            continue
+        total = sum(
+            r[k]
+            for k in (
+                "latin_frac", "han_frac", "cyrillic_frac", "arabic_frac",
+                "digit_frac", "punct_frac", "space_frac", "other_frac",
+            )
+        )
+        assert total == pytest.approx(1.0)
+
+
+def test_script_mix_filter_stage(spark):
+    """--min-dominant-script-frac wiring: kept mixed-script docs drop as
+    script_mix; already-dropped docs keep their reason; metric columns
+    land; NULL text reports 'none'/0.0 (dropped upstream anyway)."""
+    from jobs.run_quality_filter import apply_script_mix_filter
+
+    rows = [
+        ("u1", "a中b文c字d符e符 Ω дa 1ب!", True, None),  # no script dominates
+        ("u2", "perfectly ordinary latin prose here today", True, None),
+        ("u3", "a中b文", False, "too_short"),
+        ("u4", None, True, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    got = {
+        r["url"]: (r["keep"], r["drop_reason"], r["dominant_script"], r["dominant_frac"])
+        for r in apply_script_mix_filter(df, 0.5).collect()
+    }
+    assert got["u1"][:2] == (False, "script_mix")
+    assert got["u2"][:2] == (True, None) and got["u2"][2] == "latin"
+    assert got["u3"][:2] == (False, "too_short")  # untouched
+    # NULL text: NULL counts -> dominant 'none', coalesced frac 0.0 ->
+    # drops here too (it is already dropped as null_text upstream in the
+    # real pipeline; this stage just never resurrects it)
+    assert got["u4"][:3] == (False, "script_mix", "none")
+
+
 def test_decontamination_stage(spark):
     """--decontaminate wiring: kept docs sharing an n-gram with the
     benchmark become drop_reason=contaminated; dropped docs keep their
