@@ -205,21 +205,59 @@ def extract_keywords(
     top_k: int = 5,
     stopwords: list[str] | None = None,
     window: int = 2,
+    weighted: bool = True,
 ) -> DataFrame:
     """API-parity dispatcher for the reference's ``extract_keywords``
     (``word_discover.py:243-301``): method 'tfidf' (jieba_tfidf analog —
     relational TF-IDF over the corpus instead of jieba's packaged IDF) or
-    'textrank' (per-doc window graph).  -> (doc_id, word, score)."""
+    'textrank' (per-doc window graph).  -> (doc_id, word, score).
+
+    Stopword semantics mirror the reference exactly:
+
+    - tfidf (``word_discover.py:279-283``): scores are computed WITHOUT
+      removing stopwords, the top ``2*top_k`` are fetched, stopwords are
+      dropped post-hoc, then the list is truncated to ``top_k``.  When
+      more than ``top_k`` of the top ``2*top_k`` slots are stopwords the
+      reference returns FEWER than ``top_k`` keywords — so do we (a
+      pre-drop anti-join would backfill; golden-pinned in
+      test_graph_summary.py).  Non-stopword scores are identical either
+      way (tf and df of a word don't depend on other words), only the
+      truncation boundary differs.
+    - textrank (``word_discover.py:296-299``): stopwords are removed
+      BEFORE graph construction, preserving order and multiplicity of
+      the surviving words (the reference's posseg list-comprehension) —
+      NOT ``array_except``, which dedupes the sequence and corrupts
+      window edges/weights.  ``weighted`` defaults True like the
+      reference's kwargs default (``word_discover.py:291``).
+    """
     if method == "tfidf":
-        out = tfidf_keywords(docs, words_col, id_col, top_k, stopwords)
-        return out.select(id_col, "word", F.col("tfidf").alias("score"))
+        if stopwords:
+            from pyspark.sql.window import Window
+
+            sw_df = docs.sparkSession.createDataFrame(
+                [(w,) for w in set(stopwords)], "word string"
+            )
+            fetched = tfidf_keywords(docs, words_col, id_col, 2 * top_k, None)
+            kept = fetched.join(F.broadcast(sw_df), "word", "left_anti")
+            w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+            out = (
+                kept.withColumn("rerank", F.row_number().over(w))
+                .filter(F.col("rerank") <= top_k)
+                .drop("rank", "rerank")
+            )
+        else:
+            out = tfidf_keywords(docs, words_col, id_col, top_k, None).drop("rank")
+        return out.select(F.col("doc_id").alias(id_col), "word", F.col("tfidf").alias("score"))
     if method == "textrank":
         d = docs
         if stopwords:
-            sw = F.array(*[F.lit(w) for w in set(stopwords)])
-            d = d.withColumn(words_col, F.array_except(F.col(words_col), sw))
+            sw = F.array(*[F.lit(w) for w in sorted(set(stopwords))])
+            d = d.withColumn(
+                words_col,
+                F.filter(F.col(words_col), lambda x: ~F.array_contains(sw, x)),
+            )
         sent = d.select(F.col(id_col), F.lit(0).alias("sent_id"), F.col(words_col))
-        return textrank_keywords(sent, id_col, words_col, top_k, window)
+        return textrank_keywords(sent, id_col, words_col, top_k, window, weighted)
     raise ValueError(f"unknown method {method!r} (tfidf|textrank)")
 
 

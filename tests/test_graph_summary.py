@@ -70,6 +70,91 @@ def test_extract_keywords_dispatch(spark):
         extract_keywords(docs, method="nope")
 
 
+def _reference_tfidf_stopword_rule(docs, stopwords, top_k):
+    """Pure-python mirror of the reference's jieba_tfidf stopword rule
+    (word_discover.py:279-283): score ALL words (tf * ln(N/df), the
+    engine's relational analog of jieba's packaged IDF), fetch the top
+    2*top_k per doc, drop stopwords POST-HOC, truncate to top_k."""
+    import math
+    from collections import Counter
+
+    n = len(docs)
+    df = Counter()
+    for _, words in docs:
+        df.update(set(words))
+    out = {}
+    for doc_id, words in docs:
+        tf = Counter(words)
+        scored = sorted(
+            ((w, c * math.log(n / df[w])) for w, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        fetched = scored[: 2 * top_k]
+        out[doc_id] = [(w, s) for w, s in fetched if w not in stopwords][:top_k]
+    return out
+
+
+def test_extract_keywords_stopword_boundary_golden(spark):
+    """VERDICT r6 #5: stopwords ranking INSIDE the top-K boundary.  The
+    engine's post-hoc drop must reproduce the reference's over-fetch ->
+    drop -> truncate ordering, including the case where stopwords crowd
+    the 2*top_k window so the reference returns FEWER than top_k
+    keywords (a pre-drop anti-join would wrongly backfill from below)."""
+    from harvesttext_spark.operators.graph import extract_keywords
+
+    stop = {"的", "了", "是"}
+    corpus = [
+        # doc 0: stopword 的 is rank-1 by tfidf (unique to this doc, tf 10)
+        (0, ["的"] * 10 + ["苹果"] * 3 + ["香蕉"] * 2 + ["梨"]),
+        # doc 1: three high-scoring stopwords occupy 3 of the top-4 slots
+        # (top_k=2 -> 2K=4): reference keeps only ONE keyword even though
+        # more non-stopwords exist below the over-fetch boundary
+        (1, ["的"] * 9 + ["了"] * 8 + ["是"] * 7 + ["火箭"] * 2 + ["登月"] + ["梨"]),
+        # doc 2: no stopwords at all — plain top-k
+        (2, ["电池"] * 3 + ["续航"] * 2 + ["快充"]),
+        # doc 3: shares 梨 with docs 0-1 so its df>1 branch is exercised
+        (3, ["梨"] * 4 + ["苹果"]),
+    ]
+    expected = _reference_tfidf_stopword_rule(corpus, stop, top_k=2)
+    docs = spark.createDataFrame(corpus, "doc_id long, words array<string>")
+    got = {}
+    rows = extract_keywords(docs, method="tfidf", top_k=2, stopwords=sorted(stop)).collect()
+    for r in sorted(rows, key=lambda r: (r["doc_id"], -r["score"], r["word"])):
+        got.setdefault(r["doc_id"], []).append((r["word"], r["score"]))
+    assert set(got) | {1} == set(expected) | {1}
+    for doc_id, exp in expected.items():
+        g = got.get(doc_id, [])
+        assert [w for w, _ in g] == [w for w, _ in exp], (doc_id, g, exp)
+        for (gw, gs), (ew, es) in zip(g, exp):
+            assert gs == pytest.approx(es), (doc_id, gw)
+    # the crowded doc really did return fewer than top_k
+    assert len(expected[1]) == 1 and len(got.get(1, [])) == 1
+    # and doc 0's survivor list starts below the stopword that held rank 1
+    # (香蕉 df=1 outranks 苹果 df=2 despite lower tf)
+    assert expected[0][0][0] == "香蕉" and got[0][0][0] == "香蕉"
+
+
+def test_extract_keywords_textrank_stopword_preserves_multiplicity(spark):
+    """The textrank stopword pre-drop must preserve order AND
+    multiplicity of surviving words (reference posseg list filter) —
+    array_except would dedupe the sequence and corrupt window edges."""
+    from harvesttext_spark.operators.graph import extract_keywords
+
+    # a b a b a: weighted co-occurrence a-b = 4 within window 2; with a
+    # dedupe to [a, b] it would be 1 and c/d ties would reorder scores
+    docs = spark.createDataFrame(
+        [(0, ["a", "s", "b", "a", "s", "b", "a", "c", "d"])],
+        "doc_id long, words array<string>",
+    )
+    out = extract_keywords(
+        docs, method="textrank", top_k=4, stopwords=["s"], window=2
+    ).collect()
+    words = [r["word"] for r in sorted(out, key=lambda r: -r["score"])]
+    assert "s" not in words
+    # a (3 occurrences, hub) must outrank c and d; b second
+    assert words[0] == "a" and words[1] == "b"
+
+
 def test_word_ego_edges(spark):
     docs = spark.createDataFrame(
         [(i, w) for _, i, _, w in SENTS], "doc_id long, words array<string>"
