@@ -62,24 +62,33 @@ def char_embedding(col, dim: int = EMB_DIM):
 def connected_components(
     edges: DataFrame, max_iter: int = 50, driver_threshold: int = 1_000_000
 ) -> DataFrame:
-    """(u, v) -> (node, cluster_id) by iterative min-label propagation,
-    run to CONVERGENCE (checked every 3rd round to amortize the count
-    shuffle), raising if ``max_iter`` rounds were not enough — a silent
-    early stop would split long near-dup chains (templated pages) and
-    under-dedup without any signal.  Min-label propagation converges in
-    O(component diameter) rounds; 50 covers any realistic dup chain, and
-    the raise tells the caller to widen the budget rather than lie.
+    """(u, v) -> (node, cluster_id), cluster_id = min node id per
+    component.
 
     HYBRID (round 4): dedup pair graphs are sparse by construction
-    (687k-doc synthetic crawl -> 662 edges), and the distributed loop
+    (687k-doc synthetic crawl -> 662 edges), and a distributed loop
     costs ~15 Spark jobs of pure scheduling on such graphs (measured
     ~90s of a 1.2M-page pipeline on 662 edges).  Up to
     ``driver_threshold`` edges the graph is collected and solved with
     driver-side union-find — bounded memory (~tens of MB at the cap,
-    the same class as the engine's dimension reads), identical output
-    (cluster_id = min node id per component, exactly what min-label
-    propagation converges to).  Genuinely huge pair graphs (billions of
-    edges at crawl scale) still take the distributed loop."""
+    the same class as the engine's dimension reads).  Genuinely huge
+    pair graphs (billions of edges at crawl scale) take the distributed
+    leg.
+
+    Distributed leg (round 7): alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014) — converges to min-rooted stars in O(log^2 n) rounds
+    REGARDLESS of component diameter.  The previous min-label
+    propagation was O(diameter) rounds: a 10k-long near-dup chain
+    (templated pages drifting revision by revision, each adjacent pair
+    an LSH hit but distant pairs not) needed 10k rounds and blew any
+    sane ``max_iter``; star contraction finishes it in a handful.  Each
+    round is bounded-shuffle relational work (groupBy-min + join, both
+    partial-aggregatable; hub-node join skew is AQE-splittable), edge
+    frames are localCheckpointed per round so the loop's lineage stays
+    O(1).  Still raises if ``max_iter`` rounds were not enough — a
+    silent early stop would split components and under-dedup without
+    any signal."""
     edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
@@ -108,47 +117,65 @@ def connected_components(
         return spark.createDataFrame(
             labels, f"node {node_t}, cluster_id {node_t}"
         )
-    sym = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    labels = (
-        sym.select(F.col("u").alias("node"))
+    # every input endpoint must appear in the output even if all its
+    # edges are self-loops (dropped below)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
+    E = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.unpersist()
     converged = False
-    for i in range(max_iter):
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u points to m = min(N(u) ∪ {u});
+        # all emitted edges satisfy big > small by construction
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
         )
-        new_labels = labels.join(neigh, "node", "left").select(
-            "node", F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label")
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        if i % 3 == 2 or i == max_iter - 1:
-            new_labels = new_labels.localCheckpoint()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        else:
-            labels = new_labels
+        # small-star on (big, small) edges: the big node and every
+        # non-min small neighbor point to the min small neighbor
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_E = (
+            large.join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mn.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if new_E.count() == E.count() and new_E.exceptAll(E).limit(1).count() == 0:
+            E = new_E
+            converged = True
+            break
+        E = new_E
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter}; "
-            "raise max_iter (component diameter exceeds the round budget)"
+            "raise max_iter (star contraction needs O(log^2 n) rounds)"
         )
-    # the converged labels frame is localCheckpointed (independent of the
-    # edge lineage), so the input cache can be released here
-    edges.unpersist()
-    return labels.withColumnRenamed("label", "cluster_id")
+    # converged E is a min-rooted star per component: (member, root)
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
+    )
 
 
 def discover_aliases(

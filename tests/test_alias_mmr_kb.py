@@ -40,6 +40,83 @@ def test_connected_components_both_paths_agree(spark):
     assert fast["n12"] == "n00" and fast["u"] == "s" and fast["k3"] == "hub"
 
 
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_star_random_equivalence(spark):
+    """VERDICT r6 #4: the distributed large-star/small-star leg vs a
+    pure-python union-find on a seeded random graph (multiple
+    components, dup edges, reversed edges, self-loops)."""
+    import random
+
+    rng = random.Random(20260817)
+    pairs = []
+    for base in (0, 500, 900):  # three blocks, some bridged below
+        for _ in range(400):
+            u = base + rng.randrange(300)
+            v = base + rng.randrange(300)
+            pairs.append((u, v))  # self-loops included on purpose
+    pairs += [(299, 500), (799, 900)]  # bridges
+    expected = _union_find([(u, v) for u, v in pairs if u != v])
+    # self-loop-only nodes must still label themselves
+    pairs.append((99999, 99999))
+    expected[99999] = 99999
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """A 1500-link chain (diameter 1500): the retired min-label
+    propagation needed diameter rounds and blew max_iter=50; star
+    contraction must converge inside the default budget (O(log^2 n))
+    and label every node with the chain head."""
+    n = 1500
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "u long, v long"
+    )
+    got = connected_components(edges, driver_threshold=0)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n + 1
+
+
+def test_connected_components_hot_key_star(spark):
+    """Hot-key stress for the distributed leg: a 20k-member star (one
+    hub node on every edge — the exact skew shape the capped LSH band
+    join emits for an oversized near-dup family) plus a disjoint
+    control pair.  groupBy-min is partial-aggregatable and the m-join
+    key is splittable, so this must converge and label the family with
+    its min id."""
+    n = 20_000
+    rows = [(5, i) for i in range(6, 6 + n)]  # hub=5, members above
+    rows.append((1, 2))
+    edges = spark.createDataFrame(rows, "u long, v long")
+    got = connected_components(edges, driver_threshold=0)
+    assert got.count() == n + 3
+    assert got.filter((F.col("node") >= 5) & (F.col("cluster_id") != 5)).count() == 0
+    assert {r["cluster_id"] for r in got.filter("node <= 2").collect()} == {1}
+
+
 def test_discover_aliases_clusters_variants(spark):
     mentions = spark.createDataFrame(
         [

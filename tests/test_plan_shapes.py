@@ -182,3 +182,31 @@ def test_paragraph_dedup_census_partial_agg(spark):
     plan = plan_of(drop_duplicate_paragraphs(docs))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_connected_components_star_round_shape(spark):
+    """The distributed star-contraction leg (VERDICT r6 #4): each round's
+    neighbor-min must keep map-side partial aggregation (hot-hub-node
+    safety — a 1M-member near-dup family puts one node on every edge),
+    and no round may plan a cartesian product.  Pin by compiling one
+    large-star round's plan exactly as the loop builds it."""
+    from pyspark.sql import functions as F
+
+    E = spark.range(1000).select(
+        (F.col("id") % 7).alias("v"), (F.col("id") + 7).alias("u")
+    ).localCheckpoint()
+    sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", F.col("u")).alias("m")
+    )
+    large = (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    plan = plan_of(large)
+    assert "CartesianProduct" not in plan, plan
+    # partial + final hash aggregate around the groupBy-min exchange
+    assert plan.count("HashAggregate") >= 2, plan
