@@ -2569,6 +2569,93 @@ FROM h
 """
 
 
+DSIR_PROBES = [
+    (3950001, None),                     # featureless: logw must be 0
+    (3950002, ""),                       # ditto (empty string)
+    (3950003, "   \t  "),                # ditto (whitespace only)
+    (3950004, "spark"),                  # single token: no bigram features
+]
+
+
+def q_dsir_topk(spark, sf_dir):
+    """DSIR importance resampling (Xie et al., NeurIPS 2023): hashed
+    word-unigram+bigram models of a TARGET subset (doc_id % 7 == 0) and
+    the raw corpus, per-doc log importance weight Σ ln(p_t/p_r), Gumbel
+    top-k selection with md5-derived noise — train AND select fully
+    value-oracled (the langid_trained pattern: the whole pipeline is md5
+    bucket arithmetic + closed-form counts, entirely SQL-expressible).
+    logw/gkey rounded to 4 on both sides; selection uses full precision
+    (boundary flips would need sub-1e-10 key ties)."""
+    from harvesttext_spark.operators.dsir import dsir_topk
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, DSIR_PROBES, col="text")
+    )
+    target = base.filter((F.col("doc_id") % 7) == 0)
+    # persist: the raw feature stream feeds both the raw-distribution
+    # count and the scoring join (langid shared-feature pattern)
+    return dsir_topk(base, target, k=50, persist=True)
+
+
+def _sql_dsir_topk() -> str:
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(i, "NULL::VARCHAR" if t is None else f"'{t}'")
+        for i, t in DSIR_PROBES
+    )
+    # hex -> bigint via the strpos digit fold (langid/curation idiom)
+    fold8 = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substring(md5(f), 1, 8), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b) % 8192 AS INT)"
+    )
+    fold15 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substring(md5('42:' || doc_id::VARCHAR), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents UNION ALL
+              SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+tok AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                 '[ \t\n\x0B\f\r]+'),
+                           t -> t != '') AS toks
+        FROM base),
+feat AS (
+  SELECT doc_id, unnest(toks) AS f FROM tok
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS f
+  FROM tok WHERE len(toks) >= 2
+),
+fb AS (SELECT doc_id, {fold8} AS bucket FROM feat),
+rc AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+tots AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS r_tot,
+                (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS t_tot),
+ratio AS (SELECT rc.bucket,
+                 ln((coalesce(tc.ct, 0) + 1.0) / (tots.t_tot + 8192.0))
+               - ln((rc.cr + 1.0) / (tots.r_tot + 8192.0)) AS logratio
+          FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tots),
+w AS (SELECT doc_id, sum(logratio) AS logw FROM fb JOIN ratio USING (bucket)
+      GROUP BY 1),
+allw AS (SELECT b.doc_id, coalesce(w.logw, 0.0) AS logw
+         FROM base b LEFT JOIN w USING (doc_id)),
+keyed AS (SELECT doc_id, logw,
+                 logw + (-ln(-ln((CAST({fold15} AS DOUBLE) + 0.5)
+                                 / 1152921504606846976.0))) AS gkey
+          FROM allw),
+ranked AS (SELECT doc_id, logw, gkey,
+                  row_number() OVER (ORDER BY gkey DESC, doc_id ASC) AS rk
+           FROM keyed)
+SELECT doc_id, round(logw, 4) AS logw, round(gkey, 4) AS gkey
+FROM ranked WHERE rk <= 50
+"""
+
+
 MOJI_PROBES = [
     (3700001, "CafÃ© au lait â€” itâ€™s good"),
     (3700002, "clean text stays byte-identical"),
@@ -3358,7 +3445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_contract.py instead.  tests/test_entry_contract.py pins
     # the invariant so a new query can't silently push an oracle out.
     return {
-        "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "quality_signals": q_quality_signals,
         # minhash_signature RETIRED round 7 (its sh->hp->sig chain is
@@ -3412,19 +3498,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "mojibake_fix": q_mojibake_fix,
         "curation_split": q_curation_split,
+        "dsir_topk": q_dsir_topk,
         # --- past the driver's 50-entry cap: rows-only entries plus the
         # long-driver-green oracles the newer pipeline oracles displaced
         # (events relational family, r01-r04 driver files; fingerprint,
         # r01-r05 driver files — displaced by the round-6 ann_ivf_topk
         # promotion; all still value-checked locally every wrap by
         # tools/check_contract.py) ---
+        "doc_stats": q_doc_stats,  # rotated round 7 for dsir_topk (green r01-r06)
         "fingerprint": q_fingerprint,
         "token_freq": q_token_freq,
         "token_docfreq": q_token_docfreq,
         "exact_dup_groups": q_exact_dup_groups,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
-        "events_window": q_events_window,
+        # events_window RETIRED round 7 (windowed-agg coverage is redundant
+        # with events_sessionize+events_rollup; green r01-r06) — operator
+        # and SQL mirror stay verified by
+        # test_retired_events_window_oracle_parity; freed the allowlist
+        # slot doc_stats rotated into
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "seg_posseg_dict": q_seg_posseg_dict,
         "ner_entities": q_ner_entities,
@@ -3468,7 +3560,6 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _sql_paragraph_dedup(),
         "mojibake_fix": _sql_mojibake_fix(),
         "curation_split": _sql_curation_split(),
-        "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_asof": SQL_EVENTS_ASOF,
         "events_rollup": SQL_EVENTS_ROLLUP,
@@ -3500,4 +3591,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": _sql_contamination(),
         "url_risk": _sql_url_risk(),
         "substring_spans": _sql_substring_spans(),
+        "dsir_topk": _sql_dsir_topk(),
     }

@@ -40,6 +40,9 @@ HEADLINE = [
     "substring_spans",        # zero-shuffle rolling-hash census + keep-first
     "paragraph_dedup",        # md5-key census + positional cut
     "mojibake_fix",           # guarded 113-replace codegen chain
+    # round-7 additions
+    "script_mix",             # per-script char fractions, pure codegen
+    "dsir_topk",              # hashed-ngram importance models + Gumbel top-k
 ]
 
 REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))

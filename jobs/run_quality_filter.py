@@ -240,6 +240,55 @@ def apply_script_mix_filter(labeled, min_dominant_frac, text_col="text_clean"):
     )
 
 
+def apply_dsir_select(labeled, target, keep_frac, seed=42):
+    """--dsir-keep-frac + --dsir-target-path: DSIR importance resampling
+    (Xie et al. 2023, operators/dsir.py) over the KEPT rows' cleaned
+    text — keep ≈ keep_frac of them, favoring pages whose hashed-ngram
+    distribution matches the target corpus; the rest become
+    drop_reason=dsir.  ``dsir_logw`` lands as a stage-metric column.
+    CORPUS-relative (the raw model is this run's kept set), so — like
+    the self-trained LM — it is NOT bucket-idempotent and is refused
+    under --resume.  Precondition: url is unique among kept rows (run
+    the dedup pre-passes first); duplicate urls would fan out the
+    weight join."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.dsir import dsir_weights, gumbel_key
+
+    # target distribution from the EXTERNAL corpus, raw from the kept set
+    kept = labeled.filter(F.col("keep")).select(
+        F.col("url").alias("_durl"), F.col("text_clean")
+    )
+    w = dsir_weights(kept, target, text_col="text_clean", id_col="_durl")
+    keyed = w.withColumn("_dkey", F.col("logw") + gumbel_key(F.col("_durl"), seed))
+    # quantile action + flags join both consume keyed: persist the per-doc
+    # keys or the whole weight pipeline (two corpus tokenizations) reruns
+    from harvesttext_spark.session import plan_keyed_persist
+
+    keyed = plan_keyed_persist(keyed, "dsir_keys")
+    if keep_frac >= 1.0:
+        tau = float("-inf")
+    else:
+        tau = keyed.approxQuantile("_dkey", [1.0 - keep_frac], 0.001)[0]
+    flags = keyed.select(
+        "_durl",
+        F.round("logw", 6).alias("dsir_logw"),
+        (F.col("_dkey") >= F.lit(tau)).alias("_dkeep"),
+    )
+    return (
+        labeled.join(flags, labeled["url"] == flags["_durl"], "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & ~F.coalesce(F.col("_dkeep"), F.lit(True)),
+                F.lit("dsir"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_durl", "_dkeep")
+    )
+
+
 def build_policy_fn(args, parser=None):
     """Compose the post-label policy stages (--keep-langs, --max-url-risk,
     --decontaminate, --max-toxicity, --pii-scrub, --scrub-words) into ONE
@@ -661,6 +710,23 @@ def main(argv=None) -> None:
         "KEEP_LAST snapshots (log maintenance; data is never touched)",
     )
     p.add_argument(
+        "--dsir-keep-frac",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="after all policy stages: DSIR importance resampling keeps "
+        "~FRAC of surviving docs, favoring pages whose hashed-ngram "
+        "distribution matches --dsir-target-path (drop_reason=dsir). "
+        "Corpus-relative like --with-lm, so incompatible with --resume.",
+    )
+    p.add_argument(
+        "--dsir-target-path",
+        default=None,
+        metavar="PARQUET",
+        help="with --dsir-keep-frac: parquet of target-quality pages "
+        "(any table with a text_clean or text column)",
+    )
+    p.add_argument(
         "--synthesize",
         type=int,
         default=None,
@@ -735,9 +801,19 @@ def main(argv=None) -> None:
         fix_mojibake=args.fix_mojibake,
         stage_dir=args.stage_dir,
     )
+    if args.dsir_keep_frac is not None and not args.dsir_target_path:
+        p.error("--dsir-keep-frac requires --dsir-target-path PARQUET")
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume
 
+        if args.dsir_keep_frac is not None:
+            sys.exit(
+                "--resume is incompatible with --dsir-keep-frac: the DSIR "
+                "raw model depends on the run's full kept set, so "
+                "reprocessed tail buckets would not select identically "
+                "(bucket idempotency). Run DSIR as a separate full pass "
+                "over the resumed output."
+            )
         if args.with_lm:
             sys.exit(
                 "--resume is incompatible with --with-lm: the self-trained "
@@ -804,6 +880,13 @@ def main(argv=None) -> None:
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
         labeled = build_policy_fn(args, p)(labeled)
+        if args.dsir_keep_frac is not None:
+            from pyspark.sql import functions as F
+
+            target = spark.read.parquet(args.dsir_target_path)
+            tcol = "text_clean" if "text_clean" in target.columns else "text"
+            target = target.select(F.col(tcol).alias("text_clean"))
+            labeled = apply_dsir_select(labeled, target, args.dsir_keep_frac)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups

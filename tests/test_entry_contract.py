@@ -26,10 +26,13 @@ SF_DIR = "/root/testdata/sf0.001"
 # events_grouping_sets was RETIRED outright in round 6 (redundant with
 # events_rollup, per the round-5 verdict's suggestion) — its operator and
 # SQL mirror remain verified by test_retired_grouping_sets_oracle_parity
+# events_window was RETIRED in round 7 (redundant with
+# events_sessionize+events_rollup; green r01-r06) — verified by
+# test_retired_events_window_oracle_parity; its slot went to doc_stats
 PAST_CAP_ALLOWED = {
     "events_rollup",
     "events_asof",
-    "events_window",
+    "doc_stats",  # rotated round 7 for dsir_topk (green r01-r06)
     "fingerprint",
     "token_freq",  # rotated round 6 for paragraph_dedup (green r01-r05)
     "token_docfreq",  # rotated round 6 for mojibake_fix (green r01-r05)

@@ -95,6 +95,23 @@ def test_retired_minhash_signature_oracle_parity(spark):
     assert a == b
 
 
+def test_retired_events_window_oracle_parity(spark):
+    """events_window was retired from the driver contract in round 7
+    (its windowed-agg coverage is redundant with events_sessionize +
+    events_rollup; 6 rounds of committed driver green history) — the
+    OPERATOR and its SQL mirror stay fully verified here with the same
+    rows/columns/values compare the contract used, freeing the allowlist
+    slot doc_stats rotated into when dsir_topk claimed a prefix slot."""
+    sdf = entrymod.q_events_window(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_EVENTS_WINDOW).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
 def test_retired_grouping_sets_oracle_parity(spark):
     """events_grouping_sets was retired from the driver contract in
     round 6 (redundant with events_rollup's slot; 4 rounds of committed

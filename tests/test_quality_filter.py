@@ -587,6 +587,41 @@ def test_script_mix_signals_hand_values(spark):
         assert total == pytest.approx(1.0)
 
 
+def test_dsir_select_stage(spark):
+    """--dsir-keep-frac wiring: among kept docs, the target-similar ones
+    survive the resample while off-distribution kept docs become
+    drop_reason=dsir; already-dropped docs keep their reason and never
+    enter the raw model; dsir_logw lands as a metric column."""
+    from jobs.run_quality_filter import apply_dsir_select
+
+    rows = [
+        ("u1", "quality data makes quality models", True, None),
+        ("u2", "quality text selection importance quality", True, None),
+        ("u3", "zebra xylophone quantum marmalade turnip", True, None),
+        ("u4", "junk junk junk", False, "too_short"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    target = spark.createDataFrame(
+        [("quality data quality models quality selection",)], "text_clean string"
+    )
+    got = {
+        r["url"]: (r["keep"], r["drop_reason"], r["dsir_logw"])
+        for r in apply_dsir_select(df, target, keep_frac=0.5).collect()
+    }
+    # 3 kept docs, keep_frac .5 -> threshold at the median key (keys are
+    # gap-separated by >1.5 here, far above gumbel/fp wobble): the
+    # off-distribution doc (lowest logw by construction) must drop
+    assert got["u3"][:2] == (False, "dsir")
+    assert got["u1"][:2] == (True, None) and got["u2"][:2] == (True, None)
+    assert got["u4"][:2] == (False, "too_short")  # untouched, no resurrect
+    assert got["u1"][2] > got["u3"][2]  # metric column ordered as planted
+    # keep_frac=1.0 keeps every kept doc (threshold -inf, no quantile job)
+    all_kept = apply_dsir_select(df, target, keep_frac=1.0).collect()
+    assert all(r["keep"] for r in all_kept if r["url"] != "u4")
+
+
 def test_script_mix_filter_stage(spark):
     """--min-dominant-script-frac wiring: kept mixed-script docs drop as
     script_mix; already-dropped docs keep their reason; metric columns
