@@ -2656,6 +2656,20 @@ FROM ranked WHERE rk <= 50
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (training-export bin packing): shard by salted
+    id-hash, first-fit-decreasing per shard into 256-token bins —
+    deterministic on any partitioning, metadata-only shuffle (rows-only:
+    FFD's stateful first-fit scan is not SQL-expressible; the pure-python
+    row-for-row reference in tests/test_packing.py pins correctness)."""
+    from harvesttext_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(d, max_tokens=256, n_shards=16).select(
+        "doc_id", "pack_shard", "pack_bin", "pack_tokens", "oversize"
+    )
+
+
 MOJI_PROBES = [
     (3700001, "CafÃ© au lait â€” itâ€™s good"),
     (3700002, "clean text stays byte-identical"),
@@ -3529,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize": q_summarize,
         "alias_discovery": q_alias_discovery,
         "entity_linking": q_entity_linking,
+        "pack_sequences": q_pack_sequences,
     }
 
 

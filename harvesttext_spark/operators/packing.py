@@ -1,0 +1,171 @@
+"""Sequence packing: assign documents to fixed token-budget bins for
+LLM training export (the "sample packing" step every pretraining
+pipeline runs between curation and tokenization).
+
+Global bin packing is inherently sequential, so the distributed recast
+shards documents by a salted id hash and packs each shard independently
+with first-fit-decreasing (FFD) — the standard quality/speed tradeoff
+(≤ 11/9·OPT + 1 bins per shard).  Crucially the shard assignment and the
+intra-shard order are both pure functions of (id, token_count, seed),
+NEVER of the physical partitioning, so the full assignment is
+deterministic and partition-invariant (this repo's resume-determinism
+ground rule; no monotonically_increasing_id).
+
+Scale design (100 TB): the pack decision needs only (id, n_tokens) —
+the applyInPandas groups carry ~16 bytes/doc, not the text, so even
+million-doc shards are megabytes; the text never moves through the
+packing shuffle and joins back by id afterwards.  ``n_shards`` trades
+packing quality (fewer, bigger shards pack tighter) against group
+memory; at web scale use 2^12-2^16.
+
+Precondition: ids unique (run exact dedup first) — duplicate ids with
+equal token counts are interchangeable under the deterministic sort, so
+their bin labels could swap between runs.
+
+Rows-only contract entry (`pack_sequences`): FFD's first-fit scan is
+stateful over bins and not SQL-expressible; correctness is pinned by a
+pure-python row-for-row reference test instead (the pq_topk precedent).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harvesttext_spark.functions.textstats import token_count
+
+N_SHARDS = 256
+
+
+def _ffd_pack(counts: list[int], max_tokens: int) -> list[int]:
+    """First-fit-decreasing over already-sorted (desc) counts -> bin ids.
+    Oversize items (> max_tokens) get a singleton bin.  Pure function —
+    shared by the Spark path and the test reference."""
+    bins: list[int] = []  # remaining capacity per bin; -1 = closed
+    out = []
+    for c in counts:
+        if c > max_tokens:
+            # closed singleton bin: rem -1 so even 0-token docs (NULL/
+            # empty text) can never first-fit into it
+            bins.append(-1)
+            out.append(len(bins) - 1)
+            continue
+        placed = -1
+        for i, rem in enumerate(bins):
+            if rem >= c:
+                placed = i
+                break
+        if placed < 0:
+            bins.append(max_tokens)
+            placed = len(bins) - 1
+        bins[placed] -= c
+        out.append(placed)
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    n_shards: int = N_SHARDS,
+    seed: int = 42,
+) -> DataFrame:
+    """All input rows + (pack_shard, pack_bin, pack_tokens, oversize):
+    documents grouped into bins of ≤ ``max_tokens`` whitespace tokens
+    (or a precomputed ``token_count_col``).  (pack_shard, pack_bin)
+    globally identifies a training sequence; ``oversize`` marks docs
+    that exceed the budget alone (singleton bin — truncate or split
+    downstream, the packer never silently drops).  NULL ids pack into a
+    reserved shard -1 (route explicitly).  Deterministic on any
+    partitioning."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    nt = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(F.col(text_col))
+    )
+    shard = F.when(
+        F.col(id_col).isNull(), F.lit(-1)
+    ).otherwise(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_shards
+        ).cast("int")
+    )
+    meta = df.select(
+        F.col(id_col).alias("_pid"),
+        F.coalesce(nt.cast("bigint"), F.lit(0)).alias("_ptok"),
+        shard.alias("pack_shard"),
+    )
+
+    def pack_shard_group(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a partition arrives as MULTIPLE Arrow batches — concat before
+        # grouping, or one shard's rows would be packed as independent
+        # fragments with colliding bin ids and broken capacity accounting
+        # (metadata-only rows: ~16 B/doc, a partition fits comfortably)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        for _sh, grp in whole.groupby("pack_shard", sort=True):
+            # FFD order: token count desc, id asc — pure data order
+            grp = grp.sort_values(
+                ["_ptok", "_pid"], ascending=[False, True], kind="mergesort"
+            )
+            counts = grp["_ptok"].tolist()
+            bins = _ffd_pack(counts, max_tokens)
+            yield pd.DataFrame(
+                {
+                    "_pid": grp["_pid"].to_numpy(),
+                    "pack_shard": grp["pack_shard"].to_numpy(),
+                    "pack_bin": bins,
+                    "pack_tokens": grp["_ptok"].to_numpy(),
+                    "oversize": [c > max_tokens for c in counts],
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    packed = (
+        meta.repartition(n_shards if n_shards > 1 else 1, "pack_shard")
+        .mapInPandas(
+            pack_shard_group,
+            schema=(
+                f"_pid {id_type}, pack_shard int, pack_bin int, "
+                "pack_tokens bigint, oversize boolean"
+            ),
+        )
+    )
+    # null-safe equality: the reserved NULL-id shard must join back too
+    return df.join(packed, df[id_col].eqNullSafe(packed["_pid"]), "left").drop(
+        "_pid"
+    )
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One row per (pack_shard, pack_bin): docs, tokens, fill ratio —
+    the packing-efficiency audit (two map-side-combinable aggs)."""
+    return (
+        packed.groupBy("pack_shard", "pack_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pack_tokens").alias("n_tokens"),
+            F.max("oversize").alias("has_oversize"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("n_tokens") / F.lit(float(max_tokens)), 4)
+        )
+    )

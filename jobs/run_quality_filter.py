@@ -289,6 +289,28 @@ def apply_dsir_select(labeled, target, keep_frac, seed=42):
     )
 
 
+def apply_packing(labeled, max_tokens):
+    """--pack-max-tokens: assign every KEPT doc a (pack_shard, pack_bin)
+    training-sequence id via sharded first-fit-decreasing over cleaned-
+    text token counts (operators/packing.py) — the export step between
+    curation and tokenization.  Dropped rows get NULL pack columns.
+    Deterministic on any partitioning; metadata-only shuffle (the text
+    never moves through the packing exchange)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.packing import pack_sequences
+
+    kept = labeled.filter(F.col("keep")).select(
+        F.col("url").alias("_purl"), F.col("text_clean")
+    )
+    packed = pack_sequences(
+        kept, max_tokens, id_col="_purl", text_col="text_clean"
+    ).select("_purl", "pack_shard", "pack_bin", "pack_tokens", "oversize")
+    return labeled.join(
+        packed, labeled["url"] == packed["_purl"], "left"
+    ).drop("_purl")
+
+
 def build_policy_fn(args, parser=None):
     """Compose the post-label policy stages (--keep-langs, --max-url-risk,
     --decontaminate, --max-toxicity, --pii-scrub, --scrub-words) into ONE
@@ -727,6 +749,15 @@ def main(argv=None) -> None:
         "(any table with a text_clean or text column)",
     )
     p.add_argument(
+        "--pack-max-tokens",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after all filters: pack kept docs into N-token training "
+        "sequences (pack_shard/pack_bin columns; oversize docs flagged "
+        "in singleton bins)",
+    )
+    p.add_argument(
         "--synthesize",
         type=int,
         default=None,
@@ -806,6 +837,14 @@ def main(argv=None) -> None:
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume
 
+        if args.pack_max_tokens is not None:
+            sys.exit(
+                "--resume is incompatible with --pack-max-tokens: bin "
+                "composition depends on the run's full kept set, so "
+                "reprocessed tail buckets would repack differently "
+                "(bucket idempotency). Pack as a separate full pass over "
+                "the resumed output."
+            )
         if args.dsir_keep_frac is not None:
             sys.exit(
                 "--resume is incompatible with --dsir-keep-frac: the DSIR "
@@ -887,6 +926,8 @@ def main(argv=None) -> None:
             tcol = "text_clean" if "text_clean" in target.columns else "text"
             target = target.select(F.col(tcol).alias("text_clean"))
             labeled = apply_dsir_select(labeled, target, args.dsir_keep_frac)
+        if args.pack_max_tokens is not None:
+            labeled = apply_packing(labeled, args.pack_max_tokens)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups

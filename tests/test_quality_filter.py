@@ -622,6 +622,36 @@ def test_dsir_select_stage(spark):
     assert all(r["keep"] for r in all_kept if r["url"] != "u4")
 
 
+def test_packing_stage(spark):
+    """--pack-max-tokens wiring: kept docs get (pack_shard, pack_bin)
+    sequence ids under the token budget; dropped docs get NULL pack
+    columns and never occupy bin capacity."""
+    from jobs.run_quality_filter import apply_packing
+
+    rows = [
+        ("u1", "a b c d", True, None),
+        ("u2", "e f g", True, None),
+        ("u3", "h i j k l m n o p q r s", True, None),  # 12 > 8: oversize
+        ("u4", "x y z", False, "too_short"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    got = {r["url"]: r.asDict() for r in apply_packing(df, 8).collect()}
+    assert got["u4"]["pack_bin"] is None  # dropped: no pack id
+    for u in ("u1", "u2", "u3"):
+        assert got[u]["pack_bin"] is not None
+    assert got["u3"]["oversize"] is True
+    assert not got["u1"]["oversize"] and not got["u2"]["oversize"]
+    # capacity: any shared (shard, bin) among kept docs sums <= 8
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for u in ("u1", "u2"):
+        fill[(got[u]["pack_shard"], got[u]["pack_bin"])] += got[u]["pack_tokens"]
+    assert all(v <= 8 for v in fill.values())
+
+
 def test_script_mix_filter_stage(spark):
     """--min-dominant-script-frac wiring: kept mixed-script docs drop as
     script_mix; already-dropped docs keep their reason; metric columns
