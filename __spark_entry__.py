@@ -2656,6 +2656,55 @@ FROM ranked WHERE rk <= 50
 """
 
 
+C4_PROBES = [
+    (3960001, "Good line with five words here.\nshort line.\nNo terminal punct at all\nAnother good sentence with many words!\nthis line mentions JavaScript code today."),
+    (3960002, "A page with braces { in code.\nA proper sentence with enough words?"),
+    (3960003, "Lorem Ipsum dolor sit amet filler text."),
+    (3960004, None),
+    (3960005, ""),
+    (3960006, 'He said "this quoted line has enough words"\nTrailing spaces after period with words here.   '),
+]
+
+
+def q_c4_line_filters(spark, sf_dir):
+    """C4 cleaning battery (Raffel et al. 2020 §2.2): per-line terminal-
+    punct / min-words / javascript rules + page-level brace, lorem-ipsum
+    and sentence-count flags — pure codegen riding the scan, value-
+    oracled byte-for-byte against a DuckDB mirror of every rule (probes
+    isolate each rule; the synthetic corpus is single-line so probes
+    carry the multi-line modes)."""
+    from harvesttext_spark.functions.c4 import c4_clean
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, C4_PROBES, col="text")
+    )
+    return c4_clean(base).select(
+        "doc_id", "text_c4", "n_lines", "n_lines_kept", "n_sentences",
+        "has_curly", "has_lorem_ipsum",
+    )
+
+
+def _sql_c4_line_filters() -> str:
+    from harvesttext_spark.functions.c4 import c4_signals_sql
+
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i,
+            "NULL::VARCHAR"
+            if t is None
+            else "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'",
+        )
+        for i, t in C4_PROBES
+    )
+    sig = c4_signals_sql()
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in sig.items())
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {probes}) v(doc_id, text)) "
+        f"SELECT doc_id, {cols} FROM base"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (training-export bin packing): shard by salted
     id-hash, first-fit-decreasing per shard into 256-token bins —
@@ -3451,6 +3500,18 @@ WHERE regexp_matches(t, '^[a-zA-Z]*$') AND length(t) = 5
 """
 
 
+# Queries retired from the live contract (operator + SQL mirror remain,
+# verified by a dedicated test_retired_*_oracle_parity test each).  The
+# drift check in tools/check_contract.py consults this manifest so a
+# documented retirement is distinguishable from an accidental rename.
+RETIRED_QUERIES = {
+    "events_grouping_sets": "round 6: redundant with events_rollup",
+    "minhash_signature": "round 7: chain recomputed inside minhash_lsh_pairs",
+    "events_window": "round 7: redundant with events_sessionize+events_rollup",
+    "simhash": "round 7: chain recomputed inside simhash_pairs32",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records the first 50 entries in
     # CORRECTNESS_r{N}.json.  Every oracle-bearing query (an entry in
@@ -3467,7 +3528,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc value check) — slot goes to script_mix
         "script_mix": q_script_mix,
         "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
+        # simhash RETIRED round 7 (its tok->bit->sign->fold chain is
+        # recomputed end-to-end inside the simhash_pairs32 oracle; 6
+        # rounds of driver green) — per-doc signature check preserved in
+        # test_retired_simhash_oracle_parity; slot freed for the C4
+        # line-filter battery
+        "c4_line_filters": q_c4_line_filters,
         "bigram_stats": q_bigram_stats,
         "tfidf_topk": q_tfidf_topk,
         "so_pmi": q_so_pmi,
@@ -3556,7 +3622,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
         "script_mix": _sql_script_mix(),
         "jaccard_pairs": SQL_JACCARD_PAIRS,
-        "simhash": SQL_SIMHASH,
+        "c4_line_filters": _sql_c4_line_filters(),
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,
         "repetition_signals": _sql_repetition_signals(),
         "repetition_ngrams": _sql_repetition_ngrams(),

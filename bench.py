@@ -43,6 +43,7 @@ HEADLINE = [
     # round-7 additions
     "script_mix",             # per-script char fractions, pure codegen
     "dsir_topk",              # hashed-ngram importance models + Gumbel top-k
+    "c4_line_filters",        # per-line HOF battery riding the scan
 ]
 
 REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))

@@ -240,6 +240,50 @@ def apply_script_mix_filter(labeled, min_dominant_frac, text_col="text_clean"):
     )
 
 
+def apply_c4_line_filter(
+    labeled, min_words=5, min_sentences=3, text_col="text_clean"
+):
+    """--c4-line-filter: the C4 battery (Raffel et al. 2020 §2.2,
+    functions/c4.py) over kept rows' cleaned text — lines failing the
+    terminal-punct / min-words / javascript rules are removed from
+    ``text_col``; pages with braces, "lorem ipsum", or fewer than
+    ``min_sentences`` surviving sentences drop as c4_brace / c4_lorem /
+    c4_short_page.  Pure codegen per row (bucket-idempotent — composes
+    with --resume); dropped rows keep their ORIGINAL text for audit."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions.c4 import c4_signals
+
+    sig = c4_signals(F.col(text_col), min_words)
+    df = (
+        labeled.withColumn("_c4_text", sig["text_c4"])
+        .withColumn("_c4_sent", sig["n_sentences"])
+        .withColumn("c4_lines_total", sig["n_lines"])
+        .withColumn("c4_lines_kept", sig["n_lines_kept"])
+        .withColumn("_c4_brace", sig["has_curly"])
+        .withColumn("_c4_lorem", sig["has_lorem_ipsum"])
+    )
+    df = df.withColumn(
+        "drop_reason",
+        F.when(
+            F.col("keep") & F.col("_c4_brace"), F.lit("c4_brace")
+        )
+        .when(F.col("keep") & F.col("_c4_lorem"), F.lit("c4_lorem"))
+        .when(
+            F.col("keep") & (F.col("_c4_sent") < min_sentences),
+            F.lit("c4_short_page"),
+        )
+        .otherwise(F.col("drop_reason")),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+    return (
+        df.withColumn(
+            text_col,
+            F.when(F.col("keep"), F.col("_c4_text")).otherwise(F.col(text_col)),
+        )
+        .drop("_c4_text", "_c4_sent", "_c4_brace", "_c4_lorem")
+    )
+
+
 def apply_dsir_select(labeled, target, keep_frac, seed=42):
     """--dsir-keep-frac + --dsir-target-path: DSIR importance resampling
     (Xie et al. 2023, operators/dsir.py) over the KEPT rows' cleaned
@@ -350,6 +394,14 @@ def build_policy_fn(args, parser=None):
             with open(args.url_risk_keywords) as fh:
                 kws = [ln.strip().lower() for ln in fh if ln.strip()]
         stages.append(lambda df: apply_url_risk_filter(df, args.max_url_risk, kws))
+    if getattr(args, "c4_line_filter", False):
+        stages.append(
+            lambda df: apply_c4_line_filter(
+                df,
+                min_words=args.c4_min_words,
+                min_sentences=args.c4_min_sentences,
+            )
+        )
     if getattr(args, "min_dominant_script_frac", None) is not None:
         # cheapest policy stage (pure codegen) — runs before the
         # token-matching stages so their Arrow work skips nothing it
@@ -747,6 +799,21 @@ def main(argv=None) -> None:
         metavar="PARQUET",
         help="with --dsir-keep-frac: parquet of target-quality pages "
         "(any table with a text_clean or text column)",
+    )
+    p.add_argument(
+        "--c4-line-filter",
+        action="store_true",
+        help="apply the C4 line battery (terminal punct / min words / "
+        "javascript lines; brace / lorem-ipsum / short-page drops) to "
+        "kept rows' text_clean. Per-row, composes with --resume.",
+    )
+    p.add_argument(
+        "--c4-min-words", type=int, default=5,
+        help="with --c4-line-filter: min words per surviving line",
+    )
+    p.add_argument(
+        "--c4-min-sentences", type=int, default=3,
+        help="with --c4-line-filter: min sentences per surviving page",
     )
     p.add_argument(
         "--pack-max-tokens",

@@ -78,6 +78,28 @@ def test_past_cap_allowlist_is_driver_verified():
         assert seen_green, f"{name} has no driver-verified green row on disk"
 
 
+def test_retired_manifest_consistent():
+    """Every RETIRED_QUERIES entry must (a) be absent from the live
+    contract and (b) keep its query function + SQL mirror importable —
+    the retirement parity tests depend on both, and the drift check in
+    tools/check_contract.py trusts this manifest to distinguish
+    documented retirements from accidental renames."""
+    import __spark_entry__ as e
+
+    artifacts = {
+        "events_grouping_sets": ("q_events_grouping_sets", "SQL_EVENTS_GROUPING_SETS"),
+        "minhash_signature": ("q_minhash_signature", "SQL_MINHASH_SIGNATURE"),
+        "events_window": ("q_events_window", "SQL_EVENTS_WINDOW"),
+        "simhash": ("q_simhash", "SQL_SIMHASH"),
+    }
+    assert set(e.RETIRED_QUERIES) == set(artifacts)
+    live = set(e.queries()) | set(e.oracle_sql())
+    for name, (qfn, sql) in artifacts.items():
+        assert name not in live, f"{name} is retired but still in the contract"
+        assert callable(getattr(e, qfn))
+        assert isinstance(getattr(e, sql), str)
+
+
 def test_oracle_keys_subset_of_queries():
     import __spark_entry__ as e
 

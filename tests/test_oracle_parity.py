@@ -95,6 +95,23 @@ def test_retired_minhash_signature_oracle_parity(spark):
     assert a == b
 
 
+def test_retired_simhash_oracle_parity(spark):
+    """simhash was retired from the driver contract in round 7 (its
+    tok->bit->sign->fold signature chain is recomputed end-to-end inside
+    the simhash_pairs32 oracle; 6 rounds of committed driver green
+    history) — the per-doc signature value check stays here with the
+    same compare the contract used, freeing the prefix slot for
+    c4_line_filters."""
+    sdf = entrymod.q_simhash(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_SIMHASH).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
 def test_retired_events_window_oracle_parity(spark):
     """events_window was retired from the driver contract in round 7
     (its windowed-agg coverage is redundant with events_sessionize +

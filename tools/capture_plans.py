@@ -12,7 +12,7 @@ import __spark_entry__ as e
 
 SECTIONS = {
     "bigram_stats — n-gram statistics (2 hash aggs + split self-join)": "bigram_stats",
-    "minhash_signature — per-row signature, no shuffle before the agg": "minhash_signature",
+    "minhash_lsh_pairs — banded signature join, hot-band cap (WindowGroupLimit)": "minhash_lsh_pairs",
     "region_revenue — 5-table star rollup": "region_revenue",
     "lm_perplexity — LM train + broadcast score": "lm_perplexity",
     "jaccard_pairs — df-capped candidates (window count), exact rescore": "jaccard_pairs",
@@ -35,6 +35,9 @@ SECTIONS = {
     "paragraph_dedup — md5-key census (partial agg), affected-docs-only rebuild": "paragraph_dedup",
     "mojibake_fix — 113-replace codegen chain riding the scan, zero shuffle": "mojibake_fix",
     "ann_ivf_topk — broadcast centroid fixture, map-side assign, probe join": "ann_ivf_topk",
+    "script_mix — per-script char fractions, pure codegen on the scan": "script_mix",
+    "dsir_topk — broadcast log-ratio table, TakeOrderedAndProject top-k": "dsir_topk",
+    "pack_sequences — metadata-only packing exchange, text joins back by id": "pack_sequences",
 }
 
 

@@ -175,12 +175,22 @@ def main(argv=None) -> int:
         live = set(queries)
         # the driver records only the first DRIVER_CAP queries() entries,
         # so a driver artifact lawfully misses live tail entries IF the
-        # recorded set is exactly the live prefix at the cap.  Drift =
-        # stale recorded keys (query renamed/removed) or a recorded set
-        # that is neither the full contract nor the capped prefix.
+        # recorded set is exactly the live prefix at the cap.  Across a
+        # round boundary the prefix also rotates lawfully: retired
+        # queries (RETIRED_QUERIES manifest — each keeps a dedicated
+        # parity test) leave, promoted oracles enter, displaced oracles
+        # move past the cap but stay live.  Drift = a recorded key that
+        # is neither live nor documented-retired (query renamed/lost),
+        # or a prefix delta outside those lawful moves.
+        retired = set(getattr(entrymod, "RETIRED_QUERIES", {}))
         cap_prefix = set(list(queries)[:DRIVER_CAP])
-        stale = recorded - live
-        ok_cover = recorded == live or recorded == cap_prefix
+        stale = recorded - live - retired
+        rotated_out = recorded - cap_prefix  # may sit past-cap or be retired
+        rotated_in = cap_prefix - recorded  # must be live oracles (promoted)
+        lawful_rotation = all(
+            k in live or k in retired for k in rotated_out
+        ) and all(k in oracles for k in rotated_in)
+        ok_cover = recorded == live or recorded == cap_prefix or lawful_rotation
         if stale or not ok_cover:
             print(
                 f"contract drift vs {args.against}: "
@@ -190,7 +200,16 @@ def main(argv=None) -> int:
             )
             rc = 1
         else:
-            kind = "full" if recorded == live else f"driver-capped ({DRIVER_CAP})"
+            if recorded == live:
+                kind = "full"
+            elif recorded == cap_prefix:
+                kind = f"driver-capped ({DRIVER_CAP})"
+            else:
+                kind = (
+                    f"driver-capped ({DRIVER_CAP}) + lawful rotation: "
+                    f"out={sorted(rotated_out & (retired | (live - cap_prefix)))} "
+                    f"in={sorted(rotated_in)}"
+                )
             print(
                 f"coverage complete vs {args.against}: {len(recorded)} recorded "
                 f"[{kind}] of {len(live)} live queries",
