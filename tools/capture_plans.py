@@ -38,6 +38,7 @@ SECTIONS = {
     "script_mix — per-script char fractions, pure codegen on the scan": "script_mix",
     "dsir_topk — broadcast log-ratio table, TakeOrderedAndProject top-k": "dsir_topk",
     "pack_sequences — metadata-only packing exchange, text joins back by id": "pack_sequences",
+    "c4_line_filters — per-line HOF battery, pure codegen on the scan": "c4_line_filters",
 }
 
 
