@@ -2705,6 +2705,94 @@ def _sql_c4_line_filters() -> str:
     )
 
 
+FW_PROBES = [
+    # all-keep page: long, distinct, punct-terminated lines
+    (3980001, "This is a good long sentence that ends with a period.\n"
+              "Another properly terminated long line follows right here.\n"
+              "A third distinct long line carries enough characters too.\n"
+              "The fourth long line also terminates with punctuation."),
+    # punct-poor page (terminal-punct ratio 0 <= 0.12 -> drop)
+    (3980002, "this long line carries plenty of characters but no ending\n"
+              "and neither does this second long line of webby filler text\n"
+              "nor the third one which also just trails off mid thought\n"
+              "the fourth line keeps the pattern going without any stop"),
+    # short-line-heavy page (3/4 lines under 30 chars -> 0.75 >= 0.67 -> drop)
+    (3980003, "Tiny line.\nAnother tiny.\nStill tiny.\n"
+              "Only this final line is long enough to escape the short rule."),
+    # duplicated-line-heavy page (repeat chars dominate -> drop)
+    (3980004, "This exact boilerplate navigation line repeats three times.\n"
+              "This exact boilerplate navigation line repeats three times.\n"
+              "This exact boilerplate navigation line repeats three times.\n"
+              "One distinct long closing line terminates with punctuation."),
+    (3980005, None),
+    (3980006, ""),
+    # terminal-punct boundary: 1/8 = 0.125 > 0.12 -> keep ...
+    (3980007, "Exactly one line of these eight ends with terminal punct.\n"
+              "line two stretches well past thirty characters unpunctuated\n"
+              "line three stretches well past thirty characters to count\n"
+              "line four stretches well past thirty characters unpunctuated\n"
+              "line five stretches well past thirty characters to count\n"
+              "line six stretches well past thirty characters unpunctuated\n"
+              "line seven stretches well past thirty characters to count\n"
+              "line eight stretches well past thirty characters unending"),
+    # ... while 1/9 = 0.111 <= 0.12 -> drop (same page + one more line)
+    (3980008, "Exactly one line of these nine ends with terminal punct.\n"
+              "line two stretches well past thirty characters unpunctuated\n"
+              "line three stretches well past thirty characters to count\n"
+              "line four stretches well past thirty characters unpunctuated\n"
+              "line five stretches well past thirty characters to count\n"
+              "line six stretches well past thirty characters unpunctuated\n"
+              "line seven stretches well past thirty characters to count\n"
+              "line eight stretches well past thirty characters unending\n"
+              "line nine stretches well past thirty characters unpunctuated"),
+    # closing typographic quote counts as terminal; trailing spaces trim
+    (3980009, 'He closed with a long spoken line inside curly quotes today”\n'
+              "Trailing spaces follow the period of this long line here.   \n"
+              "   \n"
+              "A third distinct long line carries enough characters too."),
+]
+
+
+def q_fineweb_signals(spark, sf_dir):
+    """FineWeb line-wise heuristics (Penedo et al. 2024 §3.6): terminal-
+    punct line ratio / short-line ratio / duplicated-line char ratio +
+    the page keep decision at the published thresholds (0.12 / 0.67 /
+    0.10) — pure codegen riding the scan, every ratio mirrored in the
+    DuckDB oracle (probes isolate each rule incl. both sides of the
+    0.12 punct boundary; the synthetic corpus is single-line so probes
+    carry the multi-line modes)."""
+    from harvesttext_spark.functions.fineweb import fineweb_filter
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        _probe_df(spark, FW_PROBES, col="text")
+    )
+    return fineweb_filter(base).select(
+        "doc_id", "n_lines", "frac_lines_end_punct", "frac_lines_short",
+        "frac_chars_dup_lines", "fineweb_keep",
+    )
+
+
+def _sql_fineweb_signals() -> str:
+    from harvesttext_spark.functions.fineweb import fineweb_signals_sql
+
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i,
+            "NULL::VARCHAR"
+            if t is None
+            else "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'",
+        )
+        for i, t in FW_PROBES
+    )
+    sig = fineweb_signals_sql()
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in sig.items())
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {probes}) v(doc_id, text)) "
+        f"SELECT doc_id, {cols} FROM base"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (training-export bin packing): shard by salted
     id-hash, first-fit-decreasing per shard into 256-token bins —
@@ -3417,6 +3505,127 @@ FROM ranked GROUP BY doc_id
 """
 
 
+# scoring-side probes for the quality classifier (training uses ONLY the
+# documents table so probes can't shift the model): empty + NULL text pin
+# the bare-prior path; the two word-soup rows pin a confident positive
+# (English function words) and negative (Spanish function words)
+QC_PROBES = [
+    (4000001, ""),
+    (4000002, None),
+    (4000003, "the of and to is in that it for was the of and to is"),
+    (4000004, "el la los las de que y en un una el la los las de"),
+]
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Supervised quality classifier (CCNet/fastText shape, Wenzek et al.
+    2020 §4.3 recast as binomial NB — operators/quality_classifier.py):
+    hashed word uni+bigram buckets, closed-form LLR training, broadcast
+    score join.  Demonstrated here as distillation on a deterministic
+    binary label (lang = 'en' — any boolean column works; the job stage
+    trains on the cascade's own keep flag).  FULL value oracle: the
+    whole train+score pipeline is md5-bucket arithmetic plus counts
+    (the langid_trained pattern)."""
+    from harvesttext_spark.operators.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    weights, params = train_quality_classifier(
+        d.select((F.col("lang") == "en").alias("label"), "text"),
+        label_col="label",
+    )
+    base = d.select("doc_id", "text").unionByName(
+        _probe_df(spark, QC_PROBES, col="text")
+    )
+    out = score_quality(base, weights, params)
+    return out.select(
+        "doc_id",
+        "quality_lodds",
+        "quality_prob",
+        (F.col("quality_lodds") >= 0).alias("quality_keep"),
+    )
+
+
+def _sql_quality_classifier() -> str:
+    """DuckDB mirror of the ENTIRE train+score pipeline: same explicit
+    whitespace class, same md5 bucketing, same +1/B smoothing, same
+    unseen-bucket default mass, same 4/6-decimal rounding grain."""
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL::VARCHAR" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in QC_PROBES
+    )
+    B = 1 << 16
+    ws = (
+        "list_filter(regexp_split_to_array(lower(text), "
+        "'[ \t\n\x0b\f\r]+'), x -> x != '')[1:200]"
+    )
+    bucket = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substring(md5(g), 1, 8), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {B} AS INT)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, (lang = 'en') AS lab, {ws} AS ws FROM documents),
+tg AS (
+  SELECT lab, unnest(ws) AS g FROM d
+  UNION ALL
+  SELECT lab, ws[i] || '_' || ws[i + 1] AS g
+  FROM (SELECT lab, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM d WHERE len(ws) >= 2)
+),
+tf AS (SELECT lab, {bucket} AS bucket FROM tg),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS cn
+  FROM tf GROUP BY 1
+),
+tots AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM counts),
+nd AS (
+  SELECT sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nn
+  FROM d
+),
+weights AS (
+  SELECT bucket, ln((cp + 1.0) / (tp + {B})) - ln((cn + 1.0) / (tn + {B})) AS llr
+  FROM counts CROSS JOIN tots
+),
+params AS (
+  SELECT ln(np * 1.0 / nn) AS prior, ln((tn + {B} * 1.0) / (tp + {B})) AS dflt
+  FROM nd CROSS JOIN tots
+),
+sbase AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {probes}) v(doc_id, text)
+),
+sd AS (SELECT doc_id, {ws} AS ws FROM sbase),
+sg AS (
+  SELECT doc_id, unnest(ws) AS g FROM sd
+  UNION ALL
+  SELECT doc_id, ws[i] || '_' || ws[i + 1] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM sd WHERE len(ws) >= 2)
+),
+sf AS (SELECT doc_id, {bucket} AS bucket FROM sg),
+scored AS (
+  SELECT f.doc_id, sum(coalesce(w.llr, p.dflt)) AS s
+  FROM sf f LEFT JOIN weights w USING (bucket) CROSS JOIN params p
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       round(p.prior + coalesce(s.s, 0), 4) AS quality_lodds,
+       round(1.0 / (1.0 + exp(-(p.prior + coalesce(s.s, 0)))), 6) AS quality_prob,
+       (round(p.prior + coalesce(s.s, 0), 4) >= 0) AS quality_keep
+FROM sbase b CROSS JOIN params p LEFT JOIN scored s ON b.doc_id = s.doc_id
+"""
+
+
 def q_alias_discovery(spark, sf_dir):
     """Alias clusters over frequent document tokens (rows-only)."""
     from harvesttext_spark.operators.alias_discovery import discover_aliases
@@ -3504,10 +3713,21 @@ WHERE regexp_matches(t, '^[a-zA-Z]*$') AND length(t) = 5
 # verified by a dedicated test_retired_*_oracle_parity test each).  The
 # drift check in tools/check_contract.py consults this manifest so a
 # documented retirement is distinguishable from an accidental rename.
+# retirement artifacts: the manifest test requires each retired query to
+# keep an importable q_<name> callable and SQL_<NAME> mirror string
+SQL_QUALITY_FILTER_LABELS = _sql_quality_filter_labels()
+SQL_REPETITION_SIGNALS = _sql_repetition_signals()
+
 RETIRED_QUERIES = {
     "events_grouping_sets": "round 6: redundant with events_rollup",
     "minhash_signature": "round 7: chain recomputed inside minhash_lsh_pairs",
     "events_window": "round 7: redundant with events_sessionize+events_rollup",
+    "quality_filter_labels": (
+        "round 7: chain recomputed inside quality_filter_full_labels"
+    ),
+    "repetition_signals": (
+        "round 7: shapes recomputed inside quality_filter_full_labels"
+    ),
     "simhash": "round 7: chain recomputed inside simhash_pairs32",
 }
 
@@ -3559,11 +3779,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs32": q_simhash_pairs32,
-        "repetition_signals": q_repetition_signals,
+        # repetition_signals RETIRED round 7 (its dup-line/top-bigram SQL
+        # shapes are recomputed inside the quality_filter_full_labels
+        # oracle's repetition when-chain; green r04-r06) — full per-doc
+        # ratio value check preserved in
+        # test_retired_repetition_signals_oracle_parity; slot goes to the
+        # supervised quality classifier
+        "quality_classifier": q_quality_classifier,
         "repetition_ngrams": q_repetition_ngrams,
         "boilerplate_dedup": q_boilerplate_dedup,
         "canonical_urls": q_canonical_urls,
-        "quality_filter_labels": q_quality_filter_labels,
+        # quality_filter_labels RETIRED round 7 (its battery chain + base
+        # cascade SQL is recomputed verbatim inside the
+        # quality_filter_full_labels oracle — _sql_quality_filter_full_labels
+        # composes _sql_clean_chain + the same when-chain; green r03-r06)
+        # — full value check preserved in
+        # test_retired_quality_filter_labels_oracle_parity; slot goes to
+        # the FineWeb line-ratio battery
+        "fineweb_signals": q_fineweb_signals,
         "quality_filter_full_labels": q_quality_filter_full_labels,
         "pii_scrub": q_pii_scrub,
         "domain_drop_samples": q_domain_drop_samples,
@@ -3624,7 +3857,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "c4_line_filters": _sql_c4_line_filters(),
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,
-        "repetition_signals": _sql_repetition_signals(),
+        "quality_classifier": _sql_quality_classifier(),
         "repetition_ngrams": _sql_repetition_ngrams(),
         "boilerplate_dedup": SQL_BOILERPLATE_DEDUP,
         "canonical_urls": _sql_canonical_urls(),
@@ -3662,7 +3895,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "langid_trained": SQL_LANGID_TRAINED,
         "pagerank_tokens": _sql_pagerank(),
-        "quality_filter_labels": _sql_quality_filter_labels(),
+        "fineweb_signals": _sql_fineweb_signals(),
         "quality_filter_full_labels": _sql_quality_filter_full_labels(),
         "pii_scrub": _sql_pii_scrub(),
         "domain_drop_samples": _sql_domain_drop_samples(),

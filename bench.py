@@ -85,7 +85,9 @@ def main() -> None:
     pipe_s = None
     for _ in range(REPEAT):
         t0 = time.time()
-        qs["quality_filter_labels"](spark, SF_DIR).write.format("noop").mode(
+        (qs.get("quality_filter_labels") or entrymod.q_quality_filter_labels)(
+            spark, SF_DIR
+        ).write.format("noop").mode(
             "overwrite"
         ).save()
         dt = time.time() - t0

@@ -1,0 +1,190 @@
+"""Supervised quality classifier — the CCNet / fastText-shape model-based
+quality stage (Wenzek et al. 2020 §4.3 train a linear fastText model on
+"looks like the target corpus" vs "random crawl"; FineWeb-Edu and DCLM
+use the same recipe with better labels).  The engine's recast keeps the
+fastText FEATURE space (hashed word uni+bigram buckets) but trains the
+linear weights as binomial Naive Bayes log-likelihood ratios — training
+is then TWO distributed groupBy counts (the closed form; no SGD
+epoch/shard nondeterminism), the exact binary sibling of
+``operators/langid_model.py``'s multinomial trainer.
+
+    bucket  b  = conv(md5(gram),16,10) % n_buckets, gram ∈ uni ∪ bi
+    llr(b)     = ln((c_pos(b)+1)/(tot_pos+B)) − ln((c_neg(b)+1)/(tot_neg+B))
+    prior      = ln(n_pos_docs / n_neg_docs)
+    default    = ln((tot_neg+B)/(tot_pos+B))      [unseen-bucket mass]
+    lodds(doc) = prior + Σ_matched llr(b) + (n_feats − matched)·default
+    prob       = σ(lodds)
+
+TRAIN: explode grams → ONE groupBy bucket with conditional counts →
+weights dim table (≤ n_buckets rows — broadcastable by construction).
+SCORE: explode grams → broadcast-join weights → per-doc sum.  One pass
+over text either way; the only wide exchange is the bucket count at
+n_buckets cardinality, which is constant in corpus size — the shape
+holds at 100 TB (weights stay ≤ 2^16 rows no matter how many docs).
+
+Distillation usage (jobs/run_quality_filter.py --quality-classifier):
+train on the heuristic cascade's own keep/drop labels, then score — a
+single calibrated log-odds per page that compresses the rule battery,
+the standard bootstrap when no human-labeled quality set exists.
+Corpus-relative (the model depends on this run's label balance), so the
+job stage is refused under --resume, like the self-trained LM and DSIR.
+
+Everything is md5-bucket arithmetic plus closed-form counts — fully
+DuckDB-expressible, so the whole train+score pipeline has an exact
+value oracle (``quality_classifier`` in __spark_entry__.py, the
+langid_trained / dsir_topk pattern).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 1 << 16
+MAX_WORDS = 200  # per-doc cap: ≤ 200 unigrams + 199 bigrams transit
+
+# explicit class: Java \s and RE2 \s disagree on \x0b (substring_dedup pin)
+_WS = "[ \t\n\x0B\f\r]+"
+
+
+def _gram_rows(
+    docs: DataFrame,
+    text_col: str,
+    keep_cols: list[str],
+    n_buckets: int = N_BUCKETS,
+    max_words: int = MAX_WORDS,
+) -> DataFrame:
+    """One row per hashed word uni/bigram bucket (capped per doc).
+
+    The word array is materialized as a COLUMN before the bigram
+    transform — HOF lambdas get no CSE, so deriving bigrams from an
+    inline split would re-evaluate it per element (the langid_model
+    measured trap)."""
+    words = docs.select(
+        *keep_cols,
+        F.slice(
+            F.filter(F.split(F.lower(F.col(text_col)), _WS), lambda w: w != ""),
+            1,
+            max_words,
+        ).alias("_w"),
+    )
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at("_w", i), F.element_at("_w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select(
+        *keep_cols, F.explode(F.concat(F.col("_w"), bigrams)).alias("_g")
+    ).select(
+        *keep_cols,
+        (F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("bigint") % n_buckets)
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    max_words: int = MAX_WORDS,
+    persist: bool = False,
+) -> tuple[DataFrame, dict]:
+    """-> (weights(bucket, llr), params {prior, default_llr, n_buckets,
+    max_words}).  ``label_col`` is boolean (true = positive/quality).
+    Raises ValueError when either class is empty — a one-class NB has no
+    defined odds (callers decide whether that's a skip or an error).
+
+    The class totals are dimension-sized driver scalars (one 1-row agg);
+    the per-bucket count exchange is capped at n_buckets rows."""
+    lab = docs.select(
+        F.col(label_col).cast("boolean").alias("lab"), F.col(text_col).alias("_t")
+    )
+    ndocs = lab.groupBy().agg(
+        F.sum(F.when(F.col("lab"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(~F.col("lab"), 1).otherwise(0)).alias("nn"),
+    ).collect()[0]
+    n_pos, n_neg = int(ndocs["np"] or 0), int(ndocs["nn"] or 0)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"quality classifier needs both classes: pos={n_pos} neg={n_neg}"
+        )
+    feats = _gram_rows(lab, "_t", ["lab"], n_buckets, max_words)
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lab"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("lab"), 1).otherwise(0)).alias("cn"),
+    )
+    if persist:
+        # the totals action below AND the weights projection both consume
+        # counts — without this the whole corpus feature extraction runs
+        # twice (plan-keyed LRU-1, the langid_weights precedent)
+        from harvesttext_spark.session import plan_keyed_persist
+
+        counts = plan_keyed_persist(counts, "quality_classifier_counts")
+    tots = counts.groupBy().agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
+    ).collect()[0]
+    tp, tn = int(tots["tp"] or 0), int(tots["tn"] or 0)
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("cp") + 1) / F.lit(float(tp + n_buckets)))
+            - F.log((F.col("cn") + 1) / F.lit(float(tn + n_buckets)))
+        ).alias("llr"),
+    )
+    params = {
+        "prior": math.log(n_pos / n_neg),
+        "default_llr": math.log((tn + n_buckets) / (tp + n_buckets)),
+        "n_buckets": n_buckets,
+        "max_words": max_words,
+    }
+    return weights, params
+
+
+def score_quality(
+    docs: DataFrame,
+    weights: DataFrame,
+    params: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, quality_lodds, quality_prob).  Weights broadcast-
+    joined (≤ n_buckets rows by construction); docs with no words score
+    the bare prior.  lodds rounds to 4 decimals, prob to 6 (the oracle
+    grain; float-sum wobble ~1e-10)."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    feats = _gram_rows(
+        base, "_t", ["doc_id"], params["n_buckets"], params["max_words"]
+    )
+    prior = float(params["prior"])
+    default = float(params["default_llr"])
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(prior)
+                + F.sum(F.coalesce(F.col("llr"), F.lit(default)))
+            ).alias("_lodds")
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("_lodds", F.lit(prior)), 4).alias("quality_lodds"),
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce("_lodds", F.lit(prior)))),
+                6,
+            ).alias("quality_prob"),
+        )
+    )

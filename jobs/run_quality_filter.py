@@ -284,6 +284,57 @@ def apply_c4_line_filter(
     )
 
 
+def apply_fineweb_filter(
+    labeled,
+    punct_ratio=None,
+    short_ratio=None,
+    dup_ratio=None,
+    text_col="text_clean",
+):
+    """--fineweb-filter: the FineWeb line-ratio battery (Penedo et al.
+    2024 §3.6, functions/fineweb.py) over kept rows' cleaned text —
+    pages whose terminal-punct line ratio is too low, whose short-line
+    ratio is too high, or whose duplicated-line char ratio is too high
+    drop as fineweb_punct / fineweb_short_lines / fineweb_dup_lines
+    (first failing rule wins, in that order).  Pure codegen per row
+    (bucket-idempotent — composes with --resume); the three ratios land
+    as stage-metric columns."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.functions import fineweb as fw
+
+    punct_ratio = fw.PUNCT_RATIO if punct_ratio is None else punct_ratio
+    short_ratio = fw.SHORT_RATIO if short_ratio is None else short_ratio
+    dup_ratio = fw.DUP_RATIO if dup_ratio is None else dup_ratio
+    df = labeled.withColumn("_fw_lines", fw.fineweb_lines(F.col(text_col)))
+    sig = fw.fineweb_signals(
+        F.col("_fw_lines"), punct_ratio, short_ratio, dup_ratio
+    )
+    df = (
+        df.withColumn("fineweb_punct_frac", sig["frac_lines_end_punct"])
+        .withColumn("fineweb_short_frac", sig["frac_lines_short"])
+        .withColumn("fineweb_dup_frac", sig["frac_chars_dup_lines"])
+        .drop("_fw_lines")
+    )
+    df = df.withColumn(
+        "drop_reason",
+        F.when(
+            F.col("keep") & ~(F.col("fineweb_punct_frac") > punct_ratio),
+            F.lit("fineweb_punct"),
+        )
+        .when(
+            F.col("keep") & (F.col("fineweb_short_frac") >= short_ratio),
+            F.lit("fineweb_short_lines"),
+        )
+        .when(
+            F.col("keep") & (F.col("fineweb_dup_frac") >= dup_ratio),
+            F.lit("fineweb_dup_lines"),
+        )
+        .otherwise(F.col("drop_reason")),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+    return df
+
+
 def apply_dsir_select(labeled, target, keep_frac, seed=42):
     """--dsir-keep-frac + --dsir-target-path: DSIR importance resampling
     (Xie et al. 2023, operators/dsir.py) over the KEPT rows' cleaned
@@ -330,6 +381,57 @@ def apply_dsir_select(labeled, target, keep_frac, seed=42):
         )
         .withColumn("keep", F.col("drop_reason").isNull())
         .drop("_durl", "_dkeep")
+    )
+
+
+def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
+    """--quality-classifier-min-prob: distill the cascade into a single
+    calibrated scorer (operators/quality_classifier.py, the CCNet
+    fastText recipe with the cascade's own keep/drop labels as the
+    training signal), then drop KEPT pages whose quality probability
+    falls below ``min_prob`` (drop_reason=quality_classifier) — pages
+    that survived every individual rule but still LOOK like the dropped
+    population.  ``quality_prob`` lands as a stage-metric column on
+    every row.  CORPUS-relative (the model depends on this run's label
+    balance), so — like --with-lm and --dsir-keep-frac — it is NOT
+    bucket-idempotent and is refused under --resume.  Raises when the
+    cascade produced only one class (nothing to distill).  Precondition:
+    url unique (run the dedup pre-passes first)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    train = labeled.select(
+        F.col("keep").alias("label"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    weights, params = train_quality_classifier(
+        train, label_col="label", text_col="_t", persist=True
+    )
+    scored = score_quality(
+        labeled.select("url", F.coalesce(F.col(text_col), F.lit("")).alias("_t")),
+        weights,
+        params,
+        text_col="_t",
+        id_col="url",
+    ).select(
+        F.col("doc_id").alias("_qurl"), F.col("quality_prob")
+    )
+    return (
+        labeled.join(scored, labeled["url"] == scored["_qurl"], "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep")
+                & (F.coalesce(F.col("quality_prob"), F.lit(0.0)) < min_prob),
+                F.lit("quality_classifier"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_qurl")
     )
 
 
@@ -400,6 +502,15 @@ def build_policy_fn(args, parser=None):
                 df,
                 min_words=args.c4_min_words,
                 min_sentences=args.c4_min_sentences,
+            )
+        )
+    if getattr(args, "fineweb_filter", False):
+        stages.append(
+            lambda df: apply_fineweb_filter(
+                df,
+                punct_ratio=args.fineweb_punct_ratio,
+                short_ratio=args.fineweb_short_ratio,
+                dup_ratio=args.fineweb_dup_ratio,
             )
         )
     if getattr(args, "min_dominant_script_frac", None) is not None:
@@ -816,6 +927,40 @@ def main(argv=None) -> None:
         help="with --c4-line-filter: min sentences per surviving page",
     )
     p.add_argument(
+        "--quality-classifier-min-prob",
+        type=float,
+        default=None,
+        metavar="PROB",
+        help="distill the cascade's keep/drop labels into a hashed-ngram "
+        "NB classifier (CCNet fastText shape) and drop kept pages whose "
+        "quality probability is below PROB (drop_reason="
+        "quality_classifier). Corpus-relative like --with-lm, so "
+        "incompatible with --resume.",
+    )
+    p.add_argument(
+        "--fineweb-filter",
+        action="store_true",
+        help="apply the FineWeb line-ratio battery (terminal-punct line "
+        "ratio / short-line ratio / duplicated-line char ratio; Penedo "
+        "et al. 2024) to kept rows' text_clean. Per-row, composes with "
+        "--resume.",
+    )
+    p.add_argument(
+        "--fineweb-punct-ratio", type=float, default=None,
+        help="with --fineweb-filter: drop pages whose fraction of lines "
+        "ending in terminal punctuation is <= this (default 0.12)",
+    )
+    p.add_argument(
+        "--fineweb-short-ratio", type=float, default=None,
+        help="with --fineweb-filter: drop pages whose fraction of lines "
+        "shorter than 30 chars is >= this (default 0.67)",
+    )
+    p.add_argument(
+        "--fineweb-dup-ratio", type=float, default=None,
+        help="with --fineweb-filter: drop pages whose fraction of chars "
+        "in duplicated lines is >= this (default 0.1)",
+    )
+    p.add_argument(
         "--pack-max-tokens",
         type=int,
         default=None,
@@ -920,6 +1065,14 @@ def main(argv=None) -> None:
                 "(bucket idempotency). Run DSIR as a separate full pass "
                 "over the resumed output."
             )
+        if args.quality_classifier_min_prob is not None:
+            sys.exit(
+                "--resume is incompatible with --quality-classifier-min-prob: "
+                "the distilled classifier depends on the run's full label "
+                "balance, so reprocessed tail buckets would not score "
+                "identically (bucket idempotency). Run the classifier as a "
+                "separate full pass over the resumed output."
+            )
         if args.with_lm:
             sys.exit(
                 "--resume is incompatible with --with-lm: the self-trained "
@@ -986,6 +1139,10 @@ def main(argv=None) -> None:
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
         labeled = build_policy_fn(args, p)(labeled)
+        if args.quality_classifier_min_prob is not None:
+            labeled = apply_quality_classifier(
+                labeled, args.quality_classifier_min_prob
+            )
         if args.dsir_keep_frac is not None:
             from pyspark.sql import functions as F
 

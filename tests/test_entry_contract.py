@@ -91,6 +91,14 @@ def test_retired_manifest_consistent():
         "minhash_signature": ("q_minhash_signature", "SQL_MINHASH_SIGNATURE"),
         "events_window": ("q_events_window", "SQL_EVENTS_WINDOW"),
         "simhash": ("q_simhash", "SQL_SIMHASH"),
+        "quality_filter_labels": (
+            "q_quality_filter_labels",
+            "SQL_QUALITY_FILTER_LABELS",
+        ),
+        "repetition_signals": (
+            "q_repetition_signals",
+            "SQL_REPETITION_SIGNALS",
+        ),
     }
     assert set(e.RETIRED_QUERIES) == set(artifacts)
     live = set(e.queries()) | set(e.oracle_sql())

@@ -112,6 +112,41 @@ def test_retired_simhash_oracle_parity(spark):
     assert a == b
 
 
+def test_retired_quality_filter_labels_oracle_parity(spark):
+    """quality_filter_labels was retired from the driver contract in
+    round 7 (its battery chain + base keep/drop cascade SQL is recomputed
+    verbatim inside the quality_filter_full_labels oracle —
+    _sql_quality_filter_full_labels composes _sql_clean_chain plus the
+    same when-chain; green r03-r06 driver history) — the full per-doc
+    label value check stays here with the same compare the contract
+    used, freeing the prefix slot for fineweb_signals."""
+    sdf = entrymod.q_quality_filter_labels(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_QUALITY_FILTER_LABELS).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
+def test_retired_repetition_signals_oracle_parity(spark):
+    """repetition_signals was retired from the driver contract in round 7
+    (its dup-line / top-bigram SQL shapes are recomputed inside the
+    quality_filter_full_labels oracle's repetition when-chain; green
+    r04-r06 driver history) — the full per-doc ratio value check stays
+    here with the same compare the contract used, freeing the prefix
+    slot for quality_classifier."""
+    sdf = entrymod.q_repetition_signals(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_REPETITION_SIGNALS).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
 def test_retired_events_window_oracle_parity(spark):
     """events_window was retired from the driver contract in round 7
     (its windowed-agg coverage is redundant with events_sessionize +

@@ -1,0 +1,189 @@
+"""Supervised quality classifier (operators/quality_classifier.py):
+row-for-row pure-python NB reference, degenerate-class guard, bare-prior
+path, separation on the real corpus, broadcast plan shape, and the
+--quality-classifier-min-prob job stage.  Spark/DuckDB train+score value
+parity is covered by the `quality_classifier` oracle in
+test_oracle_parity."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesttext_spark.operators.quality_classifier import (
+    score_quality,
+    train_quality_classifier,
+)
+
+_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _py_buckets(text, n_buckets, max_words=200):
+    ws = [w for w in re.split(_WS, text.lower()) if w != ""][:max_words]
+    gs = list(ws) + [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+    return [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+        for g in gs
+    ]
+
+
+def _py_model(rows, n_buckets, max_words=200):
+    cp, cn = {}, {}
+    n_pos = n_neg = 0
+    for lab, text in rows:
+        if lab:
+            n_pos += 1
+        else:
+            n_neg += 1
+        for b in _py_buckets(text, n_buckets, max_words):
+            (cp if lab else cn)[b] = (cp if lab else cn).get(b, 0) + 1
+    tp, tn = sum(cp.values()), sum(cn.values())
+    buckets = set(cp) | set(cn)
+    llr = {
+        b: math.log((cp.get(b, 0) + 1) / (tp + n_buckets))
+        - math.log((cn.get(b, 0) + 1) / (tn + n_buckets))
+        for b in buckets
+    }
+    prior = math.log(n_pos / n_neg)
+    default = math.log((tn + n_buckets) / (tp + n_buckets))
+    return llr, prior, default
+
+
+def _py_score(text, llr, prior, default, n_buckets, max_words=200):
+    s = prior
+    for b in _py_buckets(text, n_buckets, max_words):
+        s += llr.get(b, default)
+    return s
+
+
+FIXTURE = [
+    (True, "the quick brown fox jumps over the lazy dog today"),
+    (True, "a well formed english sentence with common words here"),
+    (True, "the cat sat on the mat and the dog barked"),
+    (True, "english prose tends to use the and of and to"),
+    (False, "el gato la mesa los perros de que y en un"),
+    (False, "la casa el rio los montes de que y una cosa"),
+    (False, "un dia la noche el sol de la luna y"),
+]
+
+
+def test_weights_and_scores_match_python_reference(spark):
+    """Exact weight + score agreement with the closed form at a tiny
+    bucket count (64 forces hash collisions, exercising the shared-
+    bucket path)."""
+    B = 64
+    df = spark.createDataFrame(FIXTURE, "label boolean, text string")
+    weights, params = train_quality_classifier(df, n_buckets=B)
+    llr, prior, default = _py_model(FIXTURE, B)
+    got = {r["bucket"]: r["llr"] for r in weights.collect()}
+    assert set(got) == set(llr)
+    for b in llr:
+        assert abs(got[b] - llr[b]) < 1e-9, b
+    assert abs(params["prior"] - prior) < 1e-12
+    assert abs(params["default_llr"] - default) < 1e-12
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(FIXTURE)] + [(99, "unseen words zzz qqq")],
+        "doc_id bigint, text string",
+    )
+    scored = {r["doc_id"]: r["quality_lodds"] for r in
+              score_quality(docs, weights, params).collect()}
+    for i, (_, t) in enumerate(FIXTURE):
+        assert abs(scored[i] - round(_py_score(t, llr, prior, default, B), 4)) <= 1e-4
+    assert abs(
+        scored[99] - round(_py_score("unseen words zzz qqq", llr, prior, default, B), 4)
+    ) <= 1e-4
+
+
+def test_single_class_raises(spark):
+    df = spark.createDataFrame(
+        [(True, "only positives here"), (True, "still positive")],
+        "label boolean, text string",
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier(df)
+
+
+def test_empty_and_null_text_score_bare_prior(spark):
+    df = spark.createDataFrame(FIXTURE, "label boolean, text string")
+    weights, params = train_quality_classifier(df, n_buckets=64)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in score_quality(docs, weights, params).collect()}
+    expect = round(params["prior"], 4)
+    assert out[1]["quality_lodds"] == expect
+    assert out[2]["quality_lodds"] == expect
+    sig = round(1.0 / (1.0 + math.exp(-params["prior"])), 6)
+    assert out[1]["quality_prob"] == sig
+
+
+def test_separation_on_planted_corpus(spark):
+    """On a corpus whose label actually correlates with the text (the
+    sf* documents table's lang column does NOT — its word soup is the
+    same vocabulary for every lang), the distilled model must recover
+    the label for nearly every doc, including held-out index variants."""
+    en = "the quick brown fox jumps over the lazy dog and the cat"
+    es = "el rapido zorro marron salta sobre el perro y el gato"
+    rows = [(True, f"{en} page number {i} of the corpus") for i in range(100)] + [
+        (False, f"{es} pagina numero {i} del corpus") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "label boolean, text string")
+    weights, params = train_quality_classifier(df)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id bigint, text string"
+    )
+    scored = score_quality(docs, weights, params)
+    labels = spark.createDataFrame(
+        [(i, lab) for i, (lab, _) in enumerate(rows)], "doc_id bigint, label boolean"
+    )
+    joined = scored.join(labels, "doc_id")
+    agree = joined.filter(
+        ((F.col("quality_lodds") >= 0) & F.col("label"))
+        | ((F.col("quality_lodds") < 0) & ~F.col("label"))
+    ).count()
+    assert agree / len(rows) >= 0.99, agree
+
+
+def test_score_join_is_broadcast(spark):
+    """The weights side is bounded at n_buckets rows — the score join
+    must be a BroadcastHashJoin, never a sort-merge exchange of the
+    corpus feature stream."""
+    df = spark.createDataFrame(FIXTURE, "label boolean, text string")
+    weights, params = train_quality_classifier(df, n_buckets=64)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(FIXTURE)], "doc_id bigint, text string"
+    )
+    plan = score_quality(docs, weights, params)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_job_stage(spark):
+    """--quality-classifier-min-prob wiring: the distilled model drops
+    kept pages that look like the dropped population; already-dropped
+    rows keep their reason; quality_prob lands on every row."""
+    from jobs.run_quality_filter import apply_quality_classifier
+
+    kept_text = "a well formed english sentence with common words here"
+    drop_text = "el gato la mesa los perros de que y en un"
+    rows = (
+        [(f"https://k{i}.example/", kept_text + f" variant {i}", True, None)
+         for i in range(8)]
+        + [(f"https://d{i}.example/", drop_text + f" numero {i}", False, "too_short")
+           for i in range(8)]
+        # survivor that LOOKS dropped: every rule passed but the
+        # distilled model should flag it
+        + [("https://mole.example/", drop_text + " distinto", True, None)]
+    )
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    got = {r["url"]: r.asDict()
+           for r in apply_quality_classifier(df, min_prob=0.5).collect()}
+    assert got["https://mole.example/"]["drop_reason"] == "quality_classifier"
+    for i in range(8):
+        assert got[f"https://k{i}.example/"]["keep"] is True
+        assert got[f"https://d{i}.example/"]["drop_reason"] == "too_short"
+    assert all("quality_prob" in r for r in got.values())

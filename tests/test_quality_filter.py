@@ -175,7 +175,7 @@ def test_qf_probe_rows_cover_every_reason(spark):
             assert cleaned != raw, (doc_id, raw)
     out = {
         r["doc_id"]: r["drop_reason"]
-        for r in entrymod.queries()["quality_filter_labels"](
+        for r in entrymod.q_quality_filter_labels(
             spark, "/root/testdata/sf0.001"
         )
         .filter("doc_id >= 1000000")

@@ -64,7 +64,9 @@ def main() -> None:
     ]
     qs = e.queries()
     for title, name in SECTIONS.items():
-        plan = capture(qs[name](spark, sf))
+        # retired contract queries keep their q_<name> function
+        fn = qs.get(name) or getattr(e, f"q_{name}")
+        plan = capture(fn(spark, sf))
         lines = plan.splitlines()
         keep, tree_done = [], False
         for ln in lines:
