@@ -3626,6 +3626,63 @@ FROM sbase b CROSS JOIN params p LEFT JOIN scored s ON b.doc_id = s.doc_id
 """
 
 
+# tiny planted domains pinning the empirical-Bayes pull-to-mean: 2/2
+# kept must land near the global rate (not 1.0), 0/2 near it from below,
+# 1/2 almost exactly on it
+DR_PROBES = [
+    ("probe_small_good", True),
+    ("probe_small_good", True),
+    ("probe_small_bad", False),
+    ("probe_small_bad", False),
+    ("probe_mixed", True),
+    ("probe_mixed", False),
+]
+
+
+def q_domain_reputation(spark, sf_dir):
+    """Domain-reputation shrinkage (operators/domain_reputation.py):
+    per-domain Beta-Binomial posterior keep-rate — raw rate shrunk
+    toward the global rate by κ=20 pseudo-pages — plus the ≥0.5
+    threshold decision.  Keep signal here is the deterministic
+    n_chars ≥ 300 proxy over the documents table's source domains;
+    planted 2-page probe domains pin the pull-to-mean.  FULL value
+    oracle (one groupBy + scalar totals — trivially SQL)."""
+    from harvesttext_spark.operators.domain_reputation import domain_reputation
+
+    vals = ", ".join(
+        "('{}', {})".format(d, "true" if k else "false") for d, k in DR_PROBES
+    )
+    probe = spark.sql(f"SELECT domain, k FROM (VALUES {vals}) AS t(domain, k)")
+    base = _docs(spark, sf_dir).select(
+        F.col("source").alias("domain"), (F.col("n_chars") >= 300).alias("k")
+    ).unionByName(probe)
+    out = domain_reputation(base, domain_col="domain", keep_col="k")
+    return out.select(
+        "domain", "n_pages", "n_keep", "raw_rate", "shrunk_rate",
+        (F.col("shrunk_rate") >= 0.5).alias("reputation_keep"),
+    )
+
+
+def _sql_domain_reputation() -> str:
+    from harvesttext_spark.operators.domain_reputation import (
+        domain_reputation_sql,
+    )
+
+    vals = ", ".join(
+        "('{}', {})".format(d, "true" if k else "false") for d, k in DR_PROBES
+    )
+    base = (
+        "SELECT source AS domain, (n_chars >= 300) AS k FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {vals}) v(domain, k)"
+    )
+    inner = domain_reputation_sql(base)
+    return (
+        f"WITH rep AS ({inner}) "
+        "SELECT domain, n_pages, n_keep, raw_rate, shrunk_rate, "
+        "(shrunk_rate >= 0.5) AS reputation_keep FROM rep"
+    )
+
+
 def q_alias_discovery(spark, sf_dir):
     """Alias clusters over frequent document tokens (rows-only)."""
     from harvesttext_spark.operators.alias_discovery import discover_aliases
@@ -3717,6 +3774,7 @@ WHERE regexp_matches(t, '^[a-zA-Z]*$') AND length(t) = 5
 # keep an importable q_<name> callable and SQL_<NAME> mirror string
 SQL_QUALITY_FILTER_LABELS = _sql_quality_filter_labels()
 SQL_REPETITION_SIGNALS = _sql_repetition_signals()
+SQL_REPETITION_NGRAMS = _sql_repetition_ngrams()
 
 RETIRED_QUERIES = {
     "events_grouping_sets": "round 6: redundant with events_rollup",
@@ -3726,6 +3784,9 @@ RETIRED_QUERIES = {
         "round 7: chain recomputed inside quality_filter_full_labels"
     ),
     "repetition_signals": (
+        "round 7: shapes recomputed inside quality_filter_full_labels"
+    ),
+    "repetition_ngrams": (
         "round 7: shapes recomputed inside quality_filter_full_labels"
     ),
     "simhash": "round 7: chain recomputed inside simhash_pairs32",
@@ -3786,7 +3847,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_retired_repetition_signals_oracle_parity; slot goes to the
         # supervised quality classifier
         "quality_classifier": q_quality_classifier,
-        "repetition_ngrams": q_repetition_ngrams,
+        # repetition_ngrams RETIRED round 7 (its top-n-gram CTE shapes are
+        # recomputed inside the quality_filter_full_labels oracle's gopher
+        # when-chain; green r04-r06) — full per-doc value check preserved
+        # in test_retired_repetition_ngrams_oracle_parity; slot goes to
+        # the domain-reputation shrinkage filter
+        "domain_reputation": q_domain_reputation,
         "boilerplate_dedup": q_boilerplate_dedup,
         "canonical_urls": q_canonical_urls,
         # quality_filter_labels RETIRED round 7 (its battery chain + base
@@ -3858,7 +3924,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filters": _sql_c4_line_filters(),
         "simhash_pairs32": SQL_SIMHASH_PAIRS32,
         "quality_classifier": _sql_quality_classifier(),
-        "repetition_ngrams": _sql_repetition_ngrams(),
+        "domain_reputation": _sql_domain_reputation(),
         "boilerplate_dedup": SQL_BOILERPLATE_DEDUP,
         "canonical_urls": _sql_canonical_urls(),
         "token_freq": SQL_TOKEN_FREQ,

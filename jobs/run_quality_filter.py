@@ -384,6 +384,47 @@ def apply_dsir_select(labeled, target, keep_frac, seed=42):
     )
 
 
+def apply_domain_reputation_filter(labeled, min_rate, prior_strength=None):
+    """--domain-reputation-min-rate: per-domain Beta-Binomial shrunk
+    keep-rate over THIS run's labels (operators/domain_reputation.py) —
+    every page of a domain whose shrunk rate falls below ``min_rate``
+    drops as domain_reputation, including pages the per-page rules kept
+    (link farms produce individually-plausible pages).  The shrinkage
+    prior (κ pseudo-pages of global rate) keeps 2-page domains from
+    being judged on 2 pages.  ``domain_shrunk_rate`` lands as a
+    stage-metric column.  CORPUS-relative (rates depend on the run's
+    full label census), so refused under --resume.  One domain-keyed
+    agg + an AQE-planned join back — the salted domain_metrics rollup
+    is unaffected."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.domain_reputation import (
+        PRIOR_STRENGTH,
+        apply_domain_reputation,
+    )
+    from harvesttext_spark.pipeline.quality_filter import domain_col
+
+    df = labeled.withColumn("_dr_domain", domain_col("url"))
+    df = apply_domain_reputation(
+        df,
+        min_rate,
+        domain_col="_dr_domain",
+        keep_col="keep",
+        prior_strength=PRIOR_STRENGTH if prior_strength is None else prior_strength,
+    )
+    return (
+        df.withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & ~F.col("domain_reputation_keep"),
+                F.lit("domain_reputation"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_dr_domain", "domain_reputation_keep")
+    )
+
+
 def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
     """--quality-classifier-min-prob: distill the cascade into a single
     calibrated scorer (operators/quality_classifier.py, the CCNet
@@ -927,6 +968,24 @@ def main(argv=None) -> None:
         help="with --c4-line-filter: min sentences per surviving page",
     )
     p.add_argument(
+        "--domain-reputation-min-rate",
+        type=float,
+        default=None,
+        metavar="RATE",
+        help="drop ALL pages of domains whose Beta-Binomial shrunk "
+        "keep-rate (over this run's labels) is below RATE (drop_reason="
+        "domain_reputation). Corpus-relative like --with-lm, so "
+        "incompatible with --resume.",
+    )
+    p.add_argument(
+        "--domain-reputation-strength",
+        type=float,
+        default=None,
+        metavar="KAPPA",
+        help="with --domain-reputation-min-rate: pseudo-pages of "
+        "global-rate prior evidence (default 20)",
+    )
+    p.add_argument(
         "--quality-classifier-min-prob",
         type=float,
         default=None,
@@ -1065,6 +1124,14 @@ def main(argv=None) -> None:
                 "(bucket idempotency). Run DSIR as a separate full pass "
                 "over the resumed output."
             )
+        if args.domain_reputation_min_rate is not None:
+            sys.exit(
+                "--resume is incompatible with --domain-reputation-min-rate: "
+                "domain rates depend on the run's full label census, so "
+                "reprocessed tail buckets would not drop identically "
+                "(bucket idempotency). Run the reputation filter as a "
+                "separate full pass over the resumed output."
+            )
         if args.quality_classifier_min_prob is not None:
             sys.exit(
                 "--resume is incompatible with --quality-classifier-min-prob: "
@@ -1139,6 +1206,12 @@ def main(argv=None) -> None:
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
         labeled = build_policy_fn(args, p)(labeled)
+        if args.domain_reputation_min_rate is not None:
+            labeled = apply_domain_reputation_filter(
+                labeled,
+                args.domain_reputation_min_rate,
+                prior_strength=args.domain_reputation_strength,
+            )
         if args.quality_classifier_min_prob is not None:
             labeled = apply_quality_classifier(
                 labeled, args.quality_classifier_min_prob

@@ -99,6 +99,10 @@ def test_retired_manifest_consistent():
             "q_repetition_signals",
             "SQL_REPETITION_SIGNALS",
         ),
+        "repetition_ngrams": (
+            "q_repetition_ngrams",
+            "SQL_REPETITION_NGRAMS",
+        ),
     }
     assert set(e.RETIRED_QUERIES) == set(artifacts)
     live = set(e.queries()) | set(e.oracle_sql())

@@ -147,6 +147,23 @@ def test_retired_repetition_signals_oracle_parity(spark):
     assert a == b
 
 
+def test_retired_repetition_ngrams_oracle_parity(spark):
+    """repetition_ngrams was retired from the driver contract in round 7
+    (its top-n-gram CTE shapes are recomputed inside the
+    quality_filter_full_labels oracle's gopher when-chain; green r04-r06
+    driver history) — the full per-doc value check stays here with the
+    same compare the contract used, freeing the prefix slot for
+    domain_reputation."""
+    sdf = entrymod.q_repetition_ngrams(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_REPETITION_NGRAMS).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
 def test_retired_events_window_oracle_parity(spark):
     """events_window was retired from the driver contract in round 7
     (its windowed-agg coverage is redundant with events_sessionize +
