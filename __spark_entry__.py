@@ -3683,6 +3683,30 @@ def _sql_domain_reputation() -> str:
     )
 
 
+def q_cross_snapshot_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup (rows-only: the signature chain
+    is already value-pinned via the minhash_lsh_pairs oracle; the
+    planted-dup semantics are pinned row-for-row in
+    tests/test_cross_snapshot_dedup.py).  Prior snapshot = even doc_ids'
+    persisted band index; the 'new dump' = odd doc_ids plus planted
+    copies of two prior docs — the copies must flag, the rest follows
+    in-run LSH semantics."""
+    from harvesttext_spark.operators.dedup import (
+        flag_dups_against,
+        snapshot_band_index,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    prior = snapshot_band_index(d.filter(F.col("doc_id") % 2 == 0))
+    planted = d.filter(F.col("doc_id").isin(0, 2)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    return flag_dups_against(new, prior).select(
+        F.col("id").alias("doc_id"), "cross_dup"
+    )
+
+
 def q_alias_discovery(spark, sf_dir):
     """Alias clusters over frequent document tokens (rows-only)."""
     from harvesttext_spark.operators.alias_discovery import discover_aliases
@@ -3909,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_discovery": q_alias_discovery,
         "entity_linking": q_entity_linking,
         "pack_sequences": q_pack_sequences,
+        "cross_snapshot_dedup": q_cross_snapshot_dedup,
     }
 
 

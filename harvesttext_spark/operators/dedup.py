@@ -939,3 +939,94 @@ def drop_url_dups(
         .agg(F.max_by(row, order).alias("_r"))
         .select(*[F.col(f"_r.{c}").alias(c) for c in pages.columns])
     )
+
+
+# --- cross-snapshot (incremental) dedup ----------------------------------
+
+def snapshot_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) — the exploded MinHash band-key table to PERSIST
+    alongside a snapshot as its dedup index: ~bands x (4 + 32) bytes per
+    doc regardless of text size, the compact artifact Common-Crawl-style
+    pipelines carry between dumps instead of re-reading last dump's
+    text.  Same signature arithmetic as ``minhash_dup_pairs`` (so an
+    index written by one run is comparable in any later run with the
+    same parameters — parameters belong in the index path name).  Docs
+    with no shingles (NULL/short text) contribute no rows: they can
+    never cross-match, matching the in-run LSH semantics."""
+    sig = minhash_signature_frame(docs, text_col, id_col, shingle_n, num_hashes)
+    rows = num_hashes // bands
+    return (
+        sig.filter(F.col("sig")[0].isNotNull())
+        .select(
+            "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+        )
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def flag_dups_against(
+    docs: DataFrame,
+    prior_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, cross_dup boolean) — id collides with ANY prior-snapshot doc
+    on at least one LSH band.  The incremental dedup primitive: dump N+1
+    checks against dump N's persisted ``snapshot_band_index`` without
+    touching dump N's text.
+
+    Shape: ONE hash-partitioned left-semi join on (band, key) — semi
+    joins short-circuit at the first match, so hot template bands on the
+    prior side cannot go quadratic (no pair materialization at all, the
+    failure mode ``max_band_df`` guards in the in-run pair join), then a
+    distinct on id.  Exchange volume is bands x 36 B per doc on each
+    side, constant in text size.  Unlike in-run dedup this is PER-ROW
+    against a FIXED index, so the job stage composes with --resume
+    (bucket-idempotent) — the one dedup flavor that can."""
+    new_index = snapshot_band_index(
+        docs, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    hits = (
+        new_index.join(prior_index.select("band", "key"), ["band", "key"], "semi")
+        .select("id")
+        .distinct()
+        .withColumn("cross_dup", F.lit(True))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select("id", F.coalesce("cross_dup", F.lit(False)).alias("cross_dup"))
+    )
+
+
+def drop_dups_against(
+    docs: DataFrame,
+    prior_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """All docs whose text does NOT near-match the prior snapshot —
+    ``flag_dups_against`` consumed as an anti-join (same plan shape;
+    the flag variant exists for audit columns / drop_reason wiring)."""
+    new_index = snapshot_band_index(
+        docs, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    hits = new_index.join(
+        prior_index.select("band", "key"), ["band", "key"], "semi"
+    ).select("id").distinct()
+    return docs.join(
+        hits, docs[id_col] == hits["id"], "left_anti"
+    )

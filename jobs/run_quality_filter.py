@@ -384,6 +384,42 @@ def apply_dsir_select(labeled, target, keep_frac, seed=42):
     )
 
 
+def apply_cross_snapshot_dedup(labeled, index_path, text_col="text_clean"):
+    """--dedup-against: drop kept pages whose cleaned text near-matches
+    the PREVIOUS run's corpus via its persisted MinHash band index
+    (operators/dedup.py snapshot_band_index / flag_dups_against —
+    written by --export-dedup-index at OUTPUT/dedup_index) —
+    incremental dump-over-dump dedup without re-reading last dump's
+    text.  drop_reason=cross_snapshot_dup.  Per-row against a FIXED
+    external index, so unlike the in-run dedup passes this COMPOSES
+    with --resume (bucket-idempotent)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.dedup import flag_dups_against
+
+    prior = labeled.sparkSession.read.parquet(index_path)
+    flags = flag_dups_against(
+        labeled.select(
+            F.col("url"), F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+        ),
+        prior,
+        text_col="_t",
+        id_col="url",
+    ).select(F.col("id").alias("_xurl"), "cross_dup")
+    return (
+        labeled.join(flags, labeled["url"] == flags["_xurl"], "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & F.coalesce(F.col("cross_dup"), F.lit(False)),
+                F.lit("cross_snapshot_dup"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_xurl", "cross_dup")
+    )
+
+
 def apply_domain_reputation_filter(labeled, min_rate, prior_strength=None):
     """--domain-reputation-min-rate: per-domain Beta-Binomial shrunk
     keep-rate over THIS run's labels (operators/domain_reputation.py) —
@@ -528,6 +564,12 @@ def build_policy_fn(args, parser=None):
             )
         )
         tox_col = dec_col = "_policy_seg"
+    if getattr(args, "dedup_against", None) is not None:
+        # first content-policy stage: the band join trims the kept set
+        # before the costlier token-matching stages
+        stages.append(
+            lambda df: apply_cross_snapshot_dedup(df, args.dedup_against)
+        )
     if args.keep_langs:
         langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
         stages.append(lambda df: apply_lang_whitelist(df, langs))
@@ -968,6 +1010,23 @@ def main(argv=None) -> None:
         help="with --c4-line-filter: min sentences per surviving page",
     )
     p.add_argument(
+        "--dedup-against",
+        default=None,
+        metavar="INDEX_DIR",
+        help="drop kept pages near-matching a PREVIOUS run's corpus via "
+        "its persisted MinHash band index (written by "
+        "--export-dedup-index at OUTPUT/dedup_index; drop_reason="
+        "cross_snapshot_dup). Per-row against a fixed index — composes "
+        "with --resume.",
+    )
+    p.add_argument(
+        "--export-dedup-index",
+        action="store_true",
+        help="after writing the output, persist the kept pages' MinHash "
+        "band index at OUTPUT/dedup_index for a later run's "
+        "--dedup-against",
+    )
+    p.add_argument(
         "--domain-reputation-min-rate",
         type=float,
         default=None,
@@ -1258,6 +1317,24 @@ def main(argv=None) -> None:
             "n_keep": k,
             "drops_by_reason": dict(sorted(census.items())),
         }
+    if args.export_dedup_index:
+        # both branches land the labeled table at OUTPUT/data; the index
+        # covers KEPT pages only (dropped pages can't collide away a
+        # future page) and is rebuildable from the data dir at any time
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.dedup import snapshot_band_index
+
+        kept = spark.read.parquet(args.output + "/data").filter(F.col("keep"))
+        idx = snapshot_band_index(
+            kept.select("url", F.coalesce(F.col("text_clean"), F.lit("")).alias("_t")),
+            text_col="_t",
+            id_col="url",
+        )
+        idx.write.mode("overwrite").parquet(args.output + "/dedup_index")
+        summary["dedup_index_rows"] = spark.read.parquet(
+            args.output + "/dedup_index"
+        ).count()
     summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()
