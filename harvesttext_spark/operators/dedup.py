@@ -1030,3 +1030,165 @@ def drop_dups_against(
     return docs.join(
         hits, docs[id_col] == hits["id"], "left_anti"
     )
+
+
+def band_index_bloom(
+    index: DataFrame,
+    n_shards: int = 16,
+    fp_rate: float = 1e-4,
+    capacity_per_shard: int | None = None,
+) -> tuple[dict, dict[int, bytes]]:
+    """-> (params, {shard: bloom bytes}) — the band index compressed to a
+    broadcastable membership sketch (~2.4 bytes per band key at 1e-4 vs
+    36 bytes per index row), for probes that can't run a distributed
+    semi join: the STREAMING dedup-against path (stateless per-row
+    membership test) and very wide fan-out batch probes.
+
+    Built DISTRIBUTED: each shard's bit array is filled by one
+    applyInPandas group (shard = md5 of the band:key string, mod
+    n_shards — python-side md5 so build and probe agree byte-for-byte);
+    the driver receives only the n_shards finished arrays, never the
+    keys.  Deterministic (md5 double hashing, no rand).
+
+    Semantics vs the exact index: NO false negatives (a true
+    cross-snapshot duplicate always flags — every set bit survives), and
+    a per-band false-positive rate of ~fp_rate, so a novel page is
+    falsely flagged with probability <= bands * fp_rate (~4e-4 at
+    defaults) — the streaming_url_dedup_bloom trade, documented there."""
+    import hashlib
+
+    import pandas as pd
+
+    from harvesttext_spark.functions.bloom import BloomFilter, bloom_params
+
+    if capacity_per_shard is None:
+        n = index.count()
+        capacity_per_shard = max(1024, -(-n // n_shards))
+    m_bits, k = bloom_params(capacity_per_shard, fp_rate)
+
+    def shard_of(s: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+        ) % n_shards
+
+    @F.pandas_udf("int")
+    def shard_udf(s):
+        return s.map(shard_of)
+
+    def build(pdf):
+        if not len(pdf):
+            return pd.DataFrame({"shard": [], "bits": []})
+        bloom = BloomFilter(m_bits, k)
+        for s in pdf["bk"]:
+            bloom.add(s)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [bloom.to_bytes()]}
+        )
+
+    keyed = index.select(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("key")).alias("bk")
+    ).withColumn("shard", shard_udf(F.col("bk")))
+    rows = keyed.groupBy("shard").applyInPandas(
+        build, "shard int, bits binary"
+    ).collect()
+    params = {
+        "m_bits": m_bits,
+        "k": k,
+        "n_shards": n_shards,
+        "fp_rate": fp_rate,
+    }
+    return params, {int(r["shard"]): bytes(r["bits"]) for r in rows}
+
+
+def band_keys_py(
+    text: str | None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> list[str]:
+    """Pure-python 'band:key' LSH keys for ONE document — bit-identical
+    to the exploded batch index (snapshot_band_index; pinned by
+    test_band_keys_py_matches_snapshot_index): same Java-\\s+ token
+    split, distinct token shingles (empty text collapses to the ""
+    shingle, exactly like token_shingles' otherwise-branch), md5 ->
+    (h1, h2) Kirsch-Mitzenmacher pairs, k min-hashes mod 2^32, banded
+    md5 over the comma-joined component strings.
+
+    Exists because the Catalyst fold shape cannot feed a pandas UDF:
+    composing the ~200-node HOF signature expression with a Python UDF
+    trips Spark's interpreted-projection fallback ("Cannot evaluate
+    expression: any_hit(...)" INTERNAL_ERROR, reproduced on 4.1.2), so
+    the streaming probe computes keys Python-side in the same Arrow
+    batch that tests the Bloom.  NULL text -> no keys (can never
+    match)."""
+    import hashlib
+    import re
+
+    if text is None:
+        return []
+    toks = [t for t in re.split("[ \t\n\x0b\f\r]+", text) if t != ""]
+    n_sh = len(toks) - (shingle_n - 1)
+    if n_sh >= 1:
+        shingles = list(dict.fromkeys(
+            " ".join(toks[i : i + shingle_n]) for i in range(n_sh)
+        ))
+    else:
+        shingles = [" ".join(toks)]
+    pairs = []
+    for s in shingles:
+        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+        pairs.append((int(hx[:8], 16), int(hx[8:16], 16)))
+    if not pairs:
+        return []
+    sig = [
+        str(min((h1 + i * h2) % 4294967296 for h1, h2 in pairs))
+        for i in range(num_hashes)
+    ]
+    rows = num_hashes // bands
+    return [
+        "{}:{}".format(
+            b,
+            hashlib.md5(",".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest(),
+        )
+        for b in range(bands)
+    ]
+
+
+def cross_dup_bloom_udf(
+    params: dict,
+    shards: dict[int, bytes],
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """pandas_udf(boolean) over the raw TEXT column — true iff ANY of the
+    row's LSH band keys (band_keys_py, computed in the same Arrow batch)
+    hits its shard's Bloom.  The shards dict rides the closure (Spark
+    ships task binaries; a few MB per 1M indexed docs at default
+    sizing)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from harvesttext_spark.functions.bloom import BloomFilter
+
+    m_bits, k, n_shards = params["m_bits"], params["k"], params["n_shards"]
+    blooms = {s: BloomFilter(m_bits, k, bits=b) for s, b in shards.items()}
+
+    def hit(s: str) -> bool:
+        sh = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+        ) % n_shards
+        bf = blooms.get(sh)
+        return bf is not None and s in bf
+
+    def row_hit(text) -> bool:
+        return any(
+            hit(s) for s in band_keys_py(text, shingle_n, num_hashes, bands)
+        )
+
+    @pandas_udf("boolean")
+    def any_hit(texts):
+        return texts.map(row_hit)
+
+    return any_hit

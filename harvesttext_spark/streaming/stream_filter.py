@@ -287,3 +287,36 @@ def streaming_url_dedup_bloom(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_against(
+    spark: SparkSession,
+    input_dir: str,
+    bloom_params: dict,
+    bloom_shards: dict,
+) -> DataFrame:
+    """Ingest-time cross-snapshot dedup: drop pages from the stream whose
+    text LSH-band-matches a PREVIOUS dump's persisted band index
+    (operators/dedup.py snapshot_band_index), compressed to a sharded
+    Bloom sketch (band_index_bloom) so the check is a STATELESS per-row
+    membership test — no stream-side aggregation, no state store, no
+    watermark; exactly-once comes from checkpoint + idempotent sink as
+    with every map-only stage.
+
+    Per-row band keys are computed Python-side inside the same Arrow
+    batch that probes the Bloom (operators/dedup.py band_keys_py —
+    bit-identical to the batch index's arithmetic, and the explode+
+    groupBy hot path would be a stateful streaming agg anyway).
+    Semantics: NO false negatives (every true cross-dump dup drops);
+    novel pages are falsely dropped with probability <= bands * fp_rate
+    (~4e-4 at defaults) — the documented Bloom trade, same as
+    streaming_url_dedup_bloom.  The batch --dedup-against pass remains
+    the exact compaction."""
+    from harvesttext_spark.operators.dedup import cross_dup_bloom_udf
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    any_hit = cross_dup_bloom_udf(bloom_params, bloom_shards)
+    keyed = pages.withColumn("cross_dup", any_hit(F.col("text")))
+    return keyed.filter(~F.col("cross_dup")).select(
+        "url", "warc_ts", "text"
+    )

@@ -172,3 +172,104 @@ def test_export_then_consume_end_to_end(spark, tmp_path):
         assert got[f"https://b.example/copy{i}"] == "cross_snapshot_dup", i
     for i in range(4):
         assert got[f"https://b.example/novel{i}"] is None, (i, got)
+
+
+def test_band_keys_py_matches_snapshot_index(spark):
+    """The per-row python (streaming) key computation must be
+    bit-identical to the exploded batch index — same docs, same
+    'band:key' set — including the short-text whole-doc shingle and the
+    empty-text '' shingle modes."""
+    from harvesttext_spark.operators.dedup import band_keys_py
+
+    docs = [(i, _doc(i)) for i in range(8)] + [
+        (100, "two words"),            # short: whole-text shingle
+        (101, ""),                      # empty: the "" shingle
+        (102, "a  b\tc\nd"),            # mixed whitespace separators
+    ]
+    prior = spark.createDataFrame(docs, "doc_id bigint, text string")
+    idx = {
+        (r["id"], f'{r["band"]}:{r["key"]}')
+        for r in snapshot_band_index(prior).collect()
+    }
+    per_row = {
+        (i, s) for i, t in docs for s in band_keys_py(t)
+    }
+    assert per_row == idx
+    assert band_keys_py(None) == []
+
+
+def test_bloom_index_no_false_negatives(spark):
+    """The Bloom sketch of the index must flag every exact-flagged doc
+    (no false negatives); false positives stay near the bands*fp bound."""
+    from harvesttext_spark.operators.dedup import (
+        band_index_bloom,
+        cross_dup_bloom_udf,
+    )
+
+    prior = _prior(spark, n=50)
+    idx = snapshot_band_index(prior)
+    params, shards = band_index_bloom(idx, n_shards=4, fp_rate=1e-4)
+    new = spark.createDataFrame(
+        [(100 + i, _doc(i)) for i in range(10)]  # copies -> must all flag
+        + [(500 + i, f"wholly different article {i} about sailing boats "
+                     f"and ropes and knots and tide tables number {i * 13}")
+           for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    exact = {r["id"]: r["cross_dup"]
+             for r in flag_dups_against(new, idx).collect()}
+    any_hit = cross_dup_bloom_udf(params, shards)
+    approx = {
+        r["doc_id"]: r["hit"]
+        for r in new.select(
+            "doc_id", any_hit(F.col("text")).alias("hit")
+        ).collect()
+    }
+    for i in range(10):
+        assert approx[100 + i] is True, i  # no false negatives, ever
+    extra = [d for d, h in approx.items() if h and not exact[d]]
+    assert len(extra) <= 2, extra  # FPs bounded (4 bands * 1e-4 ~ 0 here)
+
+
+def test_streaming_dedup_against(spark, tmp_path):
+    """Ingest-time cross-snapshot dedup: pages matching the prior dump's
+    Bloom-compressed band index never reach the sink; novel pages pass."""
+    import pandas as pd
+
+    from harvesttext_spark.operators.dedup import band_index_bloom
+    from harvesttext_spark.pipeline.pages import PAGES_SCHEMA
+    from harvesttext_spark.streaming.stream_filter import (
+        run_stream_to_memory,
+        streaming_dedup_against,
+    )
+
+    prior = spark.createDataFrame(
+        [(f"https://old.example/{i}", _doc(i)) for i in range(12)],
+        "url string, text string",
+    )
+    params, shards = band_index_bloom(
+        snapshot_band_index(prior, id_col="url"), n_shards=4
+    )
+
+    src = str(tmp_path / "stream_src")
+    texts = [_doc(i) for i in range(4)] + [
+        f"novel streaming article {i} about pottery glazes and kiln "
+        f"temperatures with unique token {i * 101}" for i in range(4)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://new.example/{i}" for i in range(8)],
+            "warc_ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(8), unit="s"),
+            "html": [b""] * 8,
+            "text": texts,
+            "lang": ["en"] * 8,
+        }
+    )
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(src)
+
+    run_stream_to_memory(
+        streaming_dedup_against(spark, src, params, shards), "xsnap_stream"
+    )
+    urls = {r["url"] for r in spark.sql("SELECT url FROM xsnap_stream").collect()}
+    assert urls == {f"https://new.example/{i}" for i in range(4, 8)}
