@@ -44,6 +44,10 @@ HEADLINE = [
     "script_mix",             # per-script char fractions, pure codegen
     "dsir_topk",              # hashed-ngram importance models + Gumbel top-k
     "c4_line_filters",        # per-line HOF battery riding the scan
+    # round-7 second-wave additions
+    "fineweb_signals",        # line-ratio battery riding the scan
+    "quality_classifier",     # NB train + broadcast score, end to end
+    "domain_reputation",      # domain agg + broadcast totals + join back
 ]
 
 REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))

@@ -210,3 +210,45 @@ def test_connected_components_star_round_shape(spark):
     assert "CartesianProduct" not in plan, plan
     # partial + final hash aggregate around the groupBy-min exchange
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cross_snapshot_semi_join_shape(spark):
+    """flag_dups_against must compile to a LEFT-SEMI join on the band
+    keys — a regression to inner join would materialize per-bucket pairs
+    and reintroduce the quadratic hot-band failure the semi join
+    short-circuits away."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.dedup import (
+        flag_dups_against,
+        snapshot_band_index,
+    )
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words about topic number "), F.col("id"),
+                 F.lit(" with trailing filler tokens here")).alias("text"),
+    )
+    idx = snapshot_band_index(docs)
+    plan = plan_of(flag_dups_against(docs, idx))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fineweb_rides_the_scan(spark):
+    """The FineWeb battery is per-row column work — beyond read_scaled's
+    single repartition of the single-row-group test parquet, no exchange
+    (and no join) may appear."""
+    plan = plan_of(entrymod.queries()["fineweb_signals"](spark, SF))
+    assert "Join" not in plan
+    # read_scaled repartition (documented) is the only allowed exchange
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_domain_reputation_broadcast_totals(spark):
+    """The 1-row global-totals side of the shrinkage must ride a
+    BroadcastExchange (scalar-dim crossJoin rule), never a shuffled
+    cartesian."""
+    plan = plan_of(entrymod.queries()["domain_reputation"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

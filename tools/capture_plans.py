@@ -39,6 +39,9 @@ SECTIONS = {
     "dsir_topk — broadcast log-ratio table, TakeOrderedAndProject top-k": "dsir_topk",
     "pack_sequences — metadata-only packing exchange, text joins back by id": "pack_sequences",
     "c4_line_filters — per-line HOF battery, pure codegen on the scan": "c4_line_filters",
+    "fineweb_signals — line-ratio battery (distinct-diff dup chars), on the scan": "fineweb_signals",
+    "quality_classifier — bucket-count train (bounded exchange), broadcast score": "quality_classifier",
+    "domain_reputation — domain agg + broadcast 1-row totals + AQE join back": "domain_reputation",
 }
 
 
