@@ -2444,6 +2444,69 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _semdedup_probe_embeddings(emb):
+    """Planted semantic near-dups derived from existing rows with ops
+    that are EXACT in IEEE float (copy, x2 power-of-two scale, negation,
+    component replacement) so Spark float32 arrays and the DuckDB mirror
+    see bit-equal inputs: the copy and the scaled copy must drop
+    (cos = 1 with a smaller id — scaling by 2 leaves the normalized
+    vector bit-identical, so cluster assignment provably agrees), the
+    negation and the +10-component outlier must keep."""
+    two = F.lit(2.0).cast("float")
+    return emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + F.lit(9000001)).alias("vec_id"),
+        F.when(F.col("vec_id") == 0, F.col("embedding"))
+        .when(F.col("vec_id") == 1, F.transform("embedding", lambda x: x * two))
+        .when(F.col("vec_id") == 2, F.transform("embedding", lambda x: -x))
+        .otherwise(
+            F.concat(
+                F.array(F.lit(10.0).cast("float")), F.slice("embedding", 2, 63)
+            )
+        )
+        .alias("embedding"),
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDedup — embedding-space semantic dedup (Abbas et al. 2023,
+    operators/semdedup.py): coarse-cluster on the deterministic centroid
+    fixture (ann_ivf_topk precedent), then within each cluster drop
+    every vector whose cosine to a smaller-id member reaches 0.95.
+    Catches paraphrase near-dups every lexical dedup stage misses.
+    FULL value oracle: assignment, the keep-first pair scan, and the
+    keep decision are all mirrored in SQL over the same centroid
+    literals; planted probe vectors (exact copy / x2 scale / negation /
+    outlier) pin both sides of the threshold."""
+    from harvesttext_spark.operators.semdedup import semdedup
+    from harvesttext_spark.operators.similarity import fixture_centroids
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.unionByName(_semdedup_probe_embeddings(emb))
+    cent = fixture_centroids(spark, dim=64, n_centroids=8)
+    return semdedup(base, cent, threshold=0.95)
+
+
+def _sql_semdedup(dim: int = 64, n_centroids: int = 8) -> str:
+    from harvesttext_spark.operators.semdedup import semdedup_sql
+    from harvesttext_spark.operators.similarity import _hyperplane
+
+    cent_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(x) for x in _hyperplane(dim, 9000 + j))
+        )
+        for j in range(n_centroids)
+    )
+    base = """SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 9000001 AS vec_id,
+       CASE WHEN vec_id = 0 THEN embedding
+            WHEN vec_id = 1 THEN list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+            WHEN vec_id = 2 THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+            ELSE [CAST(10.0 AS FLOAT)] || embedding[2:] END AS embedding
+FROM embeddings WHERE vec_id < 4"""
+    return semdedup_sql(base, cent_rows, threshold=0.95)
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN (rows-only: the trained per-subspace
     codebooks are not SQL-expressible — the same honest split as the
@@ -3683,6 +3746,95 @@ def _sql_domain_reputation() -> str:
     )
 
 
+# scoring-side probes for the edu scorer: empty/NULL text must score the
+# occurrence mean, as must gibberish whose buckets carry no training mass
+# (collisions with trained buckets are fine — both engines hash alike);
+# the common-word probe exercises the trained-bucket path
+EDU_PROBES = [
+    (5000001, ""),
+    (5000002, None),
+    (5000003, "zzqx vvwp qqjj kkzz unseen gibberish tokens nowhere else"),
+    (5000004, "the quick brown fox jumps over the lazy dog and the river"),
+    # vocabulary planted by EDU_TRAIN_PROBES: the synthetic corpus draws
+    # every lang from ONE shared word pool, so real columns cannot
+    # separate — these pin a high-teacher page (keep) and a low-teacher
+    # page (drop), exercising both decision branches and the graded ints
+    (5000005, "lemma " * 50),
+    (5000006, "jackpot " * 50),
+]
+
+# planted TRAINING rows (teacher, text): distinctive repeated vocabulary
+# whose bucket counts (200 unigram + 199 bigram occurrences each) beat
+# the m=100 smoothing pull, giving the planted buckets means near their
+# teachers — (cnt*t + m*mu)/(cnt + m)
+EDU_TRAIN_PROBES = [
+    (5.0, "lemma " * 200),
+    (5.0, "theorem " * 200),
+    (0.0, "jackpot " * 200),
+    (0.0, "viagra " * 200),
+]
+
+
+def q_edu_score(spark, sf_dir):
+    """FineWeb-Edu-style scored distillation (operators/edu_scorer.py):
+    a continuous 0-5 teacher column is distilled into a smoothed
+    target-encoding over the classifier's hashed word uni+bigram
+    buckets, then every page gets a graded edu_score / edu_int /
+    keep-at-3 decision (Penedo et al. 2024's scored variant of the
+    binary classifier).  Teacher here is the deterministic
+    content-correlated proxy 5.0 for target-domain (en) pages / 1.0
+    elsewhere — any bounded score column works, and a content signal
+    (unlike a length proxy) gives the bucket means real spread, so the
+    scored output exercises BOTH keep branches and a range of edu_int
+    grades.  FULL value oracle (integer ppm sums -> no float-order
+    wobble in training)."""
+    from harvesttext_spark.operators.edu_scorer import (
+        score_edu,
+        train_edu_scorer,
+    )
+
+    d = _docs(spark, sf_dir)
+    tvals = ", ".join(f"({t}, '{txt}')" for t, txt in EDU_TRAIN_PROBES)
+    tprobes = spark.sql(
+        "SELECT CAST(t AS DOUBLE) AS teacher, txt AS text "
+        f"FROM (VALUES {tvals}) v(t, txt)"
+    )
+    train = d.select(
+        F.when(F.col("lang") == "en", F.lit(5.0)).otherwise(F.lit(1.0)).alias(
+            "teacher"
+        ),
+        "text",
+    ).unionByName(tprobes)
+    scores, params = train_edu_scorer(train)
+    base = d.select("doc_id", "text").unionByName(
+        _probe_df(spark, EDU_PROBES, col="text")
+    )
+    return score_edu(base, scores, params)
+
+
+def _sql_edu_score() -> str:
+    from harvesttext_spark.operators.edu_scorer import edu_scorer_sql
+
+    probes = ", ".join(
+        "({}::BIGINT, {})".format(
+            i, "NULL::VARCHAR" if t is None else "'" + t.replace("'", "''") + "'"
+        )
+        for i, t in EDU_PROBES
+    )
+    tvals = ", ".join(f"({t}, '{txt}')" for t, txt in EDU_TRAIN_PROBES)
+    return edu_scorer_sql(
+        train_select=(
+            "SELECT CASE WHEN lang = 'en' THEN 5.0 ELSE 1.0 END AS teacher, "
+            "text FROM documents "
+            f"UNION ALL SELECT CAST(t AS DOUBLE), txt FROM (VALUES {tvals}) v(t, txt)"
+        ),
+        score_select=(
+            "SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT * FROM (VALUES {probes}) v(doc_id, text)"
+        ),
+    )
+
+
 def q_cross_snapshot_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup (rows-only: the signature chain
     is already value-pinned via the minhash_lsh_pairs oracle; the
@@ -3814,6 +3966,8 @@ RETIRED_QUERIES = {
         "round 7: shapes recomputed inside quality_filter_full_labels"
     ),
     "simhash": "round 7: chain recomputed inside simhash_pairs32",
+    "token_freq": "round 7: chain recomputed as domain_quality's uni CTE",
+    "token_docfreq": "round 7: chain recomputed as tfidf_topk's idf CTE",
 }
 
 
@@ -3848,8 +4002,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_sessionize": q_events_sessionize,
         "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "region_revenue": q_region_revenue,
+        # top_customers + region_revenue rotated PAST the cap this round
+        # (relational family, driver-green r01-r06 — they join the
+        # allowlist slots token_freq/token_docfreq vacated when those
+        # retired outright: token_freq's tokenize+count chain is
+        # recomputed as domain_quality's `uni` CTE, token_docfreq's as
+        # tfidf_topk's `idf` CTE; parity tests keep both value checks).
+        # The freed prefix slots go to the two new pipeline oracles:
+        "edu_score": q_edu_score,
+        "semdedup": q_semdedup,
         "pattern_entities": q_pattern_entities,
         "lm_perplexity": q_lm_perplexity,
         "doc_coherence": q_doc_coherence,
@@ -3910,8 +4071,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_contract.py) ---
         "doc_stats": q_doc_stats,  # rotated round 7 for dsir_topk (green r01-r06)
         "fingerprint": q_fingerprint,
-        "token_freq": q_token_freq,
-        "token_docfreq": q_token_docfreq,
+        # token_freq / token_docfreq RETIRED round 7 third session (their
+        # tokenize+count chains are recomputed verbatim inside the
+        # domain_quality `uni` / tfidf_topk `idf` CTEs; green r01-r06) —
+        # value checks preserved in test_retired_token_freq_oracle_parity
+        # / test_retired_token_docfreq_oracle_parity; their allowlist
+        # slots go to top_customers + region_revenue, whose prefix slots
+        # go to edu_score + semdedup
+        "top_customers": q_top_customers,  # rotated round 7 (green r01-r06)
+        "region_revenue": q_region_revenue,  # rotated round 7 (green r01-r06)
         "exact_dup_groups": q_exact_dup_groups,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
@@ -3952,8 +4120,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_reputation": _sql_domain_reputation(),
         "boilerplate_dedup": SQL_BOILERPLATE_DEDUP,
         "canonical_urls": _sql_canonical_urls(),
-        "token_freq": SQL_TOKEN_FREQ,
-        "token_docfreq": SQL_TOKEN_DOCFREQ,
+        "edu_score": _sql_edu_score(),
+        "semdedup": _sql_semdedup(),
         "bigram_stats": SQL_BIGRAM_STATS,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "so_pmi": SQL_SO_PMI,

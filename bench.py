@@ -48,6 +48,9 @@ HEADLINE = [
     "fineweb_signals",        # line-ratio battery riding the scan
     "quality_classifier",     # NB train + broadcast score, end to end
     "domain_reputation",      # domain agg + broadcast totals + join back
+    # round-7 third-wave additions
+    "edu_score",              # target-encoding train + broadcast score
+    "semdedup",               # centroid assign + within-cluster pair scan
 ]
 
 REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))

@@ -512,6 +512,110 @@ def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
     )
 
 
+def apply_edu_filter(labeled, teacher_path, min_score, text_col="text_clean"):
+    """--edu-min-score: FineWeb-Edu-style scored distillation
+    (operators/edu_scorer.py) — train the smoothed target-encoding
+    student on an EXTERNAL teacher parquet (--edu-teacher-path: any
+    table with a text/text_clean column and a teacher/score double
+    column in [0, 5]), then drop KEPT pages whose integer grade falls
+    below ``min_score`` (drop_reason=edu_score).  ``edu_score`` lands
+    as a stage-metric column on every row.  The model depends ONLY on
+    the fixed external teacher file — per-row thereafter, so unlike the
+    corpus-distilled classifier this stage is bucket-idempotent and
+    composes with --resume (the --decontaminate pattern)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.edu_scorer import (
+        score_edu,
+        train_edu_scorer,
+    )
+
+    spark = labeled.sparkSession
+    teacher = spark.read.parquet(teacher_path)
+    tcol = "text_clean" if "text_clean" in teacher.columns else "text"
+    scol = "teacher" if "teacher" in teacher.columns else "score"
+    if tcol not in teacher.columns or scol not in teacher.columns:
+        raise SystemExit(
+            "--edu-teacher-path needs text/text_clean and teacher/score columns"
+        )
+    scores, params = train_edu_scorer(
+        teacher.select(F.col(scol).alias("teacher"), F.col(tcol).alias("_t")),
+        text_col="_t",
+        persist=True,
+    )
+    scored = score_edu(
+        labeled.select("url", F.coalesce(F.col(text_col), F.lit("")).alias("_t")),
+        scores,
+        params,
+        text_col="_t",
+        id_col="url",
+        min_score=min_score,
+    ).select(F.col("doc_id").alias("_eurl"), "edu_score", "edu_int")
+    return (
+        labeled.join(scored, labeled["url"] == scored["_eurl"], "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep")
+                & (F.coalesce(F.col("edu_int"), F.lit(0)) < min_score),
+                F.lit("edu_score"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_eurl", "edu_int")
+    )
+
+
+def apply_semdedup(labeled, threshold, n_clusters=None, text_col="text_clean"):
+    """--semdedup-threshold: embedding-space semantic dedup of the kept
+    set (operators/semdedup.py, Abbas et al. 2023) — deterministic
+    signed word-hash embeddings (one Arrow pass), coarse clusters from
+    the md5 centroid fixture, within-cluster keep-first at the cosine
+    threshold; survivors are the lexicographically-smallest urls
+    (drop_reason=semantic_dup).  Blank pages bypass (a zero vector has
+    no cosine; the cascade already labels them).  ``n_clusters``
+    defaults to a size-adaptive sqrt shape so average cluster size
+    grows as sqrt(N), bounding the within-cluster quadratic term.
+    CORPUS-relative (cluster mates + smaller-url comparisons depend on
+    the full kept set) — refused under --resume like --minhash-dedup's
+    post-label siblings."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.dedup import _estimated_rows
+    from harvesttext_spark.operators.semdedup import (
+        semdedup,
+        word_hash_embedding_udf,
+    )
+    from harvesttext_spark.operators.similarity import fixture_centroids
+
+    kept = labeled.filter(
+        F.col("keep") & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0)
+    ).select("url", F.col(text_col).alias("_t"))
+    if n_clusters is None:
+        # None estimate -> assume the at-scale shape (dedup._estimated_rows
+        # bias rule): 1M rows -> 1024 clusters
+        est = _estimated_rows(kept) or 1_000_000
+        n_clusters = max(8, min(1 << 16, int(max(est, 1) ** 0.5)))
+    dim = 64
+    vecs = kept.select("url", word_hash_embedding_udf(dim)(F.col("_t")).alias("_v"))
+    cents = fixture_centroids(labeled.sparkSession, dim=dim, n_centroids=n_clusters)
+    flags = semdedup(
+        vecs, cents, threshold=threshold, id_col="url", vec_col="_v"
+    ).select(F.col("vec_id").alias("_surl"), "semdedup_keep")
+    return (
+        labeled.join(flags, labeled["url"] == flags["_surl"], "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & ~F.coalesce(F.col("semdedup_keep"), F.lit(True)),
+                F.lit("semantic_dup"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_surl", "semdedup_keep")
+    )
+
+
 def apply_packing(labeled, max_tokens):
     """--pack-max-tokens: assign every KEPT doc a (pack_shard, pack_bin)
     training-sequence id via sharded first-fit-decreasing over cleaned-
@@ -594,6 +698,16 @@ def build_policy_fn(args, parser=None):
                 punct_ratio=args.fineweb_punct_ratio,
                 short_ratio=args.fineweb_short_ratio,
                 dup_ratio=args.fineweb_dup_ratio,
+            )
+        )
+    if getattr(args, "edu_min_score", None) is not None:
+        import os as _os
+
+        if not _os.path.exists(args.edu_teacher_path):
+            err(f"--edu-teacher-path not found: {args.edu_teacher_path}")
+        stages.append(
+            lambda df: apply_edu_filter(
+                df, args.edu_teacher_path, args.edu_min_score
             )
         )
     if getattr(args, "min_dominant_script_frac", None) is not None:
@@ -1079,6 +1193,43 @@ def main(argv=None) -> None:
         "in duplicated lines is >= this (default 0.1)",
     )
     p.add_argument(
+        "--edu-min-score",
+        type=int,
+        default=None,
+        metavar="N",
+        help="FineWeb-Edu-style scored distillation: train a smoothed "
+        "target-encoding student on --edu-teacher-path and drop kept "
+        "pages graded below N on the 0-5 scale (drop_reason=edu_score). "
+        "The model depends only on the fixed teacher file, so this "
+        "composes with --resume.",
+    )
+    p.add_argument(
+        "--edu-teacher-path",
+        default=None,
+        metavar="PARQUET",
+        help="with --edu-min-score: parquet of teacher-scored pages "
+        "(text/text_clean column + teacher/score double column in [0,5])",
+    )
+    p.add_argument(
+        "--semdedup-threshold",
+        type=float,
+        default=None,
+        metavar="COS",
+        help="semantic dedup of the kept set (SemDedup, Abbas et al. "
+        "2023): deterministic word-hash embeddings, coarse clusters, "
+        "within-cluster keep-first at this cosine threshold "
+        "(drop_reason=semantic_dup). Corpus-relative, so incompatible "
+        "with --resume.",
+    )
+    p.add_argument(
+        "--semdedup-clusters",
+        type=int,
+        default=None,
+        metavar="K",
+        help="with --semdedup-threshold: coarse cluster count (default "
+        "sqrt(est rows), clamped to [8, 65536])",
+    )
+    p.add_argument(
         "--pack-max-tokens",
         type=int,
         default=None,
@@ -1164,6 +1315,8 @@ def main(argv=None) -> None:
     )
     if args.dsir_keep_frac is not None and not args.dsir_target_path:
         p.error("--dsir-keep-frac requires --dsir-target-path PARQUET")
+    if args.edu_min_score is not None and not args.edu_teacher_path:
+        p.error("--edu-min-score requires --edu-teacher-path PARQUET")
     if args.resume:
         from harvesttext_spark.pipeline.resume import run_with_resume
 
@@ -1190,6 +1343,15 @@ def main(argv=None) -> None:
                 "reprocessed tail buckets would not drop identically "
                 "(bucket idempotency). Run the reputation filter as a "
                 "separate full pass over the resumed output."
+            )
+        if args.semdedup_threshold is not None:
+            sys.exit(
+                "--resume is incompatible with --semdedup-threshold: "
+                "cluster membership and smaller-url comparisons depend on "
+                "the run's full kept set, so reprocessed tail buckets "
+                "would not drop identically (bucket idempotency). Run "
+                "semantic dedup as a separate full pass over the resumed "
+                "output."
             )
         if args.quality_classifier_min_prob is not None:
             sys.exit(
@@ -1274,6 +1436,12 @@ def main(argv=None) -> None:
         if args.quality_classifier_min_prob is not None:
             labeled = apply_quality_classifier(
                 labeled, args.quality_classifier_min_prob
+            )
+        if args.semdedup_threshold is not None:
+            labeled = apply_semdedup(
+                labeled,
+                args.semdedup_threshold,
+                n_clusters=args.semdedup_clusters,
             )
         if args.dsir_keep_frac is not None:
             from pyspark.sql import functions as F

@@ -29,13 +29,18 @@ SF_DIR = "/root/testdata/sf0.001"
 # events_window was RETIRED in round 7 (redundant with
 # events_sessionize+events_rollup; green r01-r06) — verified by
 # test_retired_events_window_oracle_parity; its slot went to doc_stats
+# token_freq / token_docfreq RETIRED outright in round 7 third session
+# (chains recomputed inside domain_quality / tfidf_topk oracles; value
+# checks live on in test_retired_token_*_oracle_parity) — their slots
+# went to top_customers + region_revenue, whose prefix slots went to the
+# edu_score + semdedup promotions
 PAST_CAP_ALLOWED = {
     "events_rollup",
     "events_asof",
     "doc_stats",  # rotated round 7 for dsir_topk (green r01-r06)
     "fingerprint",
-    "token_freq",  # rotated round 6 for paragraph_dedup (green r01-r05)
-    "token_docfreq",  # rotated round 6 for mojibake_fix (green r01-r05)
+    "top_customers",  # rotated round 7 for edu_score (green r01-r06)
+    "region_revenue",  # rotated round 7 for semdedup (green r01-r06)
     "exact_dup_groups",  # rotated round 6 for curation_split (green r01-r05)
 }
 
@@ -103,6 +108,8 @@ def test_retired_manifest_consistent():
             "q_repetition_ngrams",
             "SQL_REPETITION_NGRAMS",
         ),
+        "token_freq": ("q_token_freq", "SQL_TOKEN_FREQ"),
+        "token_docfreq": ("q_token_docfreq", "SQL_TOKEN_DOCFREQ"),
     }
     assert set(e.RETIRED_QUERIES) == set(artifacts)
     live = set(e.queries()) | set(e.oracle_sql())

@@ -195,3 +195,37 @@ def test_retired_grouping_sets_oracle_parity(spark):
     a = _normalize(sdf.to_dict("records"), sdf.columns)
     b = _normalize(ddf.to_dict("records"), ddf.columns)
     assert a == b
+
+
+def test_retired_token_freq_oracle_parity(spark):
+    """token_freq was retired from the driver contract in round 7 third
+    session (its tokenize + global-count chain is recomputed verbatim as
+    the domain_quality oracle's `uni` CTE; driver-green r01-r06) — the
+    value check stays here with the contract's compare, freeing the
+    allowlist slot top_customers rotated into (whose prefix slot went to
+    edu_score)."""
+    sdf = entrymod.q_token_freq(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_TOKEN_FREQ).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b
+
+
+def test_retired_token_docfreq_oracle_parity(spark):
+    """token_docfreq was retired from the driver contract in round 7
+    third session (its per-word distinct-doc count is recomputed as the
+    tfidf_topk oracle's `idf` CTE — tf groups by (doc_id, word), so
+    count(*) over tf rows == count(DISTINCT doc_id); driver-green
+    r01-r06) — the value check stays here, freeing the allowlist slot
+    region_revenue rotated into (whose prefix slot went to semdedup)."""
+    sdf = entrymod.q_token_docfreq(spark, SF_DIR).toPandas()
+    con = _duck()
+    ddf = con.execute(entrymod.SQL_TOKEN_DOCFREQ).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    a = _normalize(sdf.to_dict("records"), sdf.columns)
+    b = _normalize(ddf.to_dict("records"), ddf.columns)
+    assert a == b

@@ -252,3 +252,30 @@ def test_domain_reputation_broadcast_totals(spark):
     plan = plan_of(entrymod.queries()["domain_reputation"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_edu_score_broadcast_score_join(spark):
+    """The bucket-score table (<= 2^16 rows by construction) must
+    broadcast onto the scoring gram stream — a shuffled hash join here
+    would re-shuffle the whole corpus's exploded grams at 100 TB."""
+    plan = plan_of(entrymod.queries()["edu_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_no_cartesian_and_capped_shape(spark):
+    """The within-cluster pair join keys on centroid_id (never a
+    cartesian), and the max_cluster_df guard must compile to the
+    map-side WindowGroupLimit trim (the max_band_df shape)."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.semdedup import semdedup
+    from harvesttext_spark.operators.similarity import fixture_centroids
+
+    emb = entrymod._emb(spark, SF).select("vec_id", "embedding")
+    cent = fixture_centroids(spark, dim=64, n_centroids=8)
+    plan = plan_of(semdedup(emb, cent, threshold=0.95))
+    assert "CartesianProduct" not in plan
+    capped = plan_of(semdedup(emb, cent, threshold=0.95, max_cluster_df=64))
+    assert "WindowGroupLimit" in capped
+    assert "CartesianProduct" not in capped

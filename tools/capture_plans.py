@@ -42,6 +42,8 @@ SECTIONS = {
     "fineweb_signals — line-ratio battery (distinct-diff dup chars), on the scan": "fineweb_signals",
     "quality_classifier — bucket-count train (bounded exchange), broadcast score": "quality_classifier",
     "domain_reputation — domain agg + broadcast 1-row totals + AQE join back": "domain_reputation",
+    "edu_score — bounded bucket-mean train, broadcast score join": "edu_score",
+    "semdedup — zero-shuffle centroid assign, centroid_id-keyed pair scan": "semdedup",
 }
 
 
