@@ -3835,6 +3835,20 @@ def _sql_edu_score() -> str:
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Distributed BPE train + tokenize (operators/bpe.py, Sennrich et
+    al. 2016; rows-only — the merge loop is inherently sequential and
+    not SQL-expressible; row-for-row correctness incl. the Sennrich
+    worked example is pinned in tests/test_bpe.py).  The only corpus
+    exchange is the capped word count; merges broadcast back for one
+    Arrow tokenize pass."""
+    from harvesttext_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    model = train_bpe(d, n_merges=100, max_word_types=1 << 14)
+    return bpe_tokenize(d, model)
+
+
 def q_cross_snapshot_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup (rows-only: the signature chain
     is already value-pinned via the minhash_lsh_pairs oracle; the
@@ -4102,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking": q_entity_linking,
         "pack_sequences": q_pack_sequences,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 

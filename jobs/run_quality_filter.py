@@ -1239,6 +1239,23 @@ def main(argv=None) -> None:
         "in singleton bins)",
     )
     p.add_argument(
+        "--bpe-vocab-out",
+        default=None,
+        metavar="FILE",
+        help="after writing the output: train a BPE subword vocabulary "
+        "on the kept pages' text_clean (operators/bpe.py — one capped "
+        "word-count exchange, driver-side merges) and write the merge "
+        "list to FILE, one 'a b' pair per line (the tokenizer-prep "
+        "artifact between curation and training export)",
+    )
+    p.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=8000,
+        metavar="N",
+        help="with --bpe-vocab-out: number of merges to learn",
+    )
+    p.add_argument(
         "--synthesize",
         type=int,
         default=None,
@@ -1503,6 +1520,21 @@ def main(argv=None) -> None:
         summary["dedup_index_rows"] = spark.read.parquet(
             args.output + "/dedup_index"
         ).count()
+    if args.bpe_vocab_out:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.bpe import train_bpe
+
+        kept = spark.read.parquet(args.output + "/data").filter(F.col("keep"))
+        model = train_bpe(
+            kept.select(F.coalesce(F.col("text_clean"), F.lit("")).alias("_t")),
+            text_col="_t",
+            n_merges=args.bpe_merges,
+        )
+        with open(args.bpe_vocab_out, "w", encoding="utf-8") as fh:
+            for a, b in model["merges"]:
+                fh.write(f"{a} {b}\n")
+        summary["bpe_merges_written"] = len(model["merges"])
     summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()
