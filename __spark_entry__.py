@@ -3835,6 +3835,33 @@ def _sql_edu_score() -> str:
     )
 
 
+def q_domain_timeseries(spark, sf_dir):
+    """Per-domain keep-rate trajectory across snapshots
+    (operators/snapshot_metrics.py): three deterministic pseudo-
+    snapshots (doc_id % 3) over the documents table's source domains
+    with the n_chars >= 300 keep proxy (domain_reputation precedent),
+    then the lag-window drift columns.  Rows-only in the driver
+    contract (the 50-slot prefix is full); the SAME full value compare
+    runs in tests/test_snapshot_metrics.py::
+    test_domain_timeseries_sql_parity against the shared SQL mirror."""
+    from harvesttext_spark.operators.snapshot_metrics import domain_timeseries
+
+    d = _docs(spark, sf_dir)
+    dm = (
+        d.select(
+            F.col("source").alias("domain"),
+            (F.col("doc_id") % 3).alias("snapshot"),
+            (F.col("n_chars") >= 300).alias("k"),
+        )
+        .groupBy("domain", "snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.col("k").cast("long")).alias("n_keep"),
+        )
+    )
+    return domain_timeseries(dm)
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE train + tokenize (operators/bpe.py, Sennrich et
     al. 2016; rows-only — the merge loop is inherently sequential and
@@ -4117,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "cross_snapshot_dedup": q_cross_snapshot_dedup,
         "bpe_tokens": q_bpe_tokens,
+        "domain_timeseries": q_domain_timeseries,
     }
 
 

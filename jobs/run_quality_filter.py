@@ -1239,6 +1239,17 @@ def main(argv=None) -> None:
         "in singleton bins)",
     )
     p.add_argument(
+        "--domain-history",
+        default=None,
+        metavar="DIRS",
+        help="comma-separated previous run OUTPUT dirs (oldest first): "
+        "stack their domain_metrics with this run's and write "
+        "OUTPUT/domain_timeseries — per-domain keep-rate trajectory, "
+        "drift deltas, and collapse/new-domain flags across snapshots "
+        "(operators/snapshot_metrics.py; domain-cardinality window "
+        "work, constant in page count)",
+    )
+    p.add_argument(
         "--bpe-vocab-out",
         default=None,
         metavar="FILE",
@@ -1520,6 +1531,37 @@ def main(argv=None) -> None:
         summary["dedup_index_rows"] = spark.read.parquet(
             args.output + "/dedup_index"
         ).count()
+    if args.domain_history:
+        from pyspark.sql import functions as F
+
+        from harvesttext_spark.operators.snapshot_metrics import (
+            domain_timeseries,
+        )
+
+        prev_dirs = [d.strip() for d in args.domain_history.split(",") if d.strip()]
+        missing = [
+            d
+            for d in prev_dirs + [args.output]
+            if not os.path.isdir(d + "/domain_metrics")
+        ]
+        if missing:
+            sys.exit(
+                f"--domain-history: no domain_metrics under {missing} "
+                "(resume-mode runs do not write it; pass full-run outputs)"
+            )
+        stacked = None
+        for i, d in enumerate(prev_dirs + [args.output]):
+            dm_i = spark.read.parquet(d + "/domain_metrics").select(
+                "domain",
+                F.lit(i).alias("snapshot"),
+                F.col("n_docs").alias("n_pages"),
+                "n_keep",
+            )
+            stacked = dm_i if stacked is None else stacked.unionByName(dm_i)
+        domain_timeseries(stacked).write.mode("overwrite").parquet(
+            args.output + "/domain_timeseries"
+        )
+        summary["domain_timeseries_snapshots"] = len(prev_dirs) + 1
     if args.bpe_vocab_out:
         from pyspark.sql import functions as F
 
