@@ -30,10 +30,10 @@ oracle (``semdedup`` in __spark_entry__.py, fixture-centroid literals
 per the ann_ivf_topk precedent).
 
 Scale shape: assignment is ONE zero-shuffle broadcast-centroid Arrow
-pass (similarity._assign_centroid); the pair generation self-joins on
-centroid_id — the point of clustering first is that k grows with N
-holding cluster size bounded, so the within-cluster quadratic term is
-O(N * avg_cluster) with small constants.  For adversarial hot clusters
+pass (similarity._assign_centroid); the pair scan shuffles each vector
+ONCE on centroid_id and runs one normalized gemm per cluster — the
+point of clustering first is that k grows with N holding cluster size
+C bounded, so total pair work is O(N * C) with BLAS constants.  For adversarial hot clusters
 (a template family collapsing to one embedding) ``max_cluster_df``
 caps the smaller-id REFERENCE side per cluster, mirroring the MinHash
 ``max_band_df`` guard: under-cap clusters are bit-identical, oversized
@@ -44,13 +44,10 @@ reference side never creates false drops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from harvesttext_spark.operators.similarity import (
-    _assign_centroid,
-    pairwise_cosine_udf,
-)
+from harvesttext_spark.operators.similarity import _assign_centroid
 
 THRESHOLD = 0.95  # paper ballpark for web text (they sweep 0.9-0.999)
 
@@ -62,8 +59,8 @@ def word_hash_embedding_udf(dim: int = 64):
     nibble, counts L2-normalized.  The job-stage embedder when no model
     embedding column exists — md5-derived like every other engine hash
     (no rand(), resume-deterministic), and one numpy pass per batch.
-    All-empty/NULL texts embed to the zero vector (callers may drop or
-    keep them; cosine against zero is NaN-guarded by the scorer)."""
+    All-empty/NULL texts embed to the zero vector (which matches
+    nothing in the scanner — zero rows score sim 0 — and is kept)."""
     import hashlib
 
     import numpy as np
@@ -107,54 +104,84 @@ def semdedup(
     ``centroids`` is a (centroid_id, centroid) dim table (trained via
     similarity.train_ivf_centroids or the deterministic
     fixture_centroids); it is collected + broadcast — bounded by
-    construction."""
-    pcos = pairwise_cosine_udf()
+    construction.
+
+    Pair-scan shape: ONE shuffle keyed on centroid_id, then a single
+    normalized gemm per cluster inside applyInPandas — each vector
+    crosses the exchange once (~id + dim floats), vs the earlier
+    pair-join shape that shipped BOTH vectors of every candidate pair
+    (measured ~90x more shuffle bytes at 100-member clusters).  A
+    cluster materializes as one pandas group, so ``max_cluster_df``
+    both bounds the gemm (n x cap instead of n x n) and is the guard
+    to reach for if an adversarial hot cluster's group frame itself
+    gets large."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     asg = _assign_centroid(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
         centroids,
         "_v",
         "centroid_id",
     )
-    left = asg.select(
-        F.col("centroid_id"),
-        F.col("vec_id").alias("_aid"),
-        F.col("_v").alias("_av"),
+    cap = max_cluster_df
+    id_field = asg.schema["vec_id"]
+
+    def scan(pdf):
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        if m == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "centroid_id": [], "max_prior_sim": []}
+            )
+        M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        # zero vectors stay zero rows: cosine with a zero vector is
+        # undefined, so it matches NOTHING (sim 0 both directions) and
+        # is always kept — the documented semantic (the job stage
+        # additionally bypasses blank pages before embedding)
+        np.divide(M, norms, out=M, where=norms != 0)
+        ncols = m if cap is None else min(m, cap)
+        S = M @ M[:ncols].T
+        # nullable Float64: each cluster's minimum id has NO prior and
+        # must reach Spark as NULL (keep) — a plain float column would
+        # turn that None into NaN, which compares false against the
+        # threshold and would drop every cluster minimum
+        prior = [pd.NA]
+        for i in range(1, m):
+            j = min(i, ncols)
+            prior.append(round(float(S[i, :j].max()), 4))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "centroid_id": pdf["centroid_id"],
+                "max_prior_sim": pd.array(prior, dtype="Float64"),
+            }
+        )
+
+    schema = StructType(
+        [
+            StructField("vec_id", id_field.dataType),
+            StructField("centroid_id", IntegerType()),
+            StructField("max_prior_sim", DoubleType()),
+        ]
     )
-    if max_cluster_df is not None:
-        # WindowGroupLimit trims map-side: each member can only be
-        # vouched for by a smaller id, so keeping the cap smallest ids
-        # as references bounds the join at cap * n without false drops
-        w = Window.partitionBy("centroid_id").orderBy(F.asc("_aid"))
-        left = (
-            left.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_cluster_df)
-            .drop("_rk")
-        )
-    pairs = (
-        left.join(
-            asg.select(
-                "centroid_id",
-                F.col("vec_id").alias("_bid"),
-                F.col("_v").alias("_bv"),
-            ),
-            "centroid_id",
-        )
-        .filter(F.col("_aid") < F.col("_bid"))
-        .select("_bid", pcos(F.col("_av"), F.col("_bv")).alias("_sim"))
-    )
-    prior = pairs.groupBy("_bid").agg(F.round(F.max("_sim"), 4).alias("max_prior_sim"))
-    return (
-        asg.select("vec_id", "centroid_id")
-        .join(prior.withColumnRenamed("_bid", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            "max_prior_sim",
-            (
-                F.col("max_prior_sim").isNull()
-                | (F.col("max_prior_sim") < F.lit(threshold))
-            ).alias("semdedup_keep"),
-        )
+    scanned = asg.groupBy("centroid_id").applyInPandas(scan, schema=schema)
+    return scanned.select(
+        "vec_id",
+        "centroid_id",
+        "max_prior_sim",
+        (
+            F.col("max_prior_sim").isNull()
+            | (F.col("max_prior_sim") < F.lit(threshold))
+        ).alias("semdedup_keep"),
     )
 
 

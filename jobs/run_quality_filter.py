@@ -592,10 +592,16 @@ def apply_semdedup(labeled, threshold, n_clusters=None, text_col="text_clean"):
         F.col("keep") & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0)
     ).select("url", F.col(text_col).alias("_t"))
     if n_clusters is None:
-        # None estimate -> assume the at-scale shape (dedup._estimated_rows
-        # bias rule): 1M rows -> 1024 clusters
+        # constant TARGET cluster size (~100 members): pair work is then
+        # N * C / 2 — LINEAR in corpus size (a sqrt(N) cluster count
+        # would make it N^1.5).  None estimate -> assume the at-scale
+        # shape (dedup._estimated_rows bias rule).  The 2^16 fixture cap
+        # means clusters regrow past ~6.5M kept pages — at that scale
+        # pass --semdedup-clusters with trained centroids' cardinality
+        # or rely on max_cluster_df-style capping (SemDedup itself is
+        # O(N*C) only while C is held constant).
         est = _estimated_rows(kept) or 1_000_000
-        n_clusters = max(8, min(1 << 16, int(max(est, 1) ** 0.5)))
+        n_clusters = max(8, min(1 << 16, int(max(est, 1) / 100)))
     dim = 64
     vecs = kept.select("url", word_hash_embedding_udf(dim)(F.col("_t")).alias("_v"))
     cents = fixture_centroids(labeled.sparkSession, dim=dim, n_centroids=n_clusters)

@@ -263,19 +263,18 @@ def test_edu_score_broadcast_score_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_semdedup_no_cartesian_and_capped_shape(spark):
-    """The within-cluster pair join keys on centroid_id (never a
-    cartesian), and the max_cluster_df guard must compile to the
-    map-side WindowGroupLimit trim (the max_band_df shape)."""
-    from pyspark.sql import functions as F
-
+def test_semdedup_single_exchange_grouped_scan(spark):
+    """The pair scan must be ONE exchange on centroid_id feeding a
+    grouped Arrow gemm (FlatMapGroupsInPandas) — no join may reappear:
+    the earlier pair-join shape shipped both vectors of every candidate
+    pair through the shuffle (~90x the bytes at 100-member clusters)."""
     from harvesttext_spark.operators.semdedup import semdedup
     from harvesttext_spark.operators.similarity import fixture_centroids
 
     emb = entrymod._emb(spark, SF).select("vec_id", "embedding")
     cent = fixture_centroids(spark, dim=64, n_centroids=8)
-    plan = plan_of(semdedup(emb, cent, threshold=0.95))
-    assert "CartesianProduct" not in plan
-    capped = plan_of(semdedup(emb, cent, threshold=0.95, max_cluster_df=64))
-    assert "WindowGroupLimit" in capped
-    assert "CartesianProduct" not in capped
+    for cap in (None, 64):
+        plan = plan_of(semdedup(emb, cent, threshold=0.95, max_cluster_df=cap))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
