@@ -3835,6 +3835,35 @@ def _sql_edu_score() -> str:
     )
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability diagram of the distilled quality classifier
+    (operators/quality_classifier.py calibration_curve): per probability
+    bin, how often the 'en' label actually holds vs the mean predicted
+    probability.  Rows-only in the driver contract (prefix full); the
+    contract-grade value compare lives in tests/test_quality_classifier
+    .py::test_calibration_sql_parity over the composed classifier+bin
+    SQL."""
+    from harvesttext_spark.operators.quality_classifier import (
+        calibration_curve,
+    )
+
+    scored = q_quality_classifier(spark, sf_dir)
+    # the en/es stopword probes DO have ground truth (their text is the
+    # label signal itself) — labeling them occupies the high-prob bin
+    # the word-soup corpus never reaches (its lang column is
+    # uncorrelated with text, so corpus probs collapse near 0: itself
+    # the calibration story this curve exists to expose)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    ).unionByName(
+        spark.sql(
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, label FROM (VALUES "
+            "(4000003, true), (4000004, false)) t(doc_id, label)"
+        )
+    )
+    return calibration_curve(scored.join(labels, "doc_id"))
+
+
 def q_domain_timeseries(spark, sf_dir):
     """Per-domain keep-rate trajectory across snapshots
     (operators/snapshot_metrics.py): three deterministic pseudo-
@@ -4145,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_snapshot_dedup": q_cross_snapshot_dedup,
         "bpe_tokens": q_bpe_tokens,
         "domain_timeseries": q_domain_timeseries,
+        "classifier_calibration": q_classifier_calibration,
     }
 
 

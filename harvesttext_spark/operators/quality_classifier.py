@@ -188,3 +188,55 @@ def score_quality(
             ).alias("quality_prob"),
         )
     )
+
+
+def calibration_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the distilled classifier -> one row per
+    occupied probability bin: (bin, n, mean_prob, observed_rate,
+    abs_gap).  ECE = sum(n/N * abs_gap) is one trivial aggregate away;
+    per-bin rows are the useful artifact (which probability REGIONS are
+    miscalibrated decides whether a threshold is trustworthy).
+
+    ONE groupBy on the bin ordinal (exchange bounded at n_bins rows) —
+    constant in corpus size.  Pure arithmetic on the already-rounded
+    probability -> SQL-mirrorable; the value compare lives in
+    tests/test_quality_classifier.py (driver prefix is full, the
+    domain_timeseries pattern)."""
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.select(
+            b.alias("bin"),
+            F.col(prob_col).alias("_p"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_p"), 6).alias("mean_prob"),
+            F.round(F.avg("_y"), 6).alias("observed_rate"),
+            F.round(F.abs(F.avg("_p") - F.avg("_y")), 6).alias("abs_gap"),
+        )
+    )
+
+
+def calibration_curve_sql(scored_select: str, n_bins: int = 10) -> str:
+    """DuckDB mirror of calibration_curve.  ``scored_select`` must
+    yield (quality_prob, label boolean)."""
+    return f"""
+WITH s AS (SELECT least(CAST(floor(quality_prob * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+                  quality_prob AS p,
+                  CASE WHEN label THEN 1.0 ELSE 0.0 END AS y
+           FROM ({scored_select}))
+SELECT bin, count(*) AS n,
+       round(avg(p), 6) AS mean_prob,
+       round(avg(y), 6) AS observed_rate,
+       round(abs(avg(p) - avg(y)), 6) AS abs_gap
+FROM s GROUP BY bin
+"""

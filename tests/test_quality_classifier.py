@@ -187,3 +187,70 @@ def test_quality_classifier_job_stage(spark):
         assert got[f"https://k{i}.example/"]["keep"] is True
         assert got[f"https://d{i}.example/"]["drop_reason"] == "too_short"
     assert all("quality_prob" in r for r in got.values())
+
+
+def test_calibration_curve_hand_computed(spark):
+    rows = [
+        (0.05, False), (0.08, True),          # bin 0: mean .065, obs .5
+        (0.95, True), (0.99, True), (1.0, True),  # bin 9 (1.0 clamps in)
+        (0.55, False),                         # bin 5
+    ]
+    df = spark.createDataFrame(rows, "quality_prob double, label boolean")
+    from harvesttext_spark.operators.quality_classifier import (
+        calibration_curve,
+    )
+
+    got = {r["bin"]: r.asDict() for r in calibration_curve(df).collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0]["n"] == 2 and got[0]["mean_prob"] == 0.065
+    assert got[0]["observed_rate"] == 0.5 and got[0]["abs_gap"] == 0.435
+    assert got[9]["n"] == 3 and got[9]["observed_rate"] == 1.0
+    assert got[5]["n"] == 1 and got[5]["observed_rate"] == 0.0
+
+
+def test_calibration_sql_parity(spark):
+    """Contract-grade value compare for the rows-only queries() entry
+    (driver prefix full — this pytest IS the value gate): the DuckDB
+    side composes the full classifier oracle SQL with the binning
+    mirror."""
+    import math
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from harvesttext_spark.operators.quality_classifier import (
+        calibration_curve_sql,
+    )
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    sdf = entrymod.q_classifier_calibration(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    inner = (
+        "WITH lab AS (SELECT doc_id, (lang = 'en') AS label FROM documents "
+        "UNION ALL SELECT doc_id, label FROM (VALUES "
+        "(4000003::BIGINT, true), (4000004::BIGINT, false)) t(doc_id, label)) "
+        f"SELECT q.quality_prob, lab.label FROM ({entrymod._sql_quality_classifier()}) q "
+        "JOIN lab USING (doc_id)"
+    )
+    ddf = con.execute(calibration_curve_sql(inner)).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 1
+
+    def norm(df):
+        out = []
+        for row in df.to_dict("records"):
+            vals = []
+            for c in sorted(df.columns):
+                v = row[c]
+                if isinstance(v, float):
+                    v = "nan" if math.isnan(v) else round(v, 6)
+                    v = 0.0 if v == 0 else v
+                vals.append(str(v))
+            out.append("|".join(vals))
+        return sorted(out)
+
+    assert norm(sdf) == norm(ddf)
