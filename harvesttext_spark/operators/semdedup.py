@@ -149,15 +149,27 @@ def semdedup(
         # additionally bypasses blank pages before embedding)
         np.divide(M, norms, out=M, where=norms != 0)
         ncols = m if cap is None else min(m, cap)
-        S = M @ M[:ncols].T
+        R = M[:ncols].T
+        # row-chunked gemm: peak memory is block x ncols, never m x m —
+        # a degenerate corpus can drop an arbitrarily hot cluster on one
+        # task (measured: a 1M-member cluster's full gram matrix is 8 TB;
+        # the chunked+capped scan is bounded and linear in m)
+        # bound each chunk's gram block to ~64 MB whatever ncols is
+        block = max(8, min(4096, (8 << 20) // max(ncols, 1)))
+        col = np.arange(ncols)
+        vals = np.empty(m)
+        for r0 in range(0, m, block):
+            r1 = min(r0 + block, m)
+            S = M[r0:r1] @ R
+            j = np.minimum(np.arange(r0, r1), ncols)  # prior cols per row
+            S[col[None, :] >= j[:, None]] = -np.inf
+            vals[r0:r1] = S.max(axis=1)
         # nullable Float64: each cluster's minimum id has NO prior and
         # must reach Spark as NULL (keep) — a plain float column would
         # turn that None into NaN, which compares false against the
         # threshold and would drop every cluster minimum
-        prior = [pd.NA]
-        for i in range(1, m):
-            j = min(i, ncols)
-            prior.append(round(float(S[i, :j].max()), 4))
+        prior = pd.array(np.round(vals, 4), dtype="Float64")
+        prior[np.isneginf(vals)] = pd.NA
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],

@@ -566,7 +566,9 @@ def apply_edu_filter(labeled, teacher_path, min_score, text_col="text_clean"):
     )
 
 
-def apply_semdedup(labeled, threshold, n_clusters=None, text_col="text_clean"):
+def apply_semdedup(
+    labeled, threshold, n_clusters=None, max_cluster=1000, text_col="text_clean"
+):
     """--semdedup-threshold: embedding-space semantic dedup of the kept
     set (operators/semdedup.py, Abbas et al. 2023) — deterministic
     signed word-hash embeddings (one Arrow pass), coarse clusters from
@@ -574,8 +576,12 @@ def apply_semdedup(labeled, threshold, n_clusters=None, text_col="text_clean"):
     threshold; survivors are the lexicographically-smallest urls
     (drop_reason=semantic_dup).  Blank pages bypass (a zero vector has
     no cosine; the cascade already labels them).  ``n_clusters``
-    defaults to a size-adaptive sqrt shape so average cluster size
-    grows as sqrt(N), bounding the within-cluster quadratic term.
+    defaults to a constant ~100-member target cluster size (pair work
+    linear in N); ``max_cluster`` (default 1000) caps each member's
+    reference set — REQUIRED robustness, not an optimization: template-
+    heavy corpora collapse onto few centroids, and a measured 1M-member
+    hot cluster made the uncapped gram scan need 8 TB / 6e16 flops
+    while the capped one stays linear.
     CORPUS-relative (cluster mates + smaller-url comparisons depend on
     the full kept set) — refused under --resume like --minhash-dedup's
     post-label siblings."""
@@ -606,7 +612,8 @@ def apply_semdedup(labeled, threshold, n_clusters=None, text_col="text_clean"):
     vecs = kept.select("url", word_hash_embedding_udf(dim)(F.col("_t")).alias("_v"))
     cents = fixture_centroids(labeled.sparkSession, dim=dim, n_centroids=n_clusters)
     flags = semdedup(
-        vecs, cents, threshold=threshold, id_col="url", vec_col="_v"
+        vecs, cents, threshold=threshold, id_col="url", vec_col="_v",
+        max_cluster_df=max_cluster,
     ).select(F.col("vec_id").alias("_surl"), "semdedup_keep")
     return (
         labeled.join(flags, labeled["url"] == flags["_surl"], "left")

@@ -101,7 +101,10 @@ def main(argv=None):
         "url", word_hash_embedding_udf(64)(F.col("text")).alias("emb")
     )
     cents = fixture_centroids(spark, dim=64, n_centroids=k)
-    flags = semdedup(vecs, cents, threshold=0.95, id_col="url", vec_col="emb")
+    flags = semdedup(
+        vecs, cents, threshold=0.95, id_col="url", vec_col="emb",
+        max_cluster_df=1000,
+    )
     agg = flags.select(
         F.sum((~F.col("semdedup_keep")).cast("long")).alias("dropped"),
         F.sum(
@@ -116,6 +119,7 @@ def main(argv=None):
         "docs_per_sec": round(n_sd / sd_wall),
         "n_vectors": n_sd,
         "n_clusters": k,
+        "max_cluster_df": 1000,
         "dropped": int(agg["dropped"]),
         "copy_recall": round(int(agg["copies_dropped"]) / max(n_planted, 1), 4),
     }
