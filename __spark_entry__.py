@@ -3835,6 +3835,25 @@ def _sql_edu_score() -> str:
     )
 
 
+MIXTURE_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.15, "es": 0.1, "fr": 0.05}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Static mixture sampling (operators/mixture.py): down-sample the
+    documents table to an exact target language composition via the
+    salted-md5 ppm rule (curation machinery) — T = min_g n_g/t_g, each
+    group keeps at t_g*T/n_g.  Rows-only in the driver contract
+    (prefix full); the contract-grade value compare lives in
+    tests/test_mixture.py::test_mixture_sql_parity."""
+    from harvesttext_spark.operators.mixture import sample_to_mixture
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = sample_to_mixture(
+        d, MIXTURE_TARGET, group_col="lang", id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "mix_ppm", "mix_keep")
+
+
 def q_classifier_calibration(spark, sf_dir):
     """Reliability diagram of the distilled quality classifier
     (operators/quality_classifier.py calibration_curve): per probability
@@ -4175,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "domain_timeseries": q_domain_timeseries,
         "classifier_calibration": q_classifier_calibration,
+        "mixture_sample": q_mixture_sample,
     }
 
 

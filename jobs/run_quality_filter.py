@@ -629,6 +629,46 @@ def apply_semdedup(
     )
 
 
+def apply_mixture(labeled, spec_path):
+    """--mixture-spec: static mixture sampling of the kept set
+    (operators/mixture.py) — the post-filter "data mixing" step.  The
+    JSON spec names the grouping column and target fractions:
+    ``{"group_by": "lang_pred", "fractions": {"en": 0.6, ...},
+    "budget_frac": 0.5}`` (budget_frac optional).  Kept rows hashed out
+    of the sample become drop_reason=mixture; groups absent from the
+    spec drop entirely.  CORPUS-relative (rates depend on the kept
+    counts) — refused under --resume."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.mixture import sample_to_mixture
+
+    with open(spec_path, encoding="utf-8") as fh:
+        spec = json.load(fh)
+    group_by = spec.get("group_by", "lang_pred")
+    fractions = spec["fractions"]
+    budget = float(spec.get("budget_frac", 1.0))
+    kept = labeled.filter(F.col("keep")).select(
+        "url", F.col(group_by).alias("_g")
+    )
+    flags = sample_to_mixture(
+        kept, fractions, group_col="_g", id_col="url", budget_frac=budget
+    ).select(F.col("url").alias("_murl"), "mix_keep")
+    return (
+        labeled.join(flags, labeled["url"] == flags["_murl"], "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("keep") & ~F.coalesce(F.col("mix_keep"), F.lit(True)),
+                F.lit("mixture"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_murl", "mix_keep")
+    )
+
+
 def apply_packing(labeled, max_tokens):
     """--pack-max-tokens: assign every KEPT doc a (pack_shard, pack_bin)
     training-sequence id via sharded first-fit-decreasing over cleaned-
@@ -1243,6 +1283,16 @@ def main(argv=None) -> None:
         "sqrt(est rows), clamped to [8, 65536])",
     )
     p.add_argument(
+        "--mixture-spec",
+        default=None,
+        metavar="JSON",
+        help="after all policy stages: static mixture sampling of kept "
+        "rows to a target group composition (file: {\"group_by\": "
+        "\"lang_pred\", \"fractions\": {...}, \"budget_frac\": 0.5}); "
+        "rows hashed out drop as drop_reason=mixture. Corpus-relative, "
+        "so incompatible with --resume.",
+    )
+    p.add_argument(
         "--pack-max-tokens",
         type=int,
         default=None,
@@ -1394,6 +1444,14 @@ def main(argv=None) -> None:
                 "semantic dedup as a separate full pass over the resumed "
                 "output."
             )
+        if args.mixture_spec is not None:
+            sys.exit(
+                "--resume is incompatible with --mixture-spec: per-group "
+                "keep rates depend on the run's full kept counts, so "
+                "reprocessed tail buckets would not sample identically "
+                "(bucket idempotency). Run mixture sampling as a separate "
+                "full pass over the resumed output."
+            )
         if args.quality_classifier_min_prob is not None:
             sys.exit(
                 "--resume is incompatible with --quality-classifier-min-prob: "
@@ -1491,6 +1549,8 @@ def main(argv=None) -> None:
             tcol = "text_clean" if "text_clean" in target.columns else "text"
             target = target.select(F.col(tcol).alias("text_clean"))
             labeled = apply_dsir_select(labeled, target, args.dsir_keep_frac)
+        if args.mixture_spec is not None:
+            labeled = apply_mixture(labeled, args.mixture_spec)
         if args.pack_max_tokens is not None:
             labeled = apply_packing(labeled, args.pack_max_tokens)
         labeled.write.mode("overwrite").parquet(args.output + "/data")
