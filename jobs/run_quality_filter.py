@@ -669,13 +669,19 @@ def apply_mixture(labeled, spec_path):
     )
 
 
-def apply_packing(labeled, max_tokens):
+def apply_packing(labeled, max_tokens, tokenizer="ws", bpe_merges=8000):
     """--pack-max-tokens: assign every KEPT doc a (pack_shard, pack_bin)
     training-sequence id via sharded first-fit-decreasing over cleaned-
     text token counts (operators/packing.py) — the export step between
     curation and tokenization.  Dropped rows get NULL pack columns.
     Deterministic on any partitioning; metadata-only shuffle (the text
-    never moves through the packing exchange)."""
+    never moves through the packing exchange).
+
+    ``tokenizer='bpe'`` (--pack-tokenizer) first trains a BPE
+    vocabulary on the kept text (operators/bpe.py) and packs on REAL
+    subword counts instead of whitespace words — whitespace counts
+    under-estimate the training-token budget on long-word / non-latin
+    text, so ws-packed bins can overflow the model's actual context."""
     from pyspark.sql import functions as F
 
     from harvesttext_spark.operators.packing import pack_sequences
@@ -683,8 +689,26 @@ def apply_packing(labeled, max_tokens):
     kept = labeled.filter(F.col("keep")).select(
         F.col("url").alias("_purl"), F.col("text_clean")
     )
+    token_count_col = None
+    if tokenizer == "bpe":
+        from harvesttext_spark.operators.bpe import bpe_tokenize, train_bpe
+
+        model = train_bpe(
+            kept.select(F.coalesce(F.col("text_clean"), F.lit("")).alias("_t")),
+            text_col="_t",
+            n_merges=bpe_merges,
+        )
+        counts = bpe_tokenize(
+            kept, model, text_col="text_clean", id_col="_purl"
+        ).select(F.col("doc_id").alias("_purl"), "n_bpe_tokens")
+        kept = kept.join(counts, "_purl")
+        token_count_col = "n_bpe_tokens"
     packed = pack_sequences(
-        kept, max_tokens, id_col="_purl", text_col="text_clean"
+        kept,
+        max_tokens,
+        id_col="_purl",
+        text_col="text_clean",
+        token_count_col=token_count_col,
     ).select("_purl", "pack_shard", "pack_bin", "pack_tokens", "oversize")
     return labeled.join(
         packed, labeled["url"] == packed["_purl"], "left"
@@ -1313,6 +1337,14 @@ def main(argv=None) -> None:
         "work, constant in page count)",
     )
     p.add_argument(
+        "--pack-tokenizer",
+        choices=["ws", "bpe"],
+        default="ws",
+        help="with --pack-max-tokens: count whitespace words (ws, "
+        "default) or train a BPE vocabulary on the kept text and pack "
+        "on real subword counts (bpe; merges via --bpe-merges)",
+    )
+    p.add_argument(
         "--bpe-vocab-out",
         default=None,
         metavar="FILE",
@@ -1552,7 +1584,12 @@ def main(argv=None) -> None:
         if args.mixture_spec is not None:
             labeled = apply_mixture(labeled, args.mixture_spec)
         if args.pack_max_tokens is not None:
-            labeled = apply_packing(labeled, args.pack_max_tokens)
+            labeled = apply_packing(
+                labeled,
+                args.pack_max_tokens,
+                tokenizer=args.pack_tokenizer,
+                bpe_merges=args.bpe_merges,
+            )
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups

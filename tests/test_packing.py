@@ -149,3 +149,41 @@ def test_fill_efficiency(spark):
 def test_rejects_bad_budget(spark):
     with pytest.raises(ValueError):
         pack_sequences(_df(spark), 0)
+
+
+def test_pack_tokenizer_bpe_counts_subwords(spark):
+    """--pack-tokenizer bpe: pack_tokens must equal the BPE subword
+    count (whitespace words under-count subwords, so the same doc packs
+    fatter under bpe), and the bin capacity invariant holds on the
+    subword measure."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_quality_filter import apply_packing
+
+    rows = [
+        (f"https://p{i}.x/", "internationalization antidisestablishment "
+         f"floccinaucinihilipilification row {i}", True, None)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    ws = apply_packing(df, 64, tokenizer="ws").collect()
+    bpe = apply_packing(df, 64, tokenizer="bpe", bpe_merges=20).collect()
+    ws_tok = {r["url"]: r["pack_tokens"] for r in ws}
+    bpe_tok = {r["url"]: r["pack_tokens"] for r in bpe}
+    # 20 merges leave long words split into many subwords
+    assert all(bpe_tok[u] > ws_tok[u] for u in ws_tok)
+    # capacity invariant on the subword measure: multi-doc bins fit the
+    # budget; only oversize singletons may exceed it
+    bins = {}
+    for r in bpe:
+        key = (r["pack_shard"], r["pack_bin"])
+        tot, n, any_over = bins.get(key, (0, 0, False))
+        bins[key] = (tot + r["pack_tokens"], n + 1, any_over or r["oversize"])
+        assert r["oversize"] == (r["pack_tokens"] > 64)
+    for tot, n, any_over in bins.values():
+        if n > 1:
+            assert tot <= 64 and not any_over
+        elif tot > 64:
+            assert any_over
