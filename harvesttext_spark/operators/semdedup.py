@@ -87,6 +87,50 @@ def word_hash_embedding_udf(dim: int = 64):
     return _emb
 
 
+def _assign_residual(df, centroids_l1, centroids_l2, vec_col, cid_col, out):
+    """Second-level split key for hot clusters: remove each vector's
+    component ALONG its level-1 centroid and argmax the normalized
+    residual against the level-2 centroid set.  Random centroids cannot
+    spread a tight cone (every member argmaxes the same one); the cone's
+    RESIDUALS live in the orthogonal complement and do spread — while
+    identical vectors keep identical residuals, so exact semantic
+    copies always co-locate.  One zero-shuffle Arrow pass (the
+    _assign_centroid shape)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    c1rows = sorted(centroids_l1.collect(), key=lambda r: r["centroid_id"])
+    cmat1 = np.array([r["centroid"] for r in c1rows], dtype=np.float64)
+    cmat1 /= np.linalg.norm(cmat1, axis=1, keepdims=True)
+    cid_to_idx = {r["centroid_id"]: i for i, r in enumerate(c1rows)}
+    c2rows = sorted(centroids_l2.collect(), key=lambda r: r["centroid_id"])
+    cmat2 = np.array([r["centroid"] for r in c2rows], dtype=np.float64)
+    cmat2 /= np.linalg.norm(cmat2, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((cmat1, cid_to_idx, cmat2))
+
+    def assign(batches):
+        cmat1_, idx_, cmat2_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            np.divide(M, norms, out=M, where=norms != 0)
+            C1 = cmat1_[[idx_[c] for c in pdf[cid_col]]]
+            res = M - (M * C1).sum(axis=1, keepdims=True) * C1
+            rn = np.linalg.norm(res, axis=1, keepdims=True)
+            np.divide(res, rn, out=res, where=rn != 0)
+            pdf = pdf.copy()
+            # zero residual (vector == centroid direction) argmaxes the
+            # all-zero row deterministically to sub 0
+            pdf[out] = np.argmax(res @ cmat2_.T, axis=1).astype("int32")
+            yield pdf
+
+    schema = StructType(df.schema.fields + [StructField(out, IntegerType())])
+    return df.mapInPandas(assign, schema=schema)
+
+
 def semdedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -94,6 +138,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_df: int | None = None,
+    split_threshold: int | None = None,
+    split_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """-> (vec_id, centroid_id, max_prior_sim, semdedup_keep) — one row
     per input vector.  ``max_prior_sim`` is the largest cosine to any
@@ -131,6 +177,38 @@ def semdedup(
         "_v",
         "centroid_id",
     )
+    group_key = "centroid_id"
+    if split_threshold is not None:
+        # residual split of HOT clusters only (one k-cardinality size
+        # agg, broadcast back): members of a cluster larger than
+        # split_threshold get a level-2 residual sub-id and scan within
+        # (centroid_id, sub) — the approximation touches hot clusters
+        # alone (a 0.95-borderline pair can straddle subclusters; exact
+        # copies never do), and max_cluster_df remains the backstop for
+        # subclusters that are STILL degenerate (identical vectors
+        # share one residual)
+        if split_centroids is None:
+            raise ValueError("split_threshold requires split_centroids")
+        k2 = split_centroids.count()
+        sizes = asg.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csize"))
+        asg = asg.join(F.broadcast(sizes), "centroid_id")
+        small = asg.filter(F.col("_csize") <= split_threshold).withColumn(
+            "_sub", F.lit(-1)
+        )
+        big = _assign_residual(
+            asg.filter(F.col("_csize") > split_threshold),
+            centroids,
+            split_centroids,
+            "_v",
+            "centroid_id",
+            "_sub",
+        )
+        asg = small.unionByName(big).withColumn(
+            "_gk",
+            F.col("centroid_id").cast("long") * (k2 + 1)
+            + (F.col("_sub") + 1).cast("long"),
+        )
+        group_key = "_gk"
     cap = max_cluster_df
     id_field = asg.schema["vec_id"]
 
@@ -185,7 +263,7 @@ def semdedup(
             StructField("max_prior_sim", DoubleType()),
         ]
     )
-    scanned = asg.groupBy("centroid_id").applyInPandas(scan, schema=schema)
+    scanned = asg.groupBy(group_key).applyInPandas(scan, schema=schema)
     return scanned.select(
         "vec_id",
         "centroid_id",

@@ -316,15 +316,19 @@ def train_ivf_centroids(
     return spark.createDataFrame(centers, "centroid_id int, centroid array<double>")
 
 
-def fixture_centroids(spark, dim: int = 64, n_centroids: int = 8) -> DataFrame:
+def fixture_centroids(
+    spark, dim: int = 64, n_centroids: int = 8, plane_base: int = 9000
+) -> DataFrame:
     """Deterministic pseudo-random coarse-quantizer fixture: md5-derived
     components from the SAME generator as the LSH hyperplanes, in a
     disjoint plane namespace (9000+).  Exists so the IVF assign/probe/
     score machinery can be value-oracled in SQL (centroid literals embed
     in the oracle the way ann_lsh pins its plane constants); production
     paths train KMeans (``train_ivf_centroids``) — trained-quantizer
-    recall stays pytest-gated."""
-    rows = [(j, _hyperplane(dim, 9000 + j)) for j in range(n_centroids)]
+    recall stays pytest-gated.  ``plane_base`` picks the namespace so
+    independent fixtures (e.g. semdedup's level-2 residual splitter at
+    9500+) never share planes with the default 9000+ set."""
+    rows = [(j, _hyperplane(dim, plane_base + j)) for j in range(n_centroids)]
     return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
 
 

@@ -611,9 +611,16 @@ def apply_semdedup(
     dim = 64
     vecs = kept.select("url", word_hash_embedding_udf(dim)(F.col("_t")).alias("_v"))
     cents = fixture_centroids(labeled.sparkSession, dim=dim, n_centroids=n_clusters)
+    # hot clusters (template floods, tight embedding cones) get a
+    # level-2 residual split before the scan — exact copies always
+    # co-locate; max_cluster remains the degenerate-subcluster backstop
+    l2 = fixture_centroids(
+        labeled.sparkSession, dim=dim, n_centroids=256, plane_base=9500
+    )
     flags = semdedup(
         vecs, cents, threshold=threshold, id_col="url", vec_col="_v",
         max_cluster_df=max_cluster,
+        split_threshold=max_cluster, split_centroids=l2,
     ).select(F.col("vec_id").alias("_surl"), "semdedup_keep")
     return (
         labeled.join(flags, labeled["url"] == flags["_surl"], "left")

@@ -184,3 +184,64 @@ def test_semdedup_job_stage(spark):
     assert got["https://c.example/"]["keep"] is True
     assert got["https://blank.example/"]["keep"] is True
     assert got["https://gone.example/"]["drop_reason"] == "too_short"
+
+
+def test_residual_split_preserves_results_when_no_hot_cluster(spark):
+    """split_threshold above every cluster size ==> identical output."""
+    from harvesttext_spark.operators.similarity import fixture_centroids
+
+    vecs = [(i, _det_vec(i)) for i in range(30)]
+    cents = spark.createDataFrame(
+        [(c, _det_vec(900 + c)) for c in range(3)],
+        "centroid_id int, centroid array<double>",
+    )
+    l2 = fixture_centroids(spark, dim=8, n_centroids=4, plane_base=9500)
+    base = sorted(
+        semdedup(_mk(spark, vecs), cents, threshold=0.9).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    split = sorted(
+        semdedup(
+            _mk(spark, vecs), cents, threshold=0.9,
+            split_threshold=1000, split_centroids=l2,
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in split]
+
+
+def test_residual_split_spreads_tight_cone_but_keeps_copies_together(spark):
+    """A tight cone (all members ~one direction plus small distinct
+    residuals) collapses onto one level-1 centroid; the residual split
+    must spread it into multiple subclusters while EXACT copies stay
+    co-located and are still dropped."""
+    import numpy as np
+
+    from harvesttext_spark.operators.similarity import fixture_centroids
+
+    base_dir = np.array([1.0] + [0.0] * 7)
+    vecs = []
+    for i in range(60):
+        r = np.array(_det_vec(i)) * 0.05  # small distinct residual
+        v = base_dir + r
+        vecs.append((i, [float(x) for x in v]))
+    # exact copies of members 3 and 7 under larger ids
+    vecs.append((100, list(vecs[3][1])))
+    vecs.append((101, list(vecs[7][1])))
+    cents = spark.createDataFrame(CENTS, "centroid_id int, centroid array<double>")
+    l2 = fixture_centroids(spark, dim=8, n_centroids=8, plane_base=9500)
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            _mk(spark, vecs), cents, threshold=0.999,
+            split_threshold=10, split_centroids=l2,
+        ).collect()
+    }
+    # copies co-locate with their originals and drop
+    assert out[100]["semdedup_keep"] is False
+    assert out[101]["semdedup_keep"] is False
+    assert out[100]["max_prior_sim"] == 1.0
+    # the split genuinely spread the cone: with the scan keyed on
+    # (centroid, sub), most tight-cone members see no >=0.999 prior
+    kept = sum(1 for vid, r in out.items() if vid < 100 and r["semdedup_keep"])
+    assert kept >= 50

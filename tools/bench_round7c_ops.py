@@ -101,9 +101,10 @@ def main(argv=None):
         "url", word_hash_embedding_udf(64)(F.col("text")).alias("emb")
     )
     cents = fixture_centroids(spark, dim=64, n_centroids=k)
+    l2 = fixture_centroids(spark, dim=64, n_centroids=256, plane_base=9500)
     flags = semdedup(
         vecs, cents, threshold=0.95, id_col="url", vec_col="emb",
-        max_cluster_df=1000,
+        max_cluster_df=1000, split_threshold=1000, split_centroids=l2,
     )
     agg = flags.select(
         F.sum((~F.col("semdedup_keep")).cast("long")).alias("dropped"),
@@ -120,6 +121,8 @@ def main(argv=None):
         "n_vectors": n_sd,
         "n_clusters": k,
         "max_cluster_df": 1000,
+        "split_threshold": 1000,
+        "split_centroids_l2": 256,
         "dropped": int(agg["dropped"]),
         "copy_recall": round(int(agg["copies_dropped"]) / max(n_planted, 1), 4),
     }
