@@ -1565,21 +1565,64 @@ def main(argv=None) -> None:
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
         labeled = build_policy_fn(args, p)(labeled)
-        if args.domain_reputation_min_rate is not None:
-            labeled = apply_domain_reputation_filter(
-                labeled,
+        # MODEL-STAGE BOUNDARIES ARE MATERIALIZED, like the dedup
+        # pre-passes: every model stage consumes `labeled` through 2-3
+        # branches (train + score + join-back; domain agg + join-back;
+        # embed + scan + join-back; rate table + hash filter), so an
+        # unmaterialized chain recomputes the whole upstream cascade
+        # once per branch, multiplicatively across stages — chaining
+        # five of them blew an 8g driver heap on plan analysis alone
+        # before any row moved, and persist does NOT help (CacheManager
+        # re-normalizes the full analyzed tree per registration — the
+        # measured OOM).  The cut must truncate LINEAGE: --stage-dir
+        # writes parquet (the 100 TB default — durable, auditable);
+        # otherwise eager localCheckpoint() stores blocks on executors
+        # and replaces the plan with a leaf (fine single-node /
+        # fault-free; on a lossy cluster pass --stage-dir).
+        _ms_n = [0]
+        model_stages_on = sum(
+            x is not None
+            for x in (
                 args.domain_reputation_min_rate,
-                prior_strength=args.domain_reputation_strength,
+                args.quality_classifier_min_prob,
+                args.semdedup_threshold,
+                args.dsir_keep_frac,
+                args.mixture_spec,
+                args.pack_max_tokens,
+            )
+        )
+
+        def _model_stage(df):
+            if model_stages_on < 2:
+                return df  # single branching stage: lazy is fine
+            if args.stage_dir is not None:
+                path = f"{args.stage_dir}/model_stage_{_ms_n[0]:02d}"
+                _ms_n[0] += 1
+                df.write.mode("overwrite").parquet(path)
+                return spark.read.parquet(path)
+            return df.localCheckpoint(eager=True)
+
+        if model_stages_on >= 2:
+            labeled = _model_stage(labeled)  # flat input for the first
+        if args.domain_reputation_min_rate is not None:
+            labeled = _model_stage(
+                apply_domain_reputation_filter(
+                    labeled,
+                    args.domain_reputation_min_rate,
+                    prior_strength=args.domain_reputation_strength,
+                )
             )
         if args.quality_classifier_min_prob is not None:
-            labeled = apply_quality_classifier(
-                labeled, args.quality_classifier_min_prob
+            labeled = _model_stage(
+                apply_quality_classifier(labeled, args.quality_classifier_min_prob)
             )
         if args.semdedup_threshold is not None:
-            labeled = apply_semdedup(
-                labeled,
-                args.semdedup_threshold,
-                n_clusters=args.semdedup_clusters,
+            labeled = _model_stage(
+                apply_semdedup(
+                    labeled,
+                    args.semdedup_threshold,
+                    n_clusters=args.semdedup_clusters,
+                )
             )
         if args.dsir_keep_frac is not None:
             from pyspark.sql import functions as F
@@ -1587,9 +1630,11 @@ def main(argv=None) -> None:
             target = spark.read.parquet(args.dsir_target_path)
             tcol = "text_clean" if "text_clean" in target.columns else "text"
             target = target.select(F.col(tcol).alias("text_clean"))
-            labeled = apply_dsir_select(labeled, target, args.dsir_keep_frac)
+            labeled = _model_stage(
+                apply_dsir_select(labeled, target, args.dsir_keep_frac)
+            )
         if args.mixture_spec is not None:
-            labeled = apply_mixture(labeled, args.mixture_spec)
+            labeled = _model_stage(apply_mixture(labeled, args.mixture_spec))
         if args.pack_max_tokens is not None:
             labeled = apply_packing(
                 labeled,
