@@ -51,6 +51,7 @@ HEADLINE = [
     # round-7 third-wave additions
     "edu_score",              # target-encoding train + broadcast score
     "semdedup",               # centroid assign + within-cluster pair scan
+    "mixture_sample",         # group rates + hash compare riding the scan
 ]
 
 REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))

@@ -44,6 +44,7 @@ SECTIONS = {
     "domain_reputation — domain agg + broadcast 1-row totals + AQE join back": "domain_reputation",
     "edu_score — bounded bucket-mean train, broadcast score join": "edu_score",
     "semdedup — zero-shuffle centroid assign, centroid_id-keyed pair scan": "semdedup",
+    "mixture_sample — group-count agg + broadcast rates + hash compare on the scan": "mixture_sample",
 }
 
 
