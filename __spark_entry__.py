@@ -3851,7 +3851,7 @@ def q_mixture_sample(spark, sf_dir):
     out = sample_to_mixture(
         d, MIXTURE_TARGET, group_col="lang", id_col="doc_id"
     )
-    return out.select("doc_id", "lang", "mix_ppm", "mix_keep")
+    return out.select("doc_id", "lang", "mix_ppm", "mix_copies", "mix_keep")
 
 
 def q_classifier_calibration(spark, sf_dir):

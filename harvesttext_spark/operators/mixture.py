@@ -36,14 +36,26 @@ def sample_to_mixture(
     id_col: str = "url",
     seed: int = 7,
     budget_frac: float = 1.0,
+    max_repeat: int = 1,
 ) -> DataFrame:
-    """All rows + (mix_ppm, mix_keep).  ``fractions`` are the target
-    composition over listed groups (must be positive and sum to 1
-    ±1e-6); unlisted groups get mix_ppm 0 and never keep.
+    """All rows + (mix_ppm, mix_copies, mix_keep).  ``fractions`` are
+    the target composition over listed groups (must be positive and sum
+    to 1 ±1e-6); unlisted groups get mix_ppm 0 and never keep.
     ``budget_frac`` scales the output below the maximum (e.g. 0.5 =
-    half the largest exactly-composed sample); the binding group's
-    keep rate is exactly ``budget_frac``.  NULL ids never keep (route
-    explicitly, the hash_split rule)."""
+    half the largest exactly-composed sample); with the default
+    ``max_repeat=1`` the binding group's keep rate is exactly
+    ``budget_frac``.  NULL ids never keep (route explicitly, the
+    hash_split rule).
+
+    ``max_repeat > 1`` allows UP-sampling (the GPT-3/Pile recipe:
+    high-weight sources repeat for several epochs): T becomes
+    min_g n_g * max_repeat / t_g, each group's per-row copy count is
+    c_g = t_g * T / n_g in (0, max_repeat], and a row emits
+    ``mix_copies`` = floor(c_g) plus one more when its hash lands
+    under frac(c_g) — expected copies exactly c_g, deterministic per
+    id.  mix_keep = (mix_copies >= 1); the export step explodes by
+    mix_copies (epoch repetition is an export concern, so the row set
+    here stays one-row-per-input)."""
     if not fractions:
         raise ValueError("fractions must be non-empty")
     if any(f <= 0 for f in fractions.values()):
@@ -53,6 +65,8 @@ def sample_to_mixture(
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not 0 < budget_frac <= 1:
         raise ValueError("budget_frac must be in (0, 1]")
+    if max_repeat < 1:
+        raise ValueError("max_repeat must be >= 1")
     spark = df.sparkSession
     spec = spark.createDataFrame(
         [(g, float(f)) for g, f in fractions.items()],
@@ -66,28 +80,35 @@ def sample_to_mixture(
         .agg(F.count(F.lit(1)).alias("_n"))
         .join(F.broadcast(spec), group_col)
     )
-    tmax = counts.groupBy().agg(F.min(F.col("_n") / F.col("_tfrac")).alias("_T"))
+    tmax = counts.groupBy().agg(
+        F.min(F.col("_n") * max_repeat / F.col("_tfrac")).alias("_T")
+    )
+    # copies in ppm grain: c_g * 1e6, clamped to max_repeat epochs
     rates = counts.join(F.broadcast(tmax)).select(
         group_col,
         F.round(
             F.least(
-                F.lit(1.0),
+                F.lit(float(max_repeat)),
                 F.col("_tfrac") * F.lit(budget_frac) * F.col("_T") / F.col("_n"),
             )
             * _M,
             0,
         )
-        .cast("int")
+        .cast("bigint")
         .alias("mix_ppm"),
     )
     ppm = _hash_ppm(F.col(id_col), seed)
+    copies = F.when(
+        F.col(id_col).isNull(), F.lit(0)
+    ).otherwise(
+        (F.col("mix_ppm") / _M).cast("int")
+        + (ppm < F.col("mix_ppm") % _M).cast("int")
+    )
     return (
         df.join(rates, group_col, "left")
         .withColumn("mix_ppm", F.coalesce(F.col("mix_ppm"), F.lit(0)))
-        .withColumn(
-            "mix_keep",
-            F.col(id_col).isNotNull() & (ppm < F.col("mix_ppm")),
-        )
+        .withColumn("mix_copies", copies)
+        .withColumn("mix_keep", F.col("mix_copies") >= 1)
     )
 
 
@@ -98,6 +119,7 @@ def sample_to_mixture_sql(
     id_col: str = "url",
     seed: int = 7,
     budget_frac: float = 1.0,
+    max_repeat: int = 1,
 ) -> str:
     """DuckDB mirror (shared SQL source of truth for the parity test).
     ``base_select`` must yield at least (group_col, id_col); all its
@@ -122,15 +144,22 @@ counts AS (
   WHERE b.{id_col} IS NOT NULL
   GROUP BY b.{group_col}
 ),
-tmax AS (SELECT min(n / tfrac) AS T FROM counts),
+tmax AS (SELECT min(n * {max_repeat} / tfrac) AS T FROM counts),
 rates AS (
   SELECT {group_col},
-         CAST(round(least(1.0, tfrac * {budget_frac!r} * t.T / n) * {_M})
-              AS INT) AS mix_ppm
+         CAST(round(least(CAST({max_repeat} AS DOUBLE),
+                          tfrac * {budget_frac!r} * t.T / n) * {_M})
+              AS BIGINT) AS mix_ppm
   FROM counts CROSS JOIN tmax t
 )
-SELECT b.*, coalesce(r.mix_ppm, 0) AS mix_ppm,
-       (b.{id_col} IS NOT NULL AND {hash_ppm} < coalesce(r.mix_ppm, 0))
-         AS mix_keep
-FROM base b LEFT JOIN rates r USING ({group_col})
+SELECT *,
+       (mix_copies >= 1) AS mix_keep
+FROM (
+  SELECT b.*, coalesce(r.mix_ppm, 0) AS mix_ppm,
+         CASE WHEN b.{id_col} IS NULL THEN 0
+              ELSE CAST(coalesce(r.mix_ppm, 0) // {_M} AS INT)
+                   + CAST({hash_ppm} < coalesce(r.mix_ppm, 0) % {_M} AS INT)
+         END AS mix_copies
+  FROM base b LEFT JOIN rates r USING ({group_col})
+)
 """

@@ -656,12 +656,14 @@ def apply_mixture(labeled, spec_path):
     group_by = spec.get("group_by", "lang_pred")
     fractions = spec["fractions"]
     budget = float(spec.get("budget_frac", 1.0))
+    max_repeat = int(spec.get("max_repeat", 1))
     kept = labeled.filter(F.col("keep")).select(
         "url", F.col(group_by).alias("_g")
     )
     flags = sample_to_mixture(
-        kept, fractions, group_col="_g", id_col="url", budget_frac=budget
-    ).select(F.col("url").alias("_murl"), "mix_keep")
+        kept, fractions, group_col="_g", id_col="url", budget_frac=budget,
+        max_repeat=max_repeat,
+    ).select(F.col("url").alias("_murl"), "mix_keep", "mix_copies")
     return (
         labeled.join(flags, labeled["url"] == flags["_murl"], "left")
         .withColumn(
@@ -672,6 +674,12 @@ def apply_mixture(labeled, spec_path):
             ).otherwise(F.col("drop_reason")),
         )
         .withColumn("keep", F.col("drop_reason").isNull())
+        # epoch-repeat count survives to the output (export explodes by
+        # it when max_repeat > 1); dropped rows carry NULL
+        .withColumn(
+            "mix_copies",
+            F.when(F.col("keep"), F.coalesce(F.col("mix_copies"), F.lit(1))),
+        )
         .drop("_murl", "mix_keep")
     )
 
@@ -1320,8 +1328,10 @@ def main(argv=None) -> None:
         help="after all policy stages: static mixture sampling of kept "
         "rows to a target group composition (file: {\"group_by\": "
         "\"lang_pred\", \"fractions\": {...}, \"budget_frac\": 0.5}); "
-        "rows hashed out drop as drop_reason=mixture. Corpus-relative, "
-        "so incompatible with --resume.",
+        "rows hashed out drop as drop_reason=mixture; an optional "
+        "max_repeat allows epoch up-sampling (kept rows carry "
+        "mix_copies for the export step). Corpus-relative, so "
+        "incompatible with --resume.",
     )
     p.add_argument(
         "--pack-max-tokens",

@@ -160,3 +160,32 @@ def test_mixture_job_stage(spark, tmp_path):
         for r in got.values()
         if r["lang_pred"] == "en"
     )
+
+
+def test_max_repeat_upsamples_scarce_group(spark):
+    """max_repeat > 1 (the GPT-3/Pile epoch-repeat recipe): a scarce
+    high-weight group repeats up to the cap while the abundant group
+    down-samples; expected copies hit the exact quota."""
+    rows = [(f"u{i}", "common") for i in range(3000)] + [
+        (f"v{i}", "rare") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string")
+    out = sample_to_mixture(
+        df, {"common": 0.5, "rare": 0.5}, id_col="url", max_repeat=3
+    ).cache()
+    ppm = {
+        r["lang"]: r["mix_ppm"]
+        for r in out.select("lang", "mix_ppm").distinct().collect()
+    }
+    # T = min(3000*3/.5, 300*3/.5) = 1800 -> rare copies 3.0 (cap),
+    # common copies 0.3
+    assert ppm["rare"] == 3_000_000 and ppm["common"] == 300_000
+    copies = {
+        r["lang"]: r["tot"]
+        for r in out.groupBy("lang").agg(
+            F.sum("mix_copies").alias("tot")
+        ).collect()
+    }
+    assert copies["rare"] == 900  # every rare row repeats exactly 3x
+    assert abs(copies["common"] - 900) < 120  # binomial wobble
+    assert out.filter("lang = 'rare' and not mix_keep").count() == 0
