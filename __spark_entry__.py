@@ -3835,6 +3835,21 @@ def _sql_edu_score() -> str:
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language
+    (operators/lm_perplexity.py ppl_buckets, Wenzek et al. 2020 §4.4):
+    the self-trained bigram LM's per-doc perplexity percent-ranked
+    within each lang and cut at 1/3, 2/3.  Rows-only in the driver
+    contract (prefix full); contract-grade value compare in
+    tests/test_lm_langid.py::test_ppl_buckets_sql_parity wraps the
+    lm_perplexity oracle SQL with the same window."""
+    from harvesttext_spark.operators.lm_perplexity import ppl_buckets
+
+    base = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return ppl_buckets(base.join(langs, "doc_id"), group_col="lang")
+
+
 MIXTURE_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.15, "es": 0.1, "fr": 0.05}
 
 
@@ -4195,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_timeseries": q_domain_timeseries,
         "classifier_calibration": q_classifier_calibration,
         "mixture_sample": q_mixture_sample,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 

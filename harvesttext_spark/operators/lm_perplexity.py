@@ -22,7 +22,7 @@ Everything is relational:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ALPHA = 0.4  # stupid-backoff constant
@@ -256,3 +256,33 @@ def perplexity_signal(
         id_col,
     )
     return out
+
+
+def ppl_buckets(
+    df: DataFrame,
+    ppl_col: str = "ppl",
+    group_col: str = "lang",
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.4: each
+    language's corpus is cut into perplexity TERCILES; head = lowest
+    perplexity = most Wikipedia-like, and most published pipelines
+    train on head+middle).  All rows + (ppl_rank, ppl_bucket).
+
+    percent_rank per group: ONE window shuffle keyed on ``group_col``
+    (per-language, the CCNet grain — do not pass a constant group at
+    scale: a global rank is a single-partition sort).  Ties share a
+    rank, so the split is a pure function of the (group, ppl) multiset
+    — no id tie-break needed, and both engines compute identical
+    doubles ((rank-1)/(n-1) vs the 1/3 literal), making the whole
+    thing SQL-mirrorable (parity pytest; driver prefix is full)."""
+    w = Window.partitionBy(group_col).orderBy(F.asc(ppl_col))
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr < F.lit(1.0 / 3), F.lit("head"))
+        .when(pr < F.lit(2.0 / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return df.select(
+        "*", F.round(pr, 6).alias("ppl_rank"), bucket.alias(out_col)
+    )

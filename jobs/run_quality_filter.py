@@ -1322,6 +1322,14 @@ def main(argv=None) -> None:
         "sqrt(est rows), clamped to [8, 65536])",
     )
     p.add_argument(
+        "--ppl-buckets",
+        action="store_true",
+        help="with --with-lm: add the CCNet head/middle/tail column — "
+        "each lang_pred group's perplexity percent-ranked and cut at "
+        "terciles (head = lowest ppl); published pipelines typically "
+        "train on head+middle",
+    )
+    p.add_argument(
         "--mixture-spec",
         default=None,
         metavar="JSON",
@@ -1574,6 +1582,12 @@ def main(argv=None) -> None:
             )
         else:
             labeled = quality_filter(pages, fast_path=args.fast_path)
+        if args.ppl_buckets:
+            if not args.with_lm:
+                p.error("--ppl-buckets requires --with-lm (the ppl column)")
+            from harvesttext_spark.operators.lm_perplexity import ppl_buckets
+
+            labeled = ppl_buckets(labeled, group_col="lang_pred")
         labeled = build_policy_fn(args, p)(labeled)
         # MODEL-STAGE BOUNDARIES ARE MATERIALIZED, like the dedup
         # pre-passes: every model stage consumes `labeled` through 2-3

@@ -117,3 +117,99 @@ def test_perplexity_handles_oov(spark):
     test = spark.createDataFrame([(9, "zz yy xx ww")], "doc_id long, text string")
     row = score_perplexity(test, uni, big, total).first()
     assert row["ppl"] > 0  # OOV floor path, no nulls/crash
+
+
+def test_ppl_buckets_terciles_and_semantics(spark):
+    """Hand-checked terciles: 6 docs per lang split 2/2/2 with head =
+    LOWEST perplexity (CCNet orientation), and ties share a bucket."""
+    from harvesttext_spark.operators.lm_perplexity import ppl_buckets
+
+    rows = [(i, "aa", float(10 + i)) for i in range(6)] + [
+        (10 + i, "bb", 50.0) for i in range(3)  # all tied
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, ppl double")
+    got = {r["doc_id"]: r["ppl_bucket"] for r in ppl_buckets(df).collect()}
+    assert [got[i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    # a fully tied group percent-ranks to 0 everywhere -> all head
+    assert {got[10 + i] for i in range(3)} == {"head"}
+
+
+def test_ppl_buckets_sql_parity(spark):
+    """Contract-grade value compare for the rows-only queries() entry
+    (driver prefix full): the DuckDB side wraps the lm_perplexity
+    oracle SQL with the identical per-lang percent_rank window."""
+    import math
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    sdf = entrymod.q_ppl_buckets(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    sql = f"""
+WITH pplt AS ({entrymod.SQL_LM_PERPLEXITY}),
+j AS (SELECT p.doc_id, p.ppl, d.lang
+      FROM pplt p JOIN documents d USING (doc_id)),
+r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY ppl ASC) AS pr
+      FROM j)
+SELECT doc_id, ppl, lang, round(pr, 6) AS ppl_rank,
+       CASE WHEN pr < 1.0/3 THEN 'head'
+            WHEN pr < 2.0/3 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r
+"""
+    ddf = con.execute(sql).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf) and len(sdf) > 0
+    assert set(sdf["ppl_bucket"]) == {"head", "middle", "tail"}
+
+    def norm(df):
+        out = []
+        for row in df.to_dict("records"):
+            vals = []
+            for c in sorted(df.columns):
+                v = row[c]
+                if isinstance(v, float):
+                    v = "nan" if math.isnan(v) else round(v, 6)
+                    v = 0.0 if v == 0 else v
+                vals.append(str(v))
+            out.append("|".join(vals))
+        return sorted(out)
+
+    assert norm(sdf) == norm(ddf)
+
+
+def test_ppl_buckets_job_flag(spark, tmp_path):
+    """--ppl-buckets composes with --with-lm and lands the bucket
+    column on the output.  Subprocess because main() stops its
+    context."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8", "PYTHONPATH": os.getcwd()}
+    r = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py", "--synthesize", "400",
+         "--output", out, "--with-lm", "--ppl-buckets"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = spark.read.parquet(out + "/data")
+    assert {"ppl", "ppl_rank", "ppl_bucket"} <= set(data.columns)
+    vals = {r["ppl_bucket"] for r in data.select("ppl_bucket").distinct().collect()}
+    assert {"head", "middle", "tail"} <= vals
+    # refused without the lm stage
+    r2 = subprocess.run(
+        [sys.executable, "jobs/run_quality_filter.py", "--synthesize", "50",
+         "--output", str(tmp_path / "o2"), "--ppl-buckets"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r2.returncode != 0 and "--with-lm" in r2.stderr
