@@ -12,8 +12,12 @@ Spark design:
     never a driver-side networkx object;
   * per-document ranking (TextRank keywords / summary) runs inside
     ``applyInPandas`` — each document's graph is tiny, the fleet of
-    documents is the parallelism; networkx pagerank gives exact reference
-    parity within the group;
+    documents is the parallelism; the from-scratch power-iteration
+    pagerank (``pagerank_dict`` below) reproduces the reference's
+    networkx.pagerank semantics (damping 0.85, weighted out-edge
+    normalization, L1 convergence) — networkx itself is importable in
+    this image but its pagerank needs scipy (absent), so the
+    power-iteration recast stays the execution path;
   * corpus-level PageRank, when needed, is the iterative join/agg loop
     (``pagerank_edges``) — O(E) shuffles per iteration, AQE-coalesced.
 """

@@ -117,6 +117,34 @@ def test_connected_components_hot_key_star(spark):
     assert {r["cluster_id"] for r in got.filter("node <= 2").collect()} == {1}
 
 
+def test_connected_components_networkx_cross_check(spark):
+    """Third-party cross-validation (round 8): networkx landed in the
+    image (its pagerank still needs the absent scipy, but
+    nx.connected_components is pure Python).  Both engine paths must
+    reproduce nx's partition AND the min-node-per-component label on a
+    seeded random multi-component graph."""
+    nx = pytest.importorskip("networkx")
+    import random
+
+    rng = random.Random(20260818)
+    pairs = [(rng.randrange(400), rng.randrange(400)) for _ in range(350)]
+    pairs += [(1000, 1001), (1001, 1002), (2000, 2000)]
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    expected = {}
+    for comp in nx.connected_components(G):
+        label = min(comp)
+        for node in comp:
+            expected[node] = label
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    for threshold in (10**9, 0):  # driver union-find leg, distributed leg
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges, driver_threshold=threshold).collect()
+        }
+        assert got == expected
+
+
 def test_discover_aliases_clusters_variants(spark):
     mentions = spark.createDataFrame(
         [
