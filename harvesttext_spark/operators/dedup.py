@@ -200,6 +200,20 @@ DEFAULT_MAX_BAND_DF = 256
 DuckDB oracle too, so Spark and oracle stay pinned together)."""
 
 
+def _max_bucket_size(bands_df: DataFrame) -> int:
+    """Largest (band, key) bucket membership — the count probe guarding
+    the hot-band WindowGroupLimit.  groupBy().count() partial-aggregates
+    map-side (one tiny row per bucket per input partition crosses the
+    wire), then a scalar max; bounded driver collect (1 row)."""
+    row = (
+        bands_df.groupBy("band", "key")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    return int(row["mx"]) if row["mx"] is not None else 0
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -250,6 +264,12 @@ def minhash_dup_pairs(
     tests/test_dedup_similarity.py; 1.2M-page planted-100k-family
     measurement in BENCH.md).  ``None`` disables the cap (oracle parity
     on pathological fixtures).
+
+    The cap's WindowGroupLimit only runs when a cheap count probe
+    (``_max_bucket_size``) finds at least one bucket over the cap —
+    under-cap corpora (the common case after exact-dedup-first) pay one
+    tiny partial-agg instead of a full (band, key) exchange + sort, with
+    bit-identical output.
     """
     rows = num_hashes // bands
     # explode + codegen min-aggs (minhash_signature_frame — 14x the HOF
@@ -266,14 +286,24 @@ def minhash_dup_pairs(
     from harvesttext_spark.session import plan_keyed_persist
 
     sig = plan_keyed_persist(sig, "minhash_sig")
-    # materialize BEFORE branching: three consumers referencing a lazy cache
-    # inside one job race the cache and recompute the md5 chain per branch
-    sig.count()
     bands_df = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
+    # ONE eager action before branching serves two needs at once:
+    # materialize the persisted sig (three consumers referencing a lazy
+    # cache inside one job race the cache and recompute the md5 chain per
+    # branch — measured 3-4x) AND, when the cap is armed, probe the
+    # largest (band, key) bucket.  The probe consumes sig, so running it
+    # populates the cache as a side effect — same job count as the old
+    # bare sig.count(), no extra launch (round 8, VERDICT #3).
     if max_band_df is not None:
+        need_cap = _max_bucket_size(bands_df) > max_band_df
+    else:
+        sig.count()
+        need_cap = False
+
+    if need_cap:
         # hot-band cap: left side = the max_band_df smallest ids per
         # (band, key).  Spark 4 plans this as WindowGroupLimit with a
         # PARTIAL pass before the (band, key) exchange (pinned by
@@ -281,6 +311,15 @@ def minhash_dup_pairs(
         # slice of a hot bucket to the cap, so a million-member bucket
         # ships at most cap rows per input partition on the left side,
         # and the post-shuffle sort satisfies the merge-join ordering.
+        #
+        # The cap is GUARDED by a count probe (round 8, VERDICT #3): the
+        # WindowGroupLimit costs a full (band, key) exchange + sort even
+        # when no bucket is anywhere near the cap — and after
+        # exact-dedup-first that IS the common case.  One partial-agg
+        # count (map-side combine -> one tiny row per bucket -> scalar
+        # max, reading the already-persisted signature cache) decides;
+        # under-cap corpora skip the window entirely, which is
+        # bit-identical output by the cap's own <=-cap semantics.
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band", "key").orderBy("id")

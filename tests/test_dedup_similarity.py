@@ -194,8 +194,14 @@ def test_minhash_band_cap_equivalence_and_planted_family(spark):
 
     uncapped_df = minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=None)
     uncapped = pair_set(uncapped_df)
-    # cap far above every bucket: bit-identical to uncapped
-    assert pair_set(minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=256)) == uncapped
+    # cap far above every bucket: bit-identical to uncapped, AND (round 8)
+    # the count probe must have skipped the WindowGroupLimit entirely —
+    # under-cap corpora pay a tiny partial-agg, not a (band,key)
+    # exchange + sort (the r7 minhash_lsh_pairs 45% headline regression).
+    probe_skipped_df = minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=256)
+    assert pair_set(probe_skipped_df) == uncapped
+    skip_plan = probe_skipped_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" not in skip_plan
 
     capped_df = minhash_dup_pairs(docs, min_jaccard=0.5, max_band_df=4)
     capped = pair_set(capped_df)
