@@ -240,3 +240,126 @@ SELECT bin, count(*) AS n,
        round(abs(avg(p) - avg(y)), 6) AS abs_gap
 FROM s GROUP BY bin
 """
+
+
+# --- isotonic recalibration (round 8, VERDICT #5) --------------------------
+
+CAL_N_BINS = 64
+CAL_LODDS_LO = -40.0
+CAL_LODDS_HI = 40.0
+
+
+def _lodds_bin(lodds_col, n_bins: int, lo: float, hi: float):
+    """Fixed-width bin ordinal over the CLIPPED log-odds range.  Fixed
+    bins (not quantiles) on purpose: quantile edges need a global sort
+    or an approxQuantile sketch whose merge is partition-order
+    sensitive, while floor arithmetic on the already-rounded lodds is
+    deterministic under any partitioning — the resume rule."""
+    clipped = F.greatest(F.least(lodds_col, F.lit(hi)), F.lit(lo))
+    width = (hi - lo) / n_bins
+    return F.least(
+        F.floor((clipped - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+
+
+def _pav(pairs):
+    """Pool-adjacent-violators over ordered (n, pos) bins — exact
+    integer pooling (rates only become floats at the very end, and the
+    violation test cross-multiplies integers), so the fit is
+    bit-deterministic.  -> one non-decreasing rate per input bin."""
+    blocks = []  # [n, pos, n_bins_spanned], rates non-decreasing
+    for n, pos in pairs:
+        blocks.append([n, pos, 1])
+        # rate(a)/n(a) >= rate(b)/n(b)  <=>  pos_a*n_b >= pos_b*n_a
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    out = []
+    for n, pos, span in blocks:
+        out.extend([pos / n] * span)
+    return out  # one rate per ORIGINAL bin, in order
+
+
+def train_isotonic_calibrator(
+    scored: DataFrame,
+    label_col: str = "label",
+    lodds_col: str = "quality_lodds",
+    n_bins: int = CAL_N_BINS,
+    lo: float = CAL_LODDS_LO,
+    hi: float = CAL_LODDS_HI,
+) -> DataFrame:
+    """Distributed isotonic regression of P(label | lodds), the
+    calibration-curve follow-through: the reliability diagram exposed
+    the NB probabilities as wildly miscalibrated (predicted 2e-5 vs
+    observed 0.386 on the synthetic corpus — NB's independence
+    assumption stacks correlated gram evidence), so a threshold on the
+    RAW probability is meaningless.  Isotonic regression fixes exactly
+    this: it learns the monotone map lodds -> P(label) that the NB
+    ranking implies, without trusting the NB magnitudes (Zadrozny &
+    Elkan 2002; sklearn's CalibratedClassifierCV(method='isotonic')
+    is the single-node shape of the same fit).
+
+    Scale shape: ONE groupBy at n_bins cardinality (the
+    calibration_curve exchange — constant in corpus size), PAV on the
+    <=n_bins integer count rows driver-side, and the result is a
+    broadcastable (bin, cal_prob) dim table.  Unoccupied bins inherit
+    the nearest lower occupied bin's rate (first occupied bin for
+    leading gaps) so every possible bin ordinal resolves at score time.
+    Deterministic end-to-end: fixed-width bins on rounded lodds,
+    integer-count PAV (see _pav), rates rounded to 6 at the boundary.
+
+    -> (bin int, cal_prob double), cal_prob non-decreasing in bin."""
+    b = _lodds_bin(F.col(lodds_col), n_bins, lo, hi)
+    rows = (
+        scored.select(
+            b.alias("bin"), F.col(label_col).cast("int").alias("_y")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("isotonic calibrator: empty scored input")
+    occupied = sorted((r["bin"], int(r["n"]), int(r["pos"])) for r in rows)
+    rates = _pav([(n, pos) for _, n, pos in occupied])
+    per_bin = {bin_id: rate for (bin_id, _, _), rate in zip(occupied, rates)}
+    # fill gaps: nearest lower occupied bin (leading gaps -> first rate)
+    filled = []
+    cur = per_bin[occupied[0][0]]
+    for bin_id in range(n_bins):
+        cur = per_bin.get(bin_id, cur)
+        filled.append((bin_id, round(cur, 6)))
+    return scored.sparkSession.createDataFrame(
+        filled, "bin int, cal_prob double"
+    )
+
+
+def apply_calibration(
+    scored: DataFrame,
+    calibrator: DataFrame,
+    lodds_col: str = "quality_lodds",
+    out_col: str = "quality_prob_cal",
+    n_bins: int = CAL_N_BINS,
+    lo: float = CAL_LODDS_LO,
+    hi: float = CAL_LODDS_HI,
+) -> DataFrame:
+    """Attach the isotonic-calibrated probability: bin the lodds with
+    the SAME fixed-width rule and broadcast-join the <=n_bins
+    calibrator table.  Zero wide exchange."""
+    b = _lodds_bin(F.col(lodds_col), n_bins, lo, hi)
+    return (
+        scored.withColumn("_cal_bin", b)
+        .join(
+            F.broadcast(calibrator.withColumnRenamed("bin", "_cal_bin")),
+            "_cal_bin",
+            "left",
+        )
+        .withColumn(out_col, F.col("cal_prob"))
+        .drop("_cal_bin", "cal_prob")
+    )

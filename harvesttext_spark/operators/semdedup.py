@@ -87,6 +87,153 @@ def word_hash_embedding_udf(dim: int = 64):
     return _emb
 
 
+def _spherical_kmeans_np(X, k, seed=0, iters=8):
+    """Deterministic spherical Lloyd over UNIT-NORM rows (numpy only —
+    the pq._kmeans_np precedent, recast for cosine): seeded distinct-row
+    init, argmax-dot assignment (first-max tie-break = semdedup's own
+    assignment rule), per-cluster mean renormalized each round, dead
+    centroids reseeded farthest-first from the least-similar points.
+    Chunked gemm bounds peak memory to ~64 MB whatever k is."""
+    import numpy as np
+
+    n = len(X)
+    k = max(1, min(k, n))
+    rng = np.random.default_rng(seed)
+    C = X[rng.permutation(n)[:k]].astype(np.float64).copy()
+    dim = X.shape[1]
+    block = max(8, min(len(X), (8 << 20) // max(k, 1)))
+    assign = np.empty(n, dtype=np.int64)
+    best = np.empty(n)
+    for _ in range(iters):
+        CT = C.T
+        for r0 in range(0, n, block):
+            r1 = min(r0 + block, n)
+            S = X[r0:r1] @ CT
+            assign[r0:r1] = np.argmax(S, axis=1)
+            best[r0:r1] = S.max(axis=1)
+        # segment sums via per-dim bincount (ufunc.at is ~10x slower)
+        newC = np.stack(
+            [np.bincount(assign, weights=X[:, d], minlength=k) for d in range(dim)],
+            axis=1,
+        )
+        norms = np.linalg.norm(newC, axis=1)
+        dead = np.where(norms == 0)[0]
+        if len(dead):
+            # farthest-first reseed: points least similar to their own
+            # centroid, in deterministic (sim, index) order
+            order = np.lexsort((np.arange(n), best))
+            for t, j in enumerate(dead):
+                newC[j] = X[order[t % n]]
+            norms = np.linalg.norm(newC, axis=1)
+        np.divide(newC, norms[:, None], out=newC, where=norms[:, None] != 0)
+        C = newC
+    return C
+
+
+def train_semdedup_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_n: int | None = None,
+    iters: int = 8,
+    two_level_above: int = 4096,
+) -> DataFrame:
+    """Trained coarse quantizer for semdedup's job path (Abbas et al.
+    2023 use k-means preclustering; the md5 fixture planes cannot spread
+    a tight embedding cone — every member argmaxes the same random
+    direction, collapsing the corpus onto few clusters and leaning on
+    the max_cluster_df cap, which trades recall).  -> the same
+    (centroid_id int, centroid array<double>) dim table as
+    similarity.fixture_centroids / train_ivf_centroids.
+
+    Deterministic end-to-end (resume rule: no rand() feeding output):
+    the training sample is the ``sample_n`` smallest rows by
+    md5(id) — a TakeOrderedAndProject, each input partition ships only
+    its local top-N — and the Lloyd loop is seeded with fixed iteration
+    counts and first-max tie-breaks, so the same corpus always yields
+    the same centroid table under any partitioning.
+
+    Scale shape: driver work is bounded by the SAMPLE (<=200k rows x
+    dim), never the corpus.  Past ``two_level_above`` centroids the
+    trainer goes hierarchical (the faiss coarse-quantizer recipe):
+    sqrt(k) top-level spherical k-means, then per-branch sub-k-means
+    with largest-remainder seat allocation — training cost
+    O(sample x sqrt(k) x dim) per round instead of O(sample x k x dim),
+    which is what keeps the job's 2^16-cluster ceiling trainable.  The
+    flattened leaves are ordinary centroids; assignment stays the flat
+    broadcast argmax (similarity._assign_centroid)."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    if sample_n is None:
+        # ~8 sample points per centroid (faiss trains coarse quantizers
+        # at tens of points per centroid; the 200k ceiling bounds driver
+        # memory at ~100 MB of float64 whatever k is)
+        sample_n = min(max(20_000, 8 * n_centroids), 200_000)
+    samp = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_n)
+    )
+    pdf = samp.toPandas()
+    if not len(pdf):
+        raise ValueError("train_semdedup_centroids: empty vector table")
+    X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    # ZERO vectors (blank pages) carry no direction: training on them
+    # poisons the quantizer — a dead-cluster reseed sorts by similarity
+    # ascending and zero rows (sim 0) sort first, so every dead centroid
+    # reseeded to a zero vector, which _assign_centroid normalizes to a
+    # NaN row that argmax then always picks (measured: 63k vectors all
+    # collapsing onto one cluster).  Drop them before Lloyd; at scan
+    # time zero vectors cos-match nothing and are always kept anyway.
+    nz = norms[:, 0] > 0
+    X = X[nz] / norms[nz]
+    dim = X.shape[1] if X.size else len(pdf["_v"].iloc[0])
+    if not len(X):
+        # all-blank sample: one arbitrary unit centroid keeps the
+        # assignment well-defined (everything cos 0, kept)
+        e0 = [0.0] * dim
+        e0[0] = 1.0
+        return spark.createDataFrame(
+            [(0, e0)], "centroid_id int, centroid array<double>"
+        )
+    k = max(1, min(n_centroids, len(X)))
+    if k <= two_level_above:
+        C = _spherical_kmeans_np(X, k, seed=seed, iters=iters)
+    else:
+        k1 = int(np.ceil(np.sqrt(k)))
+        C1 = _spherical_kmeans_np(X, k1, seed=seed, iters=iters)
+        a = np.argmax(X @ C1.T, axis=1)
+        counts = np.bincount(a, minlength=len(C1))
+        # largest-remainder seat allocation proportional to branch mass,
+        # >=1 seat per non-empty branch, capped by branch membership
+        quota = counts * (k / max(counts.sum(), 1))
+        seats = np.floor(quota).astype(np.int64)
+        seats[counts > 0] = np.maximum(seats[counts > 0], 1)
+        rem = k - seats.sum()
+        if rem > 0:
+            order = np.lexsort((np.arange(len(C1)), -(quota - np.floor(quota))))
+            for j in order[: max(rem, 0)]:
+                seats[j] += 1
+        np.minimum(seats, counts, out=seats)
+        parts = []
+        for j in range(len(C1)):
+            if seats[j] <= 0:
+                continue
+            parts.append(
+                _spherical_kmeans_np(X[a == j], int(seats[j]), seed=seed + 1 + j, iters=iters)
+            )
+        C = np.vstack(parts)
+    # a centroid can only be zero if its cluster stayed dead through
+    # every reseed — drop it rather than ship a NaN row to the assigner
+    C = C[np.linalg.norm(C, axis=1) > 0]
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
 def _assign_residual(df, centroids_l1, centroids_l2, vec_col, cid_col, out):
     """Second-level split key for hot clusters: remove each vector's
     component ALONG its level-1 centroid and argmax the normalized

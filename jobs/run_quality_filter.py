@@ -461,7 +461,7 @@ def apply_domain_reputation_filter(labeled, min_rate, prior_strength=None):
     )
 
 
-def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
+def apply_quality_classifier(labeled, min_prob, text_col="text_clean", calibrate=False):
     """--quality-classifier-min-prob: distill the cascade into a single
     calibrated scorer (operators/quality_classifier.py, the CCNet
     fastText recipe with the cascade's own keep/drop labels as the
@@ -473,7 +473,15 @@ def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
     balance), so — like --with-lm and --dsir-keep-frac — it is NOT
     bucket-idempotent and is refused under --resume.  Raises when the
     cascade produced only one class (nothing to distill).  Precondition:
-    url unique (run the dedup pre-passes first)."""
+    url unique (run the dedup pre-passes first).
+
+    ``calibrate=True`` (--quality-classifier-calibrate) additionally
+    fits the distributed isotonic calibrator on the same labels
+    (operators/quality_classifier.train_isotonic_calibrator — the
+    calibration-curve follow-through: raw NB probabilities measured
+    2e-5 predicted vs 0.386 observed, so a raw-probability threshold is
+    meaningless) and applies ``min_prob`` to the CALIBRATED probability
+    instead; both columns land as stage metrics."""
     from pyspark.sql import functions as F
 
     from harvesttext_spark.operators.quality_classifier import (
@@ -494,8 +502,27 @@ def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
         params,
         text_col="_t",
         id_col="url",
-    ).select(
-        F.col("doc_id").alias("_qurl"), F.col("quality_prob")
+    )
+    prob_col, extra = "quality_prob", []
+    if calibrate:
+        from harvesttext_spark.operators.quality_classifier import (
+            apply_calibration,
+            train_isotonic_calibrator,
+        )
+
+        joined = scored.join(
+            labeled.select(
+                F.col("url").alias("doc_id"), F.col("keep").alias("label")
+            ),
+            "doc_id",
+        )
+        calib = train_isotonic_calibrator(
+            joined, label_col="label", lodds_col="quality_lodds"
+        )
+        scored = apply_calibration(scored, calib)
+        prob_col, extra = "quality_prob_cal", ["quality_prob_cal"]
+    scored = scored.select(
+        F.col("doc_id").alias("_qurl"), F.col("quality_prob"), *extra
     )
     return (
         labeled.join(scored, labeled["url"] == scored["_qurl"], "left")
@@ -503,7 +530,7 @@ def apply_quality_classifier(labeled, min_prob, text_col="text_clean"):
             "drop_reason",
             F.when(
                 F.col("keep")
-                & (F.coalesce(F.col("quality_prob"), F.lit(0.0)) < min_prob),
+                & (F.coalesce(F.col(prob_col), F.lit(0.0)) < min_prob),
                 F.lit("quality_classifier"),
             ).otherwise(F.col("drop_reason")),
         )
@@ -567,7 +594,12 @@ def apply_edu_filter(labeled, teacher_path, min_score, text_col="text_clean"):
 
 
 def apply_semdedup(
-    labeled, threshold, n_clusters=None, max_cluster=1000, text_col="text_clean"
+    labeled,
+    threshold,
+    n_clusters=None,
+    max_cluster=1000,
+    text_col="text_clean",
+    centroid_mode="fixture",
 ):
     """--semdedup-threshold: embedding-space semantic dedup of the kept
     set (operators/semdedup.py, Abbas et al. 2023) — deterministic
@@ -584,7 +616,9 @@ def apply_semdedup(
     while the capped one stays linear.
     CORPUS-relative (cluster mates + smaller-url comparisons depend on
     the full kept set) — refused under --resume like --minhash-dedup's
-    post-label siblings."""
+    post-label siblings.  ``centroid_mode='trained'``
+    (--semdedup-centroids) swaps the md5 fixture planes + residual
+    split for seeded spherical k-means centroids (see inline note)."""
     from pyspark.sql import functions as F
 
     from harvesttext_spark.operators.dedup import _estimated_rows
@@ -610,17 +644,36 @@ def apply_semdedup(
         n_clusters = max(8, min(1 << 16, int(max(est, 1) / 100)))
     dim = 64
     vecs = kept.select("url", word_hash_embedding_udf(dim)(F.col("_t")).alias("_v"))
-    cents = fixture_centroids(labeled.sparkSession, dim=dim, n_centroids=n_clusters)
-    # hot clusters (template floods, tight embedding cones) get a
-    # level-2 residual split before the scan — exact copies always
-    # co-locate; max_cluster remains the degenerate-subcluster backstop
-    l2 = fixture_centroids(
-        labeled.sparkSession, dim=dim, n_centroids=256, plane_base=9500
-    )
+    if centroid_mode == "trained":
+        # data-adapted coarse quantizer (round 8, VERDICT #2): seeded
+        # spherical k-means on a bounded md5-ordered sample.  Trained
+        # centroids spread the corpus's actual cone across clusters, so
+        # the level-2 residual split (a symptom patch for random planes
+        # that all argmax alike on tight cones) is unnecessary — exact
+        # copies co-locate under ANY centroids, and balanced clusters
+        # keep them inside each other's max_cluster reference window.
+        # Costs one extra embedding pass over the kept set (the sample
+        # top-N scan); max_cluster stays as the degenerate backstop.
+        from harvesttext_spark.operators.semdedup import train_semdedup_centroids
+
+        cents = train_semdedup_centroids(
+            vecs, n_clusters, vec_col="_v", id_col="url"
+        )
+        split_kw = {}
+    else:
+        cents = fixture_centroids(
+            labeled.sparkSession, dim=dim, n_centroids=n_clusters
+        )
+        # hot clusters (template floods, tight embedding cones) get a
+        # level-2 residual split before the scan — exact copies always
+        # co-locate; max_cluster remains the degenerate-subcluster backstop
+        l2 = fixture_centroids(
+            labeled.sparkSession, dim=dim, n_centroids=256, plane_base=9500
+        )
+        split_kw = {"split_threshold": max_cluster, "split_centroids": l2}
     flags = semdedup(
         vecs, cents, threshold=threshold, id_col="url", vec_col="_v",
-        max_cluster_df=max_cluster,
-        split_threshold=max_cluster, split_centroids=l2,
+        max_cluster_df=max_cluster, **split_kw,
     ).select(F.col("vec_id").alias("_surl"), "semdedup_keep")
     return (
         labeled.join(flags, labeled["url"] == flags["_surl"], "left")
@@ -1262,6 +1315,16 @@ def main(argv=None) -> None:
         "incompatible with --resume.",
     )
     p.add_argument(
+        "--quality-classifier-calibrate",
+        action="store_true",
+        help="with --quality-classifier-min-prob: fit a distributed "
+        "isotonic calibrator (PAV over a 64-bin log-odds histogram — "
+        "one constant-cardinality exchange) on the cascade labels and "
+        "apply the PROB threshold to the CALIBRATED probability "
+        "(quality_prob_cal column); raw NB probabilities are badly "
+        "miscalibrated (measured 2e-5 predicted vs 0.386 observed)",
+    )
+    p.add_argument(
         "--fineweb-filter",
         action="store_true",
         help="apply the FineWeb line-ratio battery (terminal-punct line "
@@ -1320,6 +1383,19 @@ def main(argv=None) -> None:
         metavar="K",
         help="with --semdedup-threshold: coarse cluster count (default "
         "sqrt(est rows), clamped to [8, 65536])",
+    )
+    p.add_argument(
+        "--semdedup-centroids",
+        choices=("fixture", "trained"),
+        default="fixture",
+        metavar="MODE",
+        help="with --semdedup-threshold: coarse-quantizer source. "
+        "'fixture' (default) = deterministic md5 planes + level-2 "
+        "residual split of hot clusters; 'trained' = seeded spherical "
+        "k-means on a bounded md5-ordered sample "
+        "(operators/semdedup.train_semdedup_centroids) — data-adapted "
+        "clusters spread tight embedding cones, so no residual split is "
+        "needed and recall survives template-heavy corpora",
     )
     p.add_argument(
         "--ppl-buckets",
@@ -1638,7 +1714,11 @@ def main(argv=None) -> None:
             )
         if args.quality_classifier_min_prob is not None:
             labeled = _model_stage(
-                apply_quality_classifier(labeled, args.quality_classifier_min_prob)
+                apply_quality_classifier(
+                    labeled,
+                    args.quality_classifier_min_prob,
+                    calibrate=args.quality_classifier_calibrate,
+                )
             )
         if args.semdedup_threshold is not None:
             labeled = _model_stage(
@@ -1646,6 +1726,7 @@ def main(argv=None) -> None:
                     labeled,
                     args.semdedup_threshold,
                     n_clusters=args.semdedup_clusters,
+                    centroid_mode=args.semdedup_centroids,
                 )
             )
         if args.dsir_keep_frac is not None:

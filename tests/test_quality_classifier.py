@@ -254,3 +254,155 @@ def test_calibration_sql_parity(spark):
         return sorted(out)
 
     assert norm(sdf) == norm(ddf)
+
+
+# --- isotonic recalibration (round 8) --------------------------------------
+
+
+def _py_isotonic(pairs):
+    """Reference weighted PAV (Zadrozny & Elkan 2002): float-rate
+    blocks, pooled while decreasing — the textbook formulation, vs the
+    engine's integer cross-multiplication variant."""
+    blocks = [[n, pos / n, 1] for n, pos in pairs]  # weight, rate, span
+    i = 0
+    out = list(blocks)
+    merged = True
+    while merged:
+        merged = False
+        i = 0
+        while i < len(out) - 1:
+            if out[i][1] >= out[i + 1][1]:
+                w = out[i][0] + out[i + 1][0]
+                r = (out[i][0] * out[i][1] + out[i + 1][0] * out[i + 1][1]) / w
+                out[i] = [w, r, out[i][2] + out[i + 1][2]]
+                del out[i + 1]
+                merged = True
+            else:
+                i += 1
+    rates = []
+    for w, r, span in out:
+        rates.extend([r] * span)
+    return rates
+
+
+def test_pav_matches_textbook_reference():
+    from harvesttext_spark.operators.quality_classifier import _pav
+
+    cases = [
+        [(10, 1), (10, 5), (10, 3), (10, 9)],  # one violation
+        [(5, 5), (5, 0), (5, 5), (5, 0)],      # alternating extremes
+        [(7, 1), (3, 1), (9, 4), (2, 2), (4, 4)],
+        [(1, 0), (1, 1)],
+        [(100, 50)],
+    ]
+    for pairs in cases:
+        got = _pav(pairs)
+        ref = _py_isotonic(pairs)
+        assert len(got) == len(ref) == len(pairs)
+        for g, r in zip(got, ref):
+            assert abs(g - r) < 1e-12, (pairs, got, ref)
+        # monotone non-decreasing by construction
+        assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+
+
+def _scored_corpus(spark, n=400):
+    """Deterministic (lodds, label) rows where P(label) rises with
+    lodds but the raw sigmoid is badly miscalibrated (the NB shape)."""
+    rows = []
+    for i in range(n):
+        h = int(hashlib.md5(f"cal:{i}".encode()).hexdigest()[:8], 16)
+        lodds = (h % 2000) / 25.0 - 40.0  # spread over [-40, 40)
+        # true rate rises in 4 coarse steps: 5% / 30% / 70% / 95%
+        step = int((lodds + 40.0) // 20.0)
+        rate = [0.05, 0.30, 0.70, 0.95][min(step, 3)]
+        label = (int(hashlib.md5(f"lab:{i}".encode()).hexdigest()[:8], 16)
+                 % 1000) < rate * 1000
+        rows.append((i, round(lodds, 4), bool(label)))
+    return spark.createDataFrame(rows, "doc_id long, quality_lodds double, label boolean")
+
+
+def test_isotonic_calibrator_monotone_deterministic_and_filled(spark):
+    from harvesttext_spark.operators.quality_classifier import (
+        train_isotonic_calibrator,
+    )
+
+    scored = _scored_corpus(spark)
+    cal = sorted(
+        train_isotonic_calibrator(scored).collect(), key=lambda r: r["bin"]
+    )
+    # every bin ordinal present (gap filling), rates monotone
+    assert [r["bin"] for r in cal] == list(range(64))
+    rates = [r["cal_prob"] for r in cal]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:]))
+    # deterministic under repartitioning (integer PAV, fixed-width bins)
+    cal2 = sorted(
+        train_isotonic_calibrator(scored.repartition(13)).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [tuple(r) for r in cal] == [tuple(r) for r in cal2]
+    # the fit actually tracks the planted step function
+    assert rates[0] < 0.2 and rates[-1] > 0.8
+
+
+def test_apply_calibration_improves_ece(spark):
+    """The point of the stage: expected calibration error of the
+    calibrated probability must beat the raw sigmoid's on a corpus
+    where the NB magnitudes are wrong."""
+    from harvesttext_spark.operators.quality_classifier import (
+        apply_calibration,
+        calibration_curve,
+        train_isotonic_calibrator,
+    )
+
+    scored = _scored_corpus(spark).withColumn(
+        "quality_prob",
+        F.round(1.0 / (1.0 + F.exp(-F.col("quality_lodds"))), 6),
+    )
+    cal = train_isotonic_calibrator(scored)
+    out = apply_calibration(scored, cal)
+    assert "quality_prob_cal" in out.columns
+
+    def ece(df, prob_col):
+        curve = calibration_curve(df, prob_col=prob_col)
+        n_tot = df.count()
+        return sum(r["n"] / n_tot * r["abs_gap"] for r in curve.collect())
+
+    raw = ece(out, "quality_prob")
+    calibrated = ece(out, "quality_prob_cal")
+    assert calibrated < raw * 0.5, (raw, calibrated)
+    # calibrated probs respect the lodds ORDER (isotonic invariant)
+    rows = sorted(out.collect(), key=lambda r: r["quality_lodds"])
+    probs = [r["quality_prob_cal"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(probs, probs[1:]))
+
+
+def test_quality_classifier_job_stage_calibrated(spark):
+    """--quality-classifier-calibrate wiring: quality_prob_cal lands,
+    the threshold applies to the calibrated column, and with cascade
+    labels the calibrated probability of kept-looking pages is high
+    (near the observed keep rate) rather than the raw NB extreme."""
+    from jobs.run_quality_filter import apply_quality_classifier
+
+    good = "a thoughtful essay about spark engines and careful data work number"
+    bad = "buy cheap buy cheap buy cheap casino bonus click now win big"
+    rows = []
+    for i in range(30):
+        rows.append((f"https://g{i:02d}.example/", f"{good} {i}", True, None))
+        rows.append((f"https://b{i:02d}.example/", f"{bad} {i}", False, "toxic"))
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    out = apply_quality_classifier(df, min_prob=0.5, calibrate=True)
+    assert "quality_prob_cal" in out.columns
+    got = {r["url"]: r.asDict() for r in out.collect()}
+    # kept pages' calibrated prob ~ observed rate in their bin (high),
+    # so they survive the 0.5 threshold; dropped rows keep their reason
+    assert all(got[f"https://g{i:02d}.example/"]["keep"] for i in range(30))
+    assert all(
+        got[f"https://b{i:02d}.example/"]["drop_reason"] == "toxic"
+        for i in range(30)
+    )
+    assert all(
+        got[f"https://g{i:02d}.example/"]["quality_prob_cal"] >= 0.5
+        for i in range(30)
+    )

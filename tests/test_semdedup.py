@@ -245,3 +245,134 @@ def test_residual_split_spreads_tight_cone_but_keeps_copies_together(spark):
     # (centroid, sub), most tight-cone members see no >=0.999 prior
     kept = sum(1 for vid, r in out.items() if vid < 100 and r["semdedup_keep"])
     assert kept >= 50
+
+
+# --- trained centroids (round 8: --semdedup-centroids trained) ------------
+
+
+def _tight_cone(n, copies_of=(), dim=8):
+    """Tight-cone corpus: every member ~one direction plus a small
+    distinct residual (the fixture-plane failure shape), plus exact
+    copies of the given members under larger ids."""
+    import numpy as np
+
+    base_dir = np.array([1.0] + [0.0] * (dim - 1))
+    vecs = []
+    for i in range(n):
+        r = np.array(_det_vec(i, dim)) * 0.05
+        vecs.append((i, [float(x) for x in base_dir + r]))
+    for j, m in enumerate(copies_of):
+        vecs.append((1000 + j, list(vecs[m][1])))
+    return vecs
+
+
+def test_train_semdedup_centroids_deterministic_unit_norm(spark):
+    from harvesttext_spark.operators.semdedup import train_semdedup_centroids
+
+    vdf = _mk(spark, [(i, _det_vec(i)) for i in range(50)])
+    a = sorted(
+        train_semdedup_centroids(vdf, 6, vec_col="embedding").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    b = sorted(
+        train_semdedup_centroids(vdf.repartition(7), 6, vec_col="embedding").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    # deterministic under any input partitioning (md5-ordered sample)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 6
+    for r in a:
+        assert abs(sum(x * x for x in r["centroid"]) - 1.0) < 1e-9
+
+
+def test_trained_centroids_recall_without_split_where_fixture_misses(spark):
+    """The VERDICT #2 claim at test scale: on a tight cone the fixture
+    planes collapse everything onto one cluster, the reference cap
+    trims the window, and a copy of a LATE member is missed; trained
+    centroids spread the cone so every copy is caught with NO residual
+    split, while non-copy members survive."""
+    from harvesttext_spark.operators.semdedup import (
+        semdedup,
+        train_semdedup_centroids,
+    )
+
+    vecs = _tight_cone(60, copies_of=(40, 55))
+    vdf = _mk(spark, vecs)
+    cdf = spark.createDataFrame(CENTS, "centroid_id int, centroid array<double>")
+    fixture = {
+        r["vec_id"]: r["semdedup_keep"]
+        for r in semdedup(vdf, cdf, threshold=0.999, max_cluster_df=10).collect()
+    }
+    # fixture path, capped, no split: the copies' originals (ids 40, 55)
+    # sit outside the 10-smallest-id reference window -> missed dups
+    assert fixture[1000] is True and fixture[1001] is True
+    trained = train_semdedup_centroids(vdf, 8, vec_col="embedding")
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(vdf, trained, threshold=0.999, max_cluster_df=10).collect()
+    }
+    # balanced clusters: the originals now sit inside their copies'
+    # reference windows -> both copies caught, sim exactly 1
+    assert got[1000]["semdedup_keep"] is False
+    assert got[1001]["semdedup_keep"] is False
+    assert got[1000]["max_prior_sim"] == 1.0 and got[1001]["max_prior_sim"] == 1.0
+    # distinct cone members (pairwise cos ~0.9975 < 0.999) mostly survive
+    kept = sum(1 for vid, r in got.items() if vid < 1000 and r["semdedup_keep"])
+    assert kept >= 50
+    # and the clusters are genuinely spread (no collapse onto one id)
+    from collections import Counter
+
+    sizes = Counter(r["centroid_id"] for r in got.values())
+    assert len(sizes) >= 4 and max(sizes.values()) <= 30
+
+
+def test_train_semdedup_centroids_two_level_path(spark):
+    """Force the hierarchical trainer (two_level_above below k): output
+    stays deterministic, leaf count matches the target, and exact
+    copies still co-locate and drop through the flat assignment."""
+    from harvesttext_spark.operators.semdedup import (
+        semdedup,
+        train_semdedup_centroids,
+    )
+
+    vecs = _tight_cone(80, copies_of=(33, 61))
+    vdf = _mk(spark, vecs)
+    a = train_semdedup_centroids(vdf, 9, vec_col="embedding", two_level_above=4)
+    b = train_semdedup_centroids(vdf, 9, vec_col="embedding", two_level_above=4)
+    ra = sorted(tuple(r) for r in a.collect())
+    assert ra == sorted(tuple(r) for r in b.collect())
+    assert 1 <= len(ra) <= 9
+    got = {
+        r["vec_id"]: r["semdedup_keep"]
+        for r in semdedup(vdf, a, threshold=0.999, max_cluster_df=25).collect()
+    }
+    assert got[1000] is False and got[1001] is False
+
+
+def test_semdedup_job_stage_trained_centroids(spark):
+    """--semdedup-centroids trained wiring: same dup/bypass semantics
+    as the fixture path on the job-stage fixture."""
+    from jobs.run_quality_filter import apply_semdedup
+
+    text = "spark engines shuffle data across partitions every day"
+    rows = [
+        ("https://a.example/", text, True, None),
+        ("https://b.example/", text, True, None),  # same bag -> dup
+        ("https://c.example/", "totally different words entirely here now", True, None),
+        ("https://blank.example/", "", True, None),
+        ("https://gone.example/", text, False, "too_short"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    got = {
+        r["url"]: r.asDict()
+        for r in apply_semdedup(
+            df, threshold=0.95, n_clusters=4, centroid_mode="trained"
+        ).collect()
+    }
+    assert got["https://a.example/"]["keep"] is True
+    assert got["https://b.example/"]["drop_reason"] == "semantic_dup"
+    assert got["https://c.example/"]["keep"] is True
+    assert got["https://blank.example/"]["keep"] is True
+    assert got["https://gone.example/"]["drop_reason"] == "too_short"
