@@ -155,6 +155,76 @@ def pack_sequences(
     )
 
 
+def pack_epochs(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    copies_col: str = "mix_copies",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    n_shards: int = N_SHARDS,
+    seed: int = 42,
+) -> DataFrame:
+    """Mixture-aware packing (round 8, VERDICT #4): one packed sequence
+    slot per (document, epoch copy) — the composition step between
+    mixture up-sampling (``mixture.sample_to_mixture``'s ``mix_copies``,
+    the GPT-3 epoch-repeat recipe) and training export.  Plain
+    ``pack_sequences`` consumes one row per id, so exploded epochs never
+    reached the packed export.
+
+    -> (id, mix_copy, pack_shard, pack_bin, pack_tokens, oversize), one
+    row per copy, ``mix_copy`` in [0, copies).  The pack identity is the
+    id salted with the copy ORDINAL (unit-separator concat — no rand(),
+    the resume-determinism rule), so every epoch copy gets its own
+    deterministic shard/bin and copies of one document spread across
+    shards instead of stacking into one sequence.  Token counts are
+    computed ONCE per document and exploded as metadata (~20 B/copy);
+    the text never transits the explode or the packing shuffle.  Rows
+    with NULL/zero copies emit nothing (dropped docs)."""
+    nt = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(F.col(text_col))
+    )
+    meta = df.select(
+        F.col(id_col).alias("_eid"),
+        F.coalesce(nt.cast("bigint"), F.lit(0)).alias("_ptok"),
+        F.coalesce(F.col(copies_col), F.lit(0)).cast("int").alias("_mc"),
+    ).filter(F.col("_mc") >= 1)
+    # sequence(0, mc-1) DESCENDS when mc-1 < 0 — the filter above is a
+    # correctness guard, not an optimization
+    exploded = meta.select(
+        "_eid",
+        "_ptok",
+        F.explode(F.sequence(F.lit(0), F.col("_mc") - 1)).alias("mix_copy"),
+    )
+    salted = exploded.select(
+        F.concat_ws(
+            "\x1f", F.col("_eid").cast("string"), F.col("mix_copy").cast("string")
+        ).alias("_pid2"),
+        "_eid",
+        "mix_copy",
+        "_ptok",
+    )
+    packed = pack_sequences(
+        salted,
+        max_tokens,
+        id_col="_pid2",
+        token_count_col="_ptok",
+        n_shards=n_shards,
+        seed=seed,
+    )
+    id_type = dict(df.dtypes)[id_col]
+    return packed.select(
+        F.col("_eid").cast(id_type).alias(id_col),
+        "mix_copy",
+        "pack_shard",
+        "pack_bin",
+        "pack_tokens",
+        "oversize",
+    )
+
+
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     """One row per (pack_shard, pack_bin): docs, tokens, fill ratio —
     the packing-efficiency audit (two map-side-combinable aggs)."""

@@ -783,6 +783,49 @@ def apply_packing(labeled, max_tokens, tokenizer="ws", bpe_merges=8000):
     ).drop("_purl")
 
 
+def build_pack_manifest(labeled, max_tokens, tokenizer="ws", bpe_merges=8000):
+    """--pack-max-tokens composing with --mixture-spec: when mixture
+    up-sampling emitted ``mix_copies``, the training export needs one
+    packed sequence slot PER EPOCH COPY — a doc with mix_copies=3 must
+    occupy three (possibly different) bins.  Per-row pack columns can't
+    express that, so this branch writes a separate OUTPUT/pack_manifest
+    table instead: (url, mix_copy, pack_shard, pack_bin, pack_tokens,
+    oversize), one row per copy (operators/packing.pack_epochs — copy
+    ordinal salted into the deterministic shard hash, no rand()).  The
+    export reader joins text back by url.  BPE counts are computed once
+    per distinct doc (epoch copies share the count), exactly like
+    apply_packing."""
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.packing import pack_epochs
+
+    kept = labeled.filter(F.col("keep")).select(
+        "url", "text_clean", F.coalesce(F.col("mix_copies"), F.lit(1)).alias("_mc")
+    )
+    token_count_col = None
+    if tokenizer == "bpe":
+        from harvesttext_spark.operators.bpe import bpe_tokenize, train_bpe
+
+        model = train_bpe(
+            kept.select(F.coalesce(F.col("text_clean"), F.lit("")).alias("_t")),
+            text_col="_t",
+            n_merges=bpe_merges,
+        )
+        counts = bpe_tokenize(
+            kept, model, text_col="text_clean", id_col="url"
+        ).select(F.col("doc_id").alias("url"), "n_bpe_tokens")
+        kept = kept.join(counts, "url")
+        token_count_col = "n_bpe_tokens"
+    return pack_epochs(
+        kept,
+        max_tokens,
+        id_col="url",
+        copies_col="_mc",
+        text_col="text_clean",
+        token_count_col=token_count_col,
+    )
+
+
 def build_policy_fn(args, parser=None):
     """Compose the post-label policy stages (--keep-langs, --max-url-risk,
     --decontaminate, --max-toxicity, --pii-scrub, --scrub-words) into ONE
@@ -1424,7 +1467,10 @@ def main(argv=None) -> None:
         metavar="N",
         help="after all filters: pack kept docs into N-token training "
         "sequences (pack_shard/pack_bin columns; oversize docs flagged "
-        "in singleton bins)",
+        "in singleton bins). With --mixture-spec the pack assignment "
+        "moves to OUTPUT/pack_manifest instead — one row per (doc, "
+        "mix_copies epoch copy), so up-sampled docs occupy one bin per "
+        "epoch",
     )
     p.add_argument(
         "--domain-history",
@@ -1740,13 +1786,28 @@ def main(argv=None) -> None:
             )
         if args.mixture_spec is not None:
             labeled = _model_stage(apply_mixture(labeled, args.mixture_spec))
+        pack_manifest_rows = None
         if args.pack_max_tokens is not None:
-            labeled = apply_packing(
-                labeled,
-                args.pack_max_tokens,
-                tokenizer=args.pack_tokenizer,
-                bpe_merges=args.bpe_merges,
-            )
+            if args.mixture_spec is not None:
+                # epoch-aware export: one pack slot per (doc, mix copy)
+                # in OUTPUT/pack_manifest; the main table keeps its
+                # one-row-per-doc shape (see build_pack_manifest)
+                build_pack_manifest(
+                    labeled,
+                    args.pack_max_tokens,
+                    tokenizer=args.pack_tokenizer,
+                    bpe_merges=args.bpe_merges,
+                ).write.mode("overwrite").parquet(args.output + "/pack_manifest")
+                pack_manifest_rows = spark.read.parquet(
+                    args.output + "/pack_manifest"
+                ).count()
+            else:
+                labeled = apply_packing(
+                    labeled,
+                    args.pack_max_tokens,
+                    tokenizer=args.pack_tokenizer,
+                    bpe_merges=args.bpe_merges,
+                )
         labeled.write.mode("overwrite").parquet(args.output + "/data")
         out = spark.read.parquet(args.output + "/data")
         # with the LM stage on, the domain table carries the model rollups
@@ -1780,6 +1841,8 @@ def main(argv=None) -> None:
             "n_keep": k,
             "drops_by_reason": dict(sorted(census.items())),
         }
+        if pack_manifest_rows is not None:
+            summary["pack_manifest_rows"] = pack_manifest_rows
     if args.export_dedup_index:
         # both branches land the labeled table at OUTPUT/data; the index
         # covers KEPT pages only (dropped pages can't collide away a

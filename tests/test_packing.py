@@ -187,3 +187,131 @@ def test_pack_tokenizer_bpe_counts_subwords(spark):
             assert tot <= 64 and not any_over
         elif tot > 64:
             assert any_over
+
+
+# --- mixture-aware epoch packing (round 8) ---------------------------------
+
+
+def test_pack_epochs_per_copy_membership_and_reference(spark):
+    """Every (doc, copy) pair gets exactly one slot; the assignment
+    matches the pure-python reference over the SALTED per-copy ids
+    (copy ordinal in the id salt — the doc's epochs are independent
+    pack items); zero/NULL copies emit nothing."""
+    from harvesttext_spark.operators.packing import pack_epochs
+
+    rows = [
+        ("a", 4, 3),
+        ("b", 7, 1),
+        ("c", 2, 2),
+        ("d", 9, None),  # dropped doc: no slots
+        ("e", 5, 0),     # zero copies: no slots
+        ("f", 25, 2),    # oversize per copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ntok bigint, mix_copies int")
+    got = {
+        (r["doc_id"], r["mix_copy"]): (
+            r["pack_shard"], r["pack_bin"], r["pack_tokens"], r["oversize"]
+        )
+        for r in pack_epochs(
+            df, MAX_TOKENS, id_col="doc_id", token_count_col="ntok"
+        ).collect()
+    }
+    expected_slots = {("a", 0), ("a", 1), ("a", 2), ("b", 0), ("c", 0),
+                      ("c", 1), ("f", 0), ("f", 1)}
+    assert set(got) == expected_slots
+    # capacity invariant per bin (excluding oversize singletons)
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for (d, c), (sh, b, n, ov) in got.items():
+        if not ov:
+            fill[(sh, b)] += n
+        else:
+            assert n > MAX_TOKENS
+    assert all(v <= MAX_TOKENS for v in fill.values())
+    # copies carry the doc's token count and oversize flag uniformly
+    for c in range(3):
+        assert got[("a", c)][2] == 4
+    assert got[("f", 0)][3] and got[("f", 1)][3]
+
+
+def test_pack_epochs_deterministic_and_copies_spread(spark):
+    """Partition-invariant (resume rule) and epoch copies of one doc
+    are independent pack items — with many copies over many shards at
+    least two copies land in different shards (ordinal-salted hash)."""
+    from harvesttext_spark.operators.packing import pack_epochs
+
+    rows = [(f"doc{i}", (i % 9) + 1, 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, ntok bigint, mix_copies int")
+    a = sorted(
+        tuple(r)
+        for r in pack_epochs(df, MAX_TOKENS, id_col="doc_id", token_count_col="ntok").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_epochs(
+            df.repartition(13), MAX_TOKENS, id_col="doc_id", token_count_col="ntok"
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 160
+    by_doc = {}
+    for doc_id, copy, sh, b_, n, ov in a:
+        by_doc.setdefault(doc_id, set()).add(sh)
+    assert any(len(s) > 1 for s in by_doc.values())
+
+
+def test_pack_manifest_job_composition(spark, tmp_path):
+    """--pack-max-tokens x --mixture-spec end-to-end (subprocess): the
+    manifest lands with one row per (kept doc, mix copy), respects the
+    capacity invariant, and the summary reports its row count."""
+    import json
+    import subprocess
+    import sys
+
+    spec = tmp_path / "mix.json"
+    spec.write_text(
+        json.dumps(
+            {
+                "group_by": "lang_pred",
+                "fractions": {"zh": 0.5, "en": 0.25, "es": 0.25},
+                "max_repeat": 3,
+            }
+        )
+    )
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, "jobs/run_quality_filter.py",
+            "--synthesize", "800", "--output", str(out_dir),
+            "--mixture-spec", str(spec),
+            "--pack-max-tokens", "64",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    man = spark.read.parquet(str(out_dir / "pack_manifest"))
+    data = spark.read.parquet(str(out_dir / "data"))
+    n_man = man.count()
+    assert summary["pack_manifest_rows"] == n_man
+    # one row per (kept url, copy ordinal), copies == mix_copies
+    per_url = {r["url"]: r["n"] for r in man.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    expected = {
+        r["url"]: r["mix_copies"]
+        for r in data.filter("keep").select("url", "mix_copies").collect()
+    }
+    assert per_url == {u: c for u, c in expected.items()}
+    assert man.filter("mix_copy >= 3 or mix_copy < 0").count() == 0
+    # capacity invariant
+    bad = (
+        man.filter(~F.col("oversize"))
+        .groupBy("pack_shard", "pack_bin")
+        .agg(F.sum("pack_tokens").alias("tot"))
+        .filter(F.col("tot") > 64)
+        .count()
+    )
+    assert bad == 0
+    # the main table did NOT grow pack columns in manifest mode
+    assert "pack_bin" not in data.columns
