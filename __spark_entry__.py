@@ -3898,6 +3898,75 @@ def q_classifier_calibration(spark, sf_dir):
     return calibration_curve(scored.join(labels, "doc_id"))
 
 
+def q_pack_epochs(spark, sf_dir):
+    """Mixture-aware epoch packing (operators/packing.pack_epochs, round
+    8): deterministic per-doc copy counts (1 + doc_id % 3) stand in for
+    mixture max_repeat up-sampling; one (doc, mix_copy) pack slot per
+    row, the copy ORDINAL salted into the deterministic shard hash so
+    epochs spread across bins.  Rows-only (FFD's stateful first-fit scan
+    is not SQL-expressible — the pack_sequences precedent); per-copy
+    membership + capacity invariant + partition-invariance pinned in
+    tests/test_packing.py."""
+    from harvesttext_spark.operators.packing import pack_epochs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("copies"),
+    )
+    return pack_epochs(
+        d, max_tokens=256, copies_col="copies", n_shards=16
+    )
+
+
+def q_classifier_calibrated(spark, sf_dir):
+    """Isotonic recalibration of the distilled classifier (round 8,
+    operators/quality_classifier.train_isotonic_calibrator +
+    apply_calibration): integer-count PAV over the fixed-width 64-bin
+    log-odds histogram on the same labels classifier_calibration uses,
+    broadcast back as quality_prob_cal.  Rows-only (PAV's sequential
+    pooling is not SQL-expressible); pinned against a textbook
+    weighted-PAV reference plus monotonicity/ECE/determinism tests in
+    tests/test_quality_classifier.py."""
+    from harvesttext_spark.operators.quality_classifier import (
+        apply_calibration,
+        train_isotonic_calibrator,
+    )
+
+    scored = q_quality_classifier(spark, sf_dir)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    )
+    calib = train_isotonic_calibrator(
+        scored.join(labels, "doc_id"), label_col="label"
+    )
+    return apply_calibration(scored, calib).select(
+        "doc_id", "quality_lodds", "quality_prob", "quality_prob_cal"
+    )
+
+
+def q_semdedup_trained(spark, sf_dir):
+    """SemDedup over TRAINED spherical-k-means centroids (round 8,
+    operators/semdedup.train_semdedup_centroids — the job's
+    --semdedup-centroids trained path): seeded deterministic trainer on
+    an md5-ordered sample of the embeddings table, flat broadcast argmax
+    assignment, within-cluster keep-first.  Rows-only (trained centroids
+    are data-derived, not SQL literals — the same honest split as IVF/PQ
+    trained paths; the fixture-centroid `semdedup` oracle pins the scan
+    itself); trainer determinism, zero-vector hygiene, and
+    recall-where-fixture-misses pinned in tests/test_semdedup.py."""
+    from harvesttext_spark.operators.semdedup import (
+        semdedup,
+        train_semdedup_centroids,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = train_semdedup_centroids(
+        emb, 8, vec_col="embedding", id_col="vec_id"
+    )
+    return semdedup(emb, cents, threshold=0.95)
+
+
 def q_domain_timeseries(spark, sf_dir):
     """Per-domain keep-rate trajectory across snapshots
     (operators/snapshot_metrics.py): three deterministic pseudo-
@@ -4211,6 +4280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "mixture_sample": q_mixture_sample,
         "ppl_buckets": q_ppl_buckets,
+        "pack_epochs": q_pack_epochs,
+        "classifier_calibrated": q_classifier_calibrated,
+        "semdedup_trained": q_semdedup_trained,
     }
 
 
