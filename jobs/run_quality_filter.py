@@ -1467,10 +1467,10 @@ def main(argv=None) -> None:
         metavar="N",
         help="after all filters: pack kept docs into N-token training "
         "sequences (pack_shard/pack_bin columns; oversize docs flagged "
-        "in singleton bins). With --mixture-spec the pack assignment "
-        "moves to OUTPUT/pack_manifest instead — one row per (doc, "
-        "mix_copies epoch copy), so up-sampled docs occupy one bin per "
-        "epoch",
+        "in singleton bins). With a --mixture-spec whose max_repeat > 1 "
+        "the pack assignment moves to OUTPUT/pack_manifest instead — "
+        "one row per (doc, mix_copies epoch copy), so up-sampled docs "
+        "occupy one bin per epoch",
     )
     p.add_argument(
         "--domain-history",
@@ -1788,10 +1788,17 @@ def main(argv=None) -> None:
             labeled = _model_stage(apply_mixture(labeled, args.mixture_spec))
         pack_manifest_rows = None
         if args.pack_max_tokens is not None:
+            mix_repeats = False
             if args.mixture_spec is not None:
+                with open(args.mixture_spec, encoding="utf-8") as fh:
+                    mix_repeats = int(json.load(fh).get("max_repeat", 1)) > 1
+            if mix_repeats:
                 # epoch-aware export: one pack slot per (doc, mix copy)
                 # in OUTPUT/pack_manifest; the main table keeps its
-                # one-row-per-doc shape (see build_pack_manifest)
+                # one-row-per-doc shape (see build_pack_manifest).  With
+                # max_repeat == 1 every copy count is 1 and the per-row
+                # pack columns express the assignment exactly, so the
+                # plain path keeps its schema
                 build_pack_manifest(
                     labeled,
                     args.pack_max_tokens,
