@@ -12,7 +12,7 @@ import __spark_entry__ as e
 
 SECTIONS = {
     "bigram_stats — n-gram statistics (2 hash aggs + split self-join)": "bigram_stats",
-    "minhash_lsh_pairs — banded signature join, hot-band cap (WindowGroupLimit)": "minhash_lsh_pairs",
+    "minhash_lsh_pairs — banded signature join; probe-guarded hot-band cap (under-cap: reused exchange, no window)": "minhash_lsh_pairs",
     "region_revenue — 5-table star rollup": "region_revenue",
     "lm_perplexity — LM train + broadcast score": "lm_perplexity",
     "jaccard_pairs — df-capped candidates (window count), exact rescore": "jaccard_pairs",
@@ -45,6 +45,9 @@ SECTIONS = {
     "edu_score — bounded bucket-mean train, broadcast score join": "edu_score",
     "semdedup — zero-shuffle centroid assign, centroid_id-keyed pair scan": "semdedup",
     "mixture_sample — group-count agg + broadcast rates + hash compare on the scan": "mixture_sample",
+    "pack_epochs — metadata-only copy explode, ordinal-salted packing exchange": "pack_epochs",
+    "classifier_calibrated — 64-bin PAV dim table broadcast back, zero wide exchange": "classifier_calibrated",
+    "semdedup_trained — trained-centroid broadcast assign, centroid_id-keyed scan": "semdedup_trained",
 }
 
 
