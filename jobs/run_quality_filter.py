@@ -1741,12 +1741,23 @@ def main(argv=None) -> None:
         def _model_stage(df):
             if model_stages_on < 2:
                 return df  # single branching stage: lazy is fine
+            t0 = time.time()
             if args.stage_dir is not None:
                 path = f"{args.stage_dir}/model_stage_{_ms_n[0]:02d}"
                 _ms_n[0] += 1
                 df.write.mode("overwrite").parquet(path)
-                return spark.read.parquet(path)
-            return df.localCheckpoint(eager=True)
+                out = spark.read.parquet(path)
+            else:
+                out = df.localCheckpoint(eager=True)
+            # stage wall time to stderr: the cut materializes the whole
+            # stage, so this IS the stage's cost (BENCH.md breakdown)
+            print(
+                f"# model_stage_{_ms_n[0] - 1 if args.stage_dir else '?'}"
+                f": {time.time() - t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            return out
 
         if model_stages_on >= 2:
             labeled = _model_stage(labeled)  # flat input for the first
