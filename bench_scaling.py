@@ -512,6 +512,30 @@ hit a degraded patch while its control, measured minutes later, saw a
 healthy one — single-window ratios on shared hardware are weather
 reports, which is why all three are committed.
 
+### Full-recipe 1.2M-page measurement (VERDICT r7 #7)
+
+ONE invocation composing every stage family — url-dedup, exact-dedup,
+boilerplate (min_df 1000), paragraph dedup, MinHash-LSH 0.8,
+script-mix, domain-reputation, quality-classifier + isotonic
+calibration, SemDedup (trained centroids), mixture (max_repeat 2),
+epoch-aware packing, dedup-index export, 500-merge BPE vocabulary —
+over 1.2M synthesized pages at local[32] with --stage-dir parquet
+lineage cuts:
+
+| measure | value |
+| --- | --- |
+| total wall (job-reported) | **245.6 s** (4,886 input docs/s) |
+| docs after dedup pre-passes | 686,705 |
+| model-stage cuts (parquet write incl.) | domain-rep 17.8s + classifier 6.7s + semdedup prep 10.0s + semdedup scan 35.3s + mixture 10.8s |
+| pack_manifest rows (epoch copies) | 48,338 |
+| dedup_index rows exported | 164,428 |
+
+The remaining ~165 s is the dedup pre-pass chain + batteries + packing
++ BPE + output/metrics/lineage writes (stage shares match the round-5
+profile: MinHash dominates the pre-passes).  The composition survives
+at 1.2M with the stage-boundary materialization story intact — no OOM,
+no lineage blowup (the r7 CacheManager trap stays fixed).
+
 Operator-level round-8 measurements (details in the relevant sections
 and commit messages):
 - minhash_lsh_pairs: hot-band cap now guarded by a count probe FUSED
