@@ -225,6 +225,64 @@ def pack_epochs(
     )
 
 
+def read_packed_export(
+    spark,
+    output_dir: str,
+    text_col: str = "text_clean",
+) -> DataFrame:
+    """Training-export reader for a job OUTPUT directory: one row per
+    packed slot with the document text attached, ordered inside each
+    (pack_shard, pack_bin) sequence by (pack_tokens desc, url, mix_copy)
+    — the same deterministic order FFD placed them, so concatenating a
+    bin's rows in this order reproduces the training sequence.
+
+    Handles BOTH export shapes the job writes: with an epoch manifest
+    (OUTPUT/pack_manifest — mixture max_repeat > 1) the manifest joins
+    text back by url (one row per epoch copy); without it the per-row
+    pack columns on OUTPUT/data are used directly (mix_copy 0).  Text
+    transits one broadcast-eligible-or-shuffled equi-join on url —
+    nothing is collected."""
+    import os
+
+    data = spark.read.parquet(os.path.join(output_dir, "data"))
+    manifest_path = os.path.join(output_dir, "pack_manifest")
+    slot_cols = [
+        "url", "mix_copy", "pack_shard", "pack_bin", "pack_tokens", "oversize",
+    ]
+    if os.path.isdir(manifest_path):
+        slots = spark.read.parquet(manifest_path).select(*slot_cols)
+    else:
+        if "pack_bin" not in data.columns:
+            raise ValueError(
+                f"{output_dir}: no pack_manifest and no pack columns on "
+                "data — was the job run with --pack-max-tokens?"
+            )
+        slots = data.filter(F.col("pack_bin").isNotNull()).select(
+            "url",
+            F.lit(0).alias("mix_copy"),
+            "pack_shard",
+            "pack_bin",
+            "pack_tokens",
+            "oversize",
+        )
+    texts = data.select("url", F.col(text_col).alias("text"))
+    return (
+        slots.join(texts, "url")
+        .select(
+            "pack_shard", "pack_bin", "url", "mix_copy", "pack_tokens",
+            "oversize", "text",
+        )
+        # co-locate each training sequence, THEN order inside it: the
+        # text join scatters a bin's rows across partitions, and
+        # sortWithinPartitions alone would order each fragment
+        # separately.  One exchange on the sequence id — no global sort.
+        .repartition("pack_shard", "pack_bin")
+        .sortWithinPartitions(
+            "pack_shard", "pack_bin", F.desc("pack_tokens"), "url", "mix_copy"
+        )
+    )
+
+
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     """One row per (pack_shard, pack_bin): docs, tokens, fill ratio —
     the packing-efficiency audit (two map-side-combinable aggs)."""

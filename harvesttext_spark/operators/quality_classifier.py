@@ -340,6 +340,55 @@ def train_isotonic_calibrator(
     )
 
 
+def threshold_for_keep_rate(
+    scored: DataFrame,
+    target_keep_rate: float,
+    lodds_col: str = "quality_lodds",
+    n_bins: int = CAL_N_BINS,
+    lo: float = CAL_LODDS_LO,
+    hi: float = CAL_LODDS_HI,
+) -> dict:
+    """Budget-first threshold selection (round 8, the calibrator's
+    follow-through): published pipelines usually specify "keep the top
+    X% by quality", not an absolute probability — and an absolute
+    probability from a miscalibrated scorer is meaningless anyway.
+    Pick the log-odds BIN cutoff whose keep-rate is the largest one not
+    exceeding ``target_keep_rate``; rows in bins >= the cutoff are
+    kept.  Cutting on the bin ordinal (same fixed-width grid the
+    isotonic calibrator uses) is monotone-consistent with the
+    calibrated probability and breaks calibrated-rate ties by raw
+    log-odds rank.
+
+    ONE constant-cardinality histogram exchange + a driver cumsum over
+    <= n_bins integers — deterministic under any partitioning.
+
+    -> {"bin_cut": int, "keep_n": int, "n": int,
+        "expected_keep_rate": float}.  bin_cut == 0 keeps everything
+    (target above the whole mass); bin_cut == n_bins keeps nothing."""
+    if not 0.0 <= target_keep_rate <= 1.0:
+        raise ValueError(f"target_keep_rate must be in [0,1], got {target_keep_rate}")
+    b = _lodds_bin(F.col(lodds_col), n_bins, lo, hi)
+    rows = scored.select(b.alias("bin")).groupBy("bin").count().collect()
+    counts = [0] * n_bins
+    for r in rows:
+        counts[r["bin"]] = int(r["count"])
+    total = sum(counts)
+    if total == 0:
+        raise ValueError("threshold_for_keep_rate: empty scored input")
+    budget = target_keep_rate * total
+    keep_n = total
+    bin_cut = 0
+    while bin_cut < n_bins and keep_n > budget:
+        keep_n -= counts[bin_cut]
+        bin_cut += 1
+    return {
+        "bin_cut": bin_cut,
+        "keep_n": keep_n,
+        "n": total,
+        "expected_keep_rate": round(keep_n / total, 6),
+    }
+
+
 def apply_calibration(
     scored: DataFrame,
     calibrator: DataFrame,

@@ -461,7 +461,9 @@ def apply_domain_reputation_filter(labeled, min_rate, prior_strength=None):
     )
 
 
-def apply_quality_classifier(labeled, min_prob, text_col="text_clean", calibrate=False):
+def apply_quality_classifier(
+    labeled, min_prob, text_col="text_clean", calibrate=False, keep_frac=None
+):
     """--quality-classifier-min-prob: distill the cascade into a single
     calibrated scorer (operators/quality_classifier.py, the CCNet
     fastText recipe with the cascade's own keep/drop labels as the
@@ -481,7 +483,14 @@ def apply_quality_classifier(labeled, min_prob, text_col="text_clean", calibrate
     calibration-curve follow-through: raw NB probabilities measured
     2e-5 predicted vs 0.386 observed, so a raw-probability threshold is
     meaningless) and applies ``min_prob`` to the CALIBRATED probability
-    instead; both columns land as stage metrics."""
+    instead; both columns land as stage metrics.
+
+    ``keep_frac`` (--quality-classifier-keep-frac, alternative to
+    ``min_prob``) is BUDGET-FIRST selection: keep the top fraction of
+    currently-kept pages by classifier rank via the 64-bin log-odds
+    cutoff (operators/quality_classifier.threshold_for_keep_rate —
+    one constant-cardinality histogram, deterministic), the "keep the
+    best X%" form published recipes actually specify."""
     from pyspark.sql import functions as F
 
     from harvesttext_spark.operators.quality_classifier import (
@@ -521,21 +530,43 @@ def apply_quality_classifier(labeled, min_prob, text_col="text_clean", calibrate
         )
         scored = apply_calibration(scored, calib)
         prob_col, extra = "quality_prob_cal", ["quality_prob_cal"]
+    if keep_frac is not None:
+        from harvesttext_spark.operators.quality_classifier import (
+            CAL_LODDS_HI,
+            CAL_LODDS_LO,
+            CAL_N_BINS,
+            _lodds_bin,
+            threshold_for_keep_rate,
+        )
+
+        kept_scored = scored.join(
+            labeled.filter(F.col("keep")).select(F.col("url").alias("doc_id")),
+            "doc_id",
+        )
+        sel = threshold_for_keep_rate(kept_scored, keep_frac)
+        bin_col = _lodds_bin(
+            F.col("quality_lodds"), CAL_N_BINS, CAL_LODDS_LO, CAL_LODDS_HI
+        )
+        drop_pred = bin_col < sel["bin_cut"]
+    else:
+        drop_pred = F.coalesce(F.col(prob_col), F.lit(0.0)) < min_prob
     scored = scored.select(
-        F.col("doc_id").alias("_qurl"), F.col("quality_prob"), *extra
+        F.col("doc_id").alias("_qurl"),
+        F.col("quality_lodds"),
+        F.col("quality_prob"),
+        *extra,
     )
     return (
         labeled.join(scored, labeled["url"] == scored["_qurl"], "left")
         .withColumn(
             "drop_reason",
             F.when(
-                F.col("keep")
-                & (F.coalesce(F.col(prob_col), F.lit(0.0)) < min_prob),
+                F.col("keep") & drop_pred,
                 F.lit("quality_classifier"),
             ).otherwise(F.col("drop_reason")),
         )
         .withColumn("keep", F.col("drop_reason").isNull())
-        .drop("_qurl")
+        .drop("_qurl", "quality_lodds")
     )
 
 
@@ -1358,6 +1389,19 @@ def main(argv=None) -> None:
         "incompatible with --resume.",
     )
     p.add_argument(
+        "--quality-classifier-keep-frac",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="alternative to --quality-classifier-min-prob: BUDGET-first "
+        "selection — keep the top FRAC of currently-kept pages by "
+        "classifier rank (largest whole-bin keep rate not exceeding "
+        "FRAC over the 64-bin log-odds histogram; deterministic, one "
+        "constant-cardinality exchange). The form published recipes "
+        "specify ('keep the best X%'), immune to probability "
+        "miscalibration. Corpus-relative, so incompatible with --resume.",
+    )
+    p.add_argument(
         "--quality-classifier-calibrate",
         action="store_true",
         help="with --quality-classifier-min-prob: fit a distributed "
@@ -1585,6 +1629,14 @@ def main(argv=None) -> None:
     )
     if args.dsir_keep_frac is not None and not args.dsir_target_path:
         p.error("--dsir-keep-frac requires --dsir-target-path PARQUET")
+    if (
+        args.quality_classifier_min_prob is not None
+        and args.quality_classifier_keep_frac is not None
+    ):
+        p.error(
+            "--quality-classifier-min-prob and --quality-classifier-keep-frac "
+            "are mutually exclusive (absolute threshold vs keep budget)"
+        )
     if args.edu_min_score is not None and not args.edu_teacher_path:
         p.error("--edu-min-score requires --edu-teacher-path PARQUET")
     if args.resume:
@@ -1631,13 +1683,17 @@ def main(argv=None) -> None:
                 "(bucket idempotency). Run mixture sampling as a separate "
                 "full pass over the resumed output."
             )
-        if args.quality_classifier_min_prob is not None:
+        if (
+            args.quality_classifier_min_prob is not None
+            or args.quality_classifier_keep_frac is not None
+        ):
             sys.exit(
-                "--resume is incompatible with --quality-classifier-min-prob: "
-                "the distilled classifier depends on the run's full label "
-                "balance, so reprocessed tail buckets would not score "
-                "identically (bucket idempotency). Run the classifier as a "
-                "separate full pass over the resumed output."
+                "--resume is incompatible with --quality-classifier-min-prob/"
+                "--quality-classifier-keep-frac: the distilled classifier "
+                "depends on the run's full label balance, so reprocessed "
+                "tail buckets would not score identically (bucket "
+                "idempotency). Run the classifier as a separate full pass "
+                "over the resumed output."
             )
         if args.with_lm:
             sys.exit(
@@ -1730,7 +1786,9 @@ def main(argv=None) -> None:
             x is not None
             for x in (
                 args.domain_reputation_min_rate,
-                args.quality_classifier_min_prob,
+                args.quality_classifier_min_prob
+                if args.quality_classifier_min_prob is not None
+                else args.quality_classifier_keep_frac,
                 args.semdedup_threshold,
                 args.dsir_keep_frac,
                 args.mixture_spec,
@@ -1769,12 +1827,16 @@ def main(argv=None) -> None:
                     prior_strength=args.domain_reputation_strength,
                 )
             )
-        if args.quality_classifier_min_prob is not None:
+        if (
+            args.quality_classifier_min_prob is not None
+            or args.quality_classifier_keep_frac is not None
+        ):
             labeled = _model_stage(
                 apply_quality_classifier(
                     labeled,
                     args.quality_classifier_min_prob,
                     calibrate=args.quality_classifier_calibrate,
+                    keep_frac=args.quality_classifier_keep_frac,
                 )
             )
         if args.semdedup_threshold is not None:

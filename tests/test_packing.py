@@ -315,3 +315,66 @@ def test_pack_manifest_job_composition(spark, tmp_path):
     assert bad == 0
     # the main table did NOT grow pack columns in manifest mode
     assert "pack_bin" not in data.columns
+
+
+def test_read_packed_export_both_shapes(spark, tmp_path):
+    """The export reader joins text back for BOTH job shapes: epoch
+    manifest (one row per copy) and per-row pack columns (mix_copy 0);
+    slot count, text attachment, and the within-bin FFD order hold."""
+    from harvesttext_spark.operators.packing import read_packed_export
+
+    out = tmp_path / "out"
+    data_rows = [
+        ("https://a.x/", "alpha text", True, 2, 0, 3, 4, False),
+        ("https://b.x/", "beta text", True, 1, 0, 3, 6, False),
+        ("https://dead.x/", "gone", False, None, None, None, None, None),
+    ]
+    spark.createDataFrame(
+        data_rows,
+        "url string, text_clean string, keep boolean, mix_copies int, "
+        "pack_shard int, pack_bin int, pack_tokens bigint, oversize boolean",
+    ).write.parquet(str(out / "data"))
+
+    # shape 1: per-row pack columns, no manifest
+    got = read_packed_export(spark, str(out)).collect()
+    assert len(got) == 2
+    by_url = {r["url"]: r for r in got}
+    assert by_url["https://a.x/"]["text"] == "alpha text"
+    assert all(r["mix_copy"] == 0 for r in got)
+    # FFD order within the shared bin: tokens desc
+    in_bin = [r for r in got if (r["pack_shard"], r["pack_bin"]) == (0, 3)]
+    assert [r["pack_tokens"] for r in in_bin] == sorted(
+        [r["pack_tokens"] for r in in_bin], reverse=True
+    )
+
+    # shape 2: epoch manifest takes precedence
+    man_rows = [
+        ("https://a.x/", 0, 5, 1, 4, False),
+        ("https://a.x/", 1, 6, 2, 4, False),
+        ("https://b.x/", 0, 5, 1, 6, False),
+    ]
+    spark.createDataFrame(
+        man_rows,
+        "url string, mix_copy int, pack_shard int, pack_bin int, "
+        "pack_tokens bigint, oversize boolean",
+    ).write.parquet(str(out / "pack_manifest"))
+    got2 = read_packed_export(spark, str(out)).collect()
+    assert len(got2) == 3
+    copies_a = sorted(
+        r["mix_copy"] for r in got2 if r["url"] == "https://a.x/"
+    )
+    assert copies_a == [0, 1]
+    assert all(r["text"] in ("alpha text", "beta text") for r in got2)
+
+    # no packing anywhere -> clear error
+    import shutil
+
+    import pytest as _pytest
+
+    shutil.rmtree(str(out / "pack_manifest"))
+    spark.createDataFrame(
+        [("https://a.x/", "alpha text", True)],
+        "url string, text_clean string, keep boolean",
+    ).write.mode("overwrite").parquet(str(out / "data"))
+    with _pytest.raises(ValueError, match="pack_manifest"):
+        read_packed_export(spark, str(out))

@@ -406,3 +406,76 @@ def test_quality_classifier_job_stage_calibrated(spark):
         got[f"https://g{i:02d}.example/"]["quality_prob_cal"] >= 0.5
         for i in range(30)
     )
+
+
+def test_threshold_for_keep_rate_budget_semantics(spark):
+    """Largest whole-bin keep-rate not exceeding the target; monotone
+    in the target; deterministic under repartitioning; edges keep
+    all / none."""
+    from harvesttext_spark.operators.quality_classifier import (
+        threshold_for_keep_rate,
+    )
+
+    scored = _scored_corpus(spark)  # 400 rows spread over [-40, 40)
+    n = scored.count()
+    prev_keep = -1
+    for target in (0.0, 0.1, 0.25, 0.5, 0.9, 1.0):
+        sel = threshold_for_keep_rate(scored, target)
+        assert sel["n"] == n
+        assert sel["keep_n"] <= target * n + 1e-9
+        assert sel["keep_n"] >= prev_keep  # monotone in target
+        prev_keep = sel["keep_n"]
+    assert threshold_for_keep_rate(scored, 1.0)["keep_n"] == n
+    assert threshold_for_keep_rate(scored, 0.0)["keep_n"] == 0
+    # determinism under partitioning
+    a = threshold_for_keep_rate(scored, 0.3)
+    b = threshold_for_keep_rate(scored.repartition(17), 0.3)
+    assert a == b
+    # maximality: adding back the bin just below the cut exceeds budget
+    from pyspark.sql import functions as F
+
+    from harvesttext_spark.operators.quality_classifier import _lodds_bin
+
+    sel = threshold_for_keep_rate(scored, 0.3)
+    bins = dict(
+        (r["bin"], r["count"])
+        for r in scored.select(
+            _lodds_bin(F.col("quality_lodds"), 64, -40.0, 40.0).alias("bin")
+        )
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    below = max((b for b in bins if b < sel["bin_cut"]), default=None)
+    if below is not None:
+        assert sel["keep_n"] + bins[below] > 0.3 * n
+
+
+def test_quality_classifier_job_stage_keep_frac(spark):
+    """--quality-classifier-keep-frac wiring: exactly the budgeted
+    top fraction of KEPT pages survives (whole-bin granularity), the
+    drop reason is quality_classifier, and dropped rows keep theirs."""
+    from jobs.run_quality_filter import apply_quality_classifier
+
+    good = "a thoughtful essay about spark engines and careful data work number"
+    bad = "buy cheap buy cheap buy cheap casino bonus click now win big"
+    rows = []
+    for i in range(40):
+        rows.append((f"https://g{i:02d}.example/", f"{good} {i}", True, None))
+        # half the corpus is cascade-dropped spam (trains the NB)
+        rows.append((f"https://b{i:02d}.example/", f"{bad} {i}", False, "toxic"))
+    # and 40 kept-but-spammy pages the classifier should rank lowest
+    for i in range(40):
+        rows.append((f"https://s{i:02d}.example/", f"{bad} kept {i}", True, None))
+    df = spark.createDataFrame(
+        rows, "url string, text_clean string, keep boolean, drop_reason string"
+    )
+    out = apply_quality_classifier(df, None, keep_frac=0.5)
+    got = {r["url"]: r.asDict() for r in out.collect()}
+    kept = [u for u, r in got.items() if r["keep"]]
+    # 80 kept in, budget 0.5 -> at most 40 survive, and they are the
+    # good pages (spammy kept pages rank in the bottom bins)
+    assert len(kept) <= 40
+    assert all(u.startswith("https://g") for u in kept)
+    assert got["https://s00.example/"]["drop_reason"] == "quality_classifier"
+    assert got["https://b00.example/"]["drop_reason"] == "toxic"

@@ -376,3 +376,35 @@ def test_semdedup_job_stage_trained_centroids(spark):
     assert got["https://c.example/"]["keep"] is True
     assert got["https://blank.example/"]["keep"] is True
     assert got["https://gone.example/"]["drop_reason"] == "too_short"
+
+
+def test_semdedup_trained_centroids_matches_python_reference(spark):
+    """Value-grade pin for the trained path (round 8): run the FULL
+    scan over the trainer's own output and compare row-for-row against
+    the pure-python keep-first reference evaluated on the SAME
+    collected centroid table — assignment, max_prior_sim, and the keep
+    decision all pinned with data-derived (non-fixture) centroids."""
+    from harvesttext_spark.operators.semdedup import (
+        semdedup,
+        train_semdedup_centroids,
+    )
+
+    vecs = [(i, _det_vec(i)) for i in range(40)]
+    vecs.append((100, _det_vec(7)))  # exact copy under a larger id
+    vdf = _mk(spark, vecs)
+    cents_df = train_semdedup_centroids(vdf, 5, vec_col="embedding")
+    cents = [(r["centroid_id"], r["centroid"]) for r in cents_df.collect()]
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["max_prior_sim"], r["semdedup_keep"])
+        for r in semdedup(vdf, cents_df, threshold=0.95).collect()
+    }
+    ref = _py_semdedup(vecs, cents, 0.95)
+    assert set(got) == set(ref)
+    for vid in ref:
+        assert got[vid][0] == ref[vid][0], vid
+        a, b = got[vid][1], ref[vid][1]
+        assert (a is None) == (b is None), vid
+        if a is not None:
+            assert abs(a - b) <= 1e-4, vid
+        assert got[vid][2] == ref[vid][2], vid
+    assert got[100][2] is False and got[7][2] is True
