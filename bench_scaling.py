@@ -547,7 +547,14 @@ and commit messages):
   md5-ordered sample.  1.2M+copies: copy recall 0.9968 with NO residual
   split at 101.9s vs the r7 fixture+split path's 0.9831 at 346.5s —
   3.4x faster with higher recall (same-run fixture-no-split control:
-  0.9619); centroid training 14.5s.
+  0.9619); centroid training 14.5s.  At the 2^16-cluster CEILING
+  (6.5M pages, k=65536 — the regime the r7 verdict flagged as
+  cap-dependent): trained recall 0.9952 vs fixture 0.9388, training
+  86.2s, scan 6.8M vectors in 501.6s.  That run also flushed out a
+  real at-scale bug: _assign_centroid's scores gemm was unchunked, and
+  a 10k-row Arrow batch x 65536 centroids materialized 5.2 GB per
+  worker (32 workers OOM-killed the box) — now row-chunked to ~64 MB
+  blocks like the scan gemm, value-identical.
 - Isotonic classifier recalibration (--quality-classifier-calibrate):
   constant-cardinality 64-bin exchange + integer-PAV; ECE improves >2x
   on the miscalibrated synthetic corpus (tests pin monotonicity and a
