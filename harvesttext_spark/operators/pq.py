@@ -337,13 +337,21 @@ def _encode_with_centroid(
 
         cids_, cmat_, C = bc.value
         cnorm = [(C[s] * C[s]).sum(1) for s in range(n_sub)]
+        CT = cmat_.T
+        # row-chunk the coarse scores like _assign_centroid: batch x k
+        # float64 is 5.2 GB/worker at a 2^16-centroid quantizer
+        block = max(8, (8 << 20) // max(len(cids_), 1))
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             Xn = np.divide(X, norms, out=X.copy(), where=norms != 0)
-            cid = cids_[np.argmax(Xn @ cmat_.T, axis=1)]
+            best = np.empty(len(Xn), dtype=np.int64)
+            for r0 in range(0, len(Xn), block):
+                r1 = min(r0 + block, len(Xn))
+                best[r0:r1] = np.argmax(Xn[r0:r1] @ CT, axis=1)
+            cid = cids_[best]
             codes = np.empty((len(X), n_sub), dtype=np.int64)
             for s in range(n_sub):
                 sub = X[:, s * dsub : (s + 1) * dsub]
