@@ -554,7 +554,11 @@ and commit messages):
   real at-scale bug: _assign_centroid's scores gemm was unchunked, and
   a 10k-row Arrow batch x 65536 centroids materialized 5.2 GB per
   worker (32 workers OOM-killed the box) — now row-chunked to ~64 MB
-  blocks like the scan gemm, value-identical.
+  blocks like the scan gemm, value-identical (same fix applied to the
+  fused IVF-PQ coarse assign).  The chunking is also FASTER at
+  ordinary k: the 1.2M trained run re-measured at 51.0s (was 101.9s
+  pre-fix, same 0.9968 recall) — the unchunked 1 GB score allocations
+  were thrashing the allocator.
 - Isotonic classifier recalibration (--quality-classifier-calibrate):
   constant-cardinality 64-bin exchange + integer-PAV; ECE improves >2x
   on the miscalibrated synthetic corpus (tests pin monotonicity and a
