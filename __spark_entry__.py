@@ -34,19 +34,24 @@ from harvesttext_spark.functions.textstats import (
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvesttext_spark.session import read_scaled
 
-    return read_scaled(spark, os.path.join(sf_dir, "documents.parquet"))
+    # hash-partition on doc_id (not round-robin): skips the
+    # sortBeforeRepartition local sort and lets every downstream
+    # groupBy/window keyed on doc_id run exchange-free (session.read_scaled)
+    return read_scaled(spark, os.path.join(sf_dir, "documents.parquet"), key="doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvesttext_spark.session import read_scaled
 
-    return read_scaled(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    return read_scaled(spark, os.path.join(sf_dir, "embeddings.parquet"), key="vec_id")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvesttext_spark.session import read_scaled
 
-    return read_scaled(spark, os.path.join(sf_dir, "events.parquet"))
+    # user_id: the sessionize/window family partitions by it — the scan
+    # exchange doubles as the window exchange
+    return read_scaled(spark, os.path.join(sf_dir, "events.parquet"), key="user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2656,8 +2661,18 @@ def q_dsir_topk(spark, sf_dir):
     )
     target = base.filter((F.col("doc_id") % 7) == 0)
     # persist: the raw feature stream feeds both the raw-distribution
-    # count and the scoring join (langid shared-feature pattern)
-    return dsir_topk(base, target, k=50, persist=True)
+    # count and the scoring join (langid shared-feature pattern).
+    # target_filter: the target is a row-subset of base, so its bucket
+    # counts come from FILTERING the persisted stream — no second
+    # tokenize pass (r9; value-identical, and exactly how the oracle's
+    # `tc` CTE derives it from `fb`)
+    return dsir_topk(
+        base,
+        target,
+        k=50,
+        persist=True,
+        target_filter=lambda c: (c % 7) == 0,
+    )
 
 
 def _sql_dsir_topk() -> str:
@@ -3595,9 +3610,13 @@ def q_quality_classifier(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir)
+    # persist=True: the totals collect AND the broadcast weight build both
+    # consume the bucket counts — without it the full gram extraction runs
+    # TWICE per invocation (measured; the langid shared-feature pattern)
     weights, params = train_quality_classifier(
         d.select((F.col("lang") == "en").alias("label"), "text"),
         label_col="label",
+        persist=True,
     )
     base = d.select("doc_id", "text").unionByName(
         _probe_df(spark, QC_PROBES, col="text")
@@ -3805,7 +3824,9 @@ def q_edu_score(spark, sf_dir):
         ),
         "text",
     ).unionByName(tprobes)
-    scores, params = train_edu_scorer(train)
+    # persist=True: totals collect + bucket-score broadcast build share one
+    # materialized counts table instead of re-extracting grams twice
+    scores, params = train_edu_scorer(train, persist=True)
     base = d.select("doc_id", "text").unionByName(
         _probe_df(spark, EDU_PROBES, col="text")
     )

@@ -573,7 +573,15 @@ def simhash64_native(text: Column, shingle_n: int = 2) -> Column:
 # crossover between the one-pass lambda fold and the explode+codegen-agg
 # shape, measured (BENCH.md round 4): fold wins below ~50k docs (explode
 # pays a 32-column shuffle), explode wins 13x at 1.2M pages.
-SIMHASH32_FOLD_MAX_ROWS = 50_000
+# r9 recalibration: at 50k docs the interpreted one-pass fold measured
+# 2.7-12s ACROSS SESSIONS (heavy-tailed — interpreted HOF eval allocates
+# per element and GC/session history swing it 4x; the driver's r8 samples
+# show the same [9.3, 1.9, 2.2] spread) while the explode shape is a
+# stable ~1.9-2.5s and rides the doc_id scan partitioning exchange-free.
+# The fold only wins on genuinely tiny frames where exchange overhead
+# dominates — keep it below ~20k rows (sf0.1's 5k-doc table stays fold,
+# measured 0.58s there vs 0.6s explode).
+SIMHASH32_FOLD_MAX_ROWS = 20_000
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:

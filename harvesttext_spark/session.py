@@ -59,18 +59,34 @@ TABLES = (
 ).split()
 
 
-def read_scaled(spark: SparkSession, path: str):
+def read_scaled(spark: SparkSession, path: str, key: str | None = None):
     """Parquet scan that guarantees at least default-parallelism partitions.
 
     The driver's test parquet files are single row groups, so a plain scan
     yields ONE partition and serializes every CPU-bound expression/UDF.  On
     a real 100TB table (thousands of row groups) the condition is false and
     this is a zero-cost no-op — the repartition only fires for degenerate
-    small scans."""
+    small scans.
+
+    ``key``: hash-partition on this column instead of round-robin.  Two
+    wins, both measured (guide §2.4/§2.5): (a) a keyless repartition(n)
+    first LOCAL-SORTS its input rows so retried tasks reproduce the same
+    assignment (SPARK-23207) — hashing a deterministic unique id needs no
+    sort; (b) HashPartitioning(key) satisfies ClusteredDistribution for
+    every downstream groupBy/window whose keys include ``key`` (explode
+    and aliasing Projects preserve it), so per-doc aggregations run in
+    place with ZERO further exchange.  Unique ids spread uniformly, so
+    balance matches round-robin."""
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+        from pyspark.sql import functions as F
+
+        df = (
+            df.repartition(target, F.col(key))
+            if key is not None
+            else df.repartition(target)
+        )
     return df
 
 
