@@ -60,21 +60,30 @@ def _word_feature_rows(
         ).alias("_toks"),
     )
     n = F.size("_toks")
-    bigrams = F.when(
+    # codegen pair stream (r9): zip_with's lambda evaluates INTERPRETED
+    # per element; slice+arrays_zip+row-level concat is whole-stage
+    # codegen and emits byte-identical feature strings (b IS NULL marks a
+    # unigram; tokens are non-null by the filter above)
+    units = F.arrays_zip(
+        F.col("_toks").alias("a"),
+        F.array_repeat(F.lit(None).cast("string"), n).alias("b"),
+    )
+    pairs = F.when(
         n >= 2,
-        F.zip_with(
-            F.slice("_toks", 1, n - 1),
-            F.slice("_toks", 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+        F.arrays_zip(
+            F.slice("_toks", 1, n - 1).alias("a"),
+            F.slice("_toks", 2, n - 1).alias("b"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    feat = F.when(F.col("_fs.b").isNull(), F.col("_fs.a")).otherwise(
+        F.concat(F.col("_fs.a"), F.lit(" "), F.col("_fs.b"))
+    )
     return (
-        toked.withColumn("_feats", F.concat(F.col("_toks"), bigrams))
-        .select(*keep_cols, F.explode("_feats").alias("_f"))
+        toked.select(*keep_cols, F.explode(F.concat(units, pairs)).alias("_fs"))
         .select(
             *keep_cols,
             (
-                F.conv(F.substring(F.md5("_f"), 1, 8), 16, 10).cast("bigint")
+                F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("bigint")
                 % n_buckets
             )
             .cast("int")
@@ -91,6 +100,7 @@ def dsir_weights(
     n_buckets: int = N_BUCKETS,
     alpha: float = 1.0,
     persist: bool = False,
+    target_filter=None,
 ) -> DataFrame:
     """-> (id_col, logw, n_feats): per-doc log importance weight
     Σ ln(p_target/p_raw) over the doc's hashed-ngram bag.  Featureless
@@ -103,7 +113,16 @@ def dsir_weights(
     LRU-1 slot) so the raw-distribution count and the scoring join read
     it once instead of re-tokenizing the corpus twice — the langid
     shared-feature-relation pattern; turn it on in pipelines, leave it
-    off for one-shot plans that must stay cache-free."""
+    off for one-shot plans that must stay cache-free.
+
+    ``target_filter`` (r9): when the target IS a row-subset of ``raw``
+    (the common in-pipeline case), pass ``lambda id_col: <predicate>``
+    and the target's bucket counts are derived by FILTERING the (already
+    persisted) raw feature stream instead of re-scanning and
+    re-tokenizing the target frame from storage — one corpus pass fewer,
+    value-identical because feature extraction is per-row.  ``target``
+    is ignored for counting in that case (caller guarantees
+    target == raw.filter(pred))."""
     raw_feats = _word_feature_rows(
         raw.select(F.col(id_col).alias("_id"), text_col), text_col, ["_id"], n_buckets
     )
@@ -111,7 +130,10 @@ def dsir_weights(
         from harvesttext_spark.session import plan_keyed_persist
 
         raw_feats = plan_keyed_persist(raw_feats, "dsir_raw_feats")
-    tgt_feats = _word_feature_rows(target, text_col, [], n_buckets)
+    if target_filter is not None:
+        tgt_feats = raw_feats.filter(target_filter(F.col("_id"))).select("bucket")
+    else:
+        tgt_feats = _word_feature_rows(target, text_col, [], n_buckets)
     raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
     tots = raw_counts.agg(F.sum("cr").alias("r_tot")).crossJoin(
@@ -172,6 +194,7 @@ def dsir_topk(
     alpha: float = 1.0,
     seed: int = 42,
     persist: bool = False,
+    target_filter=None,
 ) -> DataFrame:
     """-> the k selected rows as (id_col, logw, gkey), ranked by the
     Gumbel-perturbed key (exact Gumbel top-k resampling).  Selection uses
@@ -179,8 +202,11 @@ def dsir_topk(
     so value oracles compare stably across engines (langid margin
     precedent — argmax/boundary flips would need sub-1e-10 ties).  Ties
     break on id for determinism.  Plans as TakeOrderedAndProject — see
-    the module docstring for the huge-k path."""
-    w = dsir_weights(raw, target, text_col, id_col, n_buckets, alpha, persist)
+    the module docstring for the huge-k path.  ``target_filter``: see
+    dsir_weights."""
+    w = dsir_weights(
+        raw, target, text_col, id_col, n_buckets, alpha, persist, target_filter
+    )
     keyed = w.select(
         id_col, "logw", (F.col("logw") + gumbel_key(F.col(id_col), seed)).alias("_key")
     )

@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 ALPHA = 0.4  # stupid-backoff constant
 
 
+def _bigram_structs(toks_col: str):
+    """array<struct<w1,w2>> of adjacent token pairs, via codegen
+    arrays_zip over two slices.  Replaces the r5 transform(sequence,
+    element_at) lambda: higher-order-function lambdas evaluate
+    INTERPRETED per element (repo rule), while slice+arrays_zip are
+    ordinary codegen expressions — value-identical pair stream, same
+    order (guide §4.1: prefer built-ins)."""
+    n = F.size(toks_col)
+    return F.arrays_zip(
+        F.slice(toks_col, 1, n - 1).alias("w1"),
+        F.slice(toks_col, 2, n - 1).alias("w2"),
+    )
+
+
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace tokens; unsegmented text (zh prose — one giant 'token')
     falls back to char symbols so CJK documents get a char-bigram LM
@@ -59,17 +73,7 @@ def train_bigram_lm(
         .agg(F.count("*").alias("c1"))
     )
     big = (
-        base.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.struct(
-                        F.element_at("toks", i).alias("w1"),
-                        F.element_at("toks", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("bg")
-        )
+        base.select(F.explode(_bigram_structs("toks")).alias("bg"))
         .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count("*").alias("c2"))
     )
@@ -95,15 +99,7 @@ def score_perplexity(
     base = _doc_tokens(docs, text_col, id_col)
     pairs = base.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("pos", "bg"),
+        F.posexplode(_bigram_structs("toks")).alias("pos", "bg"),
     ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     joined = (
@@ -143,16 +139,14 @@ def train_trigram_lm(
     """-> (unigrams, bigrams, trigrams(w1,w2,w3,c3), total_tokens)."""
     uni, big, total = train_bigram_lm(docs, text_col, id_col)
     base = _doc_tokens(docs, text_col, id_col).filter(F.size("toks") >= 3)
+    n = F.size("toks")
     tri = (
         base.select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.struct(
-                        F.element_at("toks", i).alias("w1"),
-                        F.element_at("toks", i + 1).alias("w2"),
-                        F.element_at("toks", i + 2).alias("w3"),
-                    ),
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 2).alias("w1"),
+                    F.slice("toks", 2, n - 2).alias("w2"),
+                    F.slice("toks", 3, n - 2).alias("w3"),
                 )
             ).alias("tg")
         )
@@ -182,16 +176,14 @@ def score_perplexity_trigram(
                    = a^2 * c1(w3)/total  (1 floor) else
     -> (doc_id, n_trigrams, ppl)."""
     base = _doc_tokens(docs, text_col, id_col).filter(F.size("toks") >= 3)
+    n = F.size("toks")
     tg = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 2),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                    F.element_at("toks", i + 2).alias("w3"),
-                ),
+            F.arrays_zip(
+                F.slice("toks", 1, n - 2).alias("w1"),
+                F.slice("toks", 2, n - 2).alias("w2"),
+                F.slice("toks", 3, n - 2).alias("w3"),
             )
         ).alias("t"),
     ).select("doc_id", "t.w1", "t.w2", "t.w3")

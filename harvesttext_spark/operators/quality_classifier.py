@@ -58,10 +58,16 @@ def _gram_rows(
 ) -> DataFrame:
     """One row per hashed word uni/bigram bucket (capped per doc).
 
-    The word array is materialized as a COLUMN before the bigram
-    transform — HOF lambdas get no CSE, so deriving bigrams from an
-    inline split would re-evaluate it per element (the langid_model
-    measured trap)."""
+    The word array is materialized as a COLUMN before anything touches
+    it (no CSE inside lambdas — the langid_model measured trap).  r9:
+    the bigram strings were built with transform(sequence, concat_ws) —
+    a higher-order-function lambda, which evaluates INTERPRETED per
+    element.  Now the pair stream is codegen end to end: slice +
+    arrays_zip build array<struct<a,b>> (unigrams zip with a NULL
+    column), ONE explode emits both gram kinds, and the gram string is
+    assembled per ROW with ordinary concat (b IS NULL ⇔ unigram).
+    concat('_') equals concat_ws('_') on the non-null tokens the filter
+    guarantees — the md5 input bytes are identical."""
     words = docs.select(
         *keep_cols,
         F.slice(
@@ -70,20 +76,25 @@ def _gram_rows(
             max_words,
         ).alias("_w"),
     )
-    bigrams = F.when(
-        F.size("_w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w") - 1),
-            lambda i: F.concat_ws(
-                "_", F.element_at("_w", i), F.element_at("_w", i + 1)
-            ),
+    n = F.size("_w")
+    units = F.arrays_zip(
+        F.col("_w").alias("a"),
+        F.array_repeat(F.lit(None).cast("string"), n).alias("b"),
+    )
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice("_w", 1, n - 1).alias("a"), F.slice("_w", 2, n - 1).alias("b")
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    gram = F.when(
+        F.col("_gs.b").isNull(), F.col("_gs.a")
+    ).otherwise(F.concat(F.col("_gs.a"), F.lit("_"), F.col("_gs.b")))
     return words.select(
-        *keep_cols, F.explode(F.concat(F.col("_w"), bigrams)).alias("_g")
+        *keep_cols, F.explode(F.concat(units, pairs)).alias("_gs")
     ).select(
         *keep_cols,
-        (F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("bigint") % n_buckets)
+        (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint") % n_buckets)
         .cast("int")
         .alias("bucket"),
     )

@@ -58,11 +58,17 @@ def build_sent_dict(
         sw = F.array(*[F.lit(w) for w in set(stopwords)])
         docs = docs.withColumn(words_col, F.array_except(F.col(words_col), sw))
     docs = docs.filter(F.size(F.col(words_col)) > 0)
-    n_docs = docs.count()
-    if n_docs == 0:
-        return spark.createDataFrame([], "word string, senti double")
-
     tokens = _distinct_tokens(docs, words_col, id_col).cache()
+    # n_docs from the cached posting table, not a separate docs.count():
+    # every kept doc has >= 1 distinct token (size > 0 filter above) and
+    # ids identify documents (the reference's doc-set model assumes the
+    # same), so countDistinct(doc_id) == docs.count() — and this single
+    # job also materializes the token cache instead of paying one extra
+    # full tokenize pass (r9, guide §1.2)
+    n_docs = tokens.agg(F.countDistinct("doc_id")).first()[0]
+    if n_docs == 0:
+        tokens.unpersist()
+        return spark.createDataFrame([], "word string, senti double")
     one = tokens.groupBy("word").agg(F.count("*").alias("c"))
     vocab = one.filter(F.col("c") >= min_times).cache()
 

@@ -79,22 +79,56 @@ _JAVA_WS = "[ \t\n\x0b\f\r]+"
 
 def _token_hashes(tokens, cache):
     """Per-channel polynomial char-fold hash for each token:
-    acc = (acc*131 + codepoint) % M, per SS_MODS channel.  Memoized per
-    Arrow batch — web text's token vocabulary is far smaller than its
-    token count."""
-    out = np.empty((len(tokens), len(SS_MODS)), dtype=np.int64)
+    acc = (acc*131 + codepoint) % M, per SS_MODS channel.
+
+    r9 vectorization (guide §4.2): the old shape looped chars in pure
+    Python per UNIQUE token (memoized, but still ~len(token) interpreted
+    steps × 3 channels).  Now unique tokens are deduplicated with one
+    dict pass, their codepoints land in a single int64 vector via a
+    UTF-32 decode, and the fold runs char-POSITION-wise as masked numpy
+    ops over the whole vocabulary (max_token_len iterations of O(vocab)
+    vector math).  Arithmetic is bit-identical: acc < 2^31, so
+    acc*131 + cp < 2^39 fits int64 before each mod.  ``cache`` maps
+    token -> row index in the batch's unique-vocab hash table (kept
+    across calls within one Arrow batch)."""
+    n = len(tokens)
+    inv = np.empty(n, dtype=np.int64)
+    new_toks = []
+    base = len(cache) - (1 if _HASH_TABLE_KEY in cache else 0)
     for j, tok in enumerate(tokens):
-        h = cache.get(tok)
-        if h is None:
-            h = []
-            for m in SS_MODS:
-                acc = 0
-                for c in tok:
-                    acc = (acc * SS_CHAR_BASE + ord(c)) % m
-                h.append(acc)
-            h = tuple(h)
-            cache[tok] = h
-        out[j] = h
+        k = cache.get(tok)
+        if k is None:
+            k = base + len(new_toks)
+            cache[tok] = k
+            new_toks.append(tok)
+        inv[j] = k
+    table = cache.get(_HASH_TABLE_KEY)
+    if new_toks:
+        new_h = _hash_unique_tokens(new_toks)
+        table = new_h if table is None else np.vstack([table, new_h])
+        cache[_HASH_TABLE_KEY] = table
+    return table[inv]
+
+
+_HASH_TABLE_KEY = object()  # sentinel key for the per-batch hash table
+
+
+def _hash_unique_tokens(uniq):
+    """(len(uniq), 3) int64 — vectorized char fold for a list of distinct
+    tokens."""
+    lens = np.fromiter((len(t) for t in uniq), dtype=np.int64, count=len(uniq))
+    codes = np.frombuffer(
+        "".join(uniq).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    offs = np.zeros(len(uniq), dtype=np.int64)
+    offs[1:] = np.cumsum(lens)[:-1]
+    out = np.zeros((len(uniq), len(SS_MODS)), dtype=np.int64)
+    max_len = int(lens.max()) if len(lens) else 0
+    for p in range(max_len):
+        mask = lens > p
+        cp = codes[offs[mask] + p]
+        for j, m in enumerate(SS_MODS):
+            out[mask, j] = (out[mask, j] * SS_CHAR_BASE + cp) % m
     return out
 
 
@@ -204,19 +238,48 @@ def duplicate_window_spans(
     covered by k-token windows whose exact content occurs elsewhere in
     the corpus EARLIER (global order doc_id, then position).  Exact
     match: no case folding, whitespace tokens."""
-    wins = window_census(docs, k, text_col, id_col).withColumn(
-        # struct min = lexicographic (id, pos): works for numeric AND
-        # string ids; the oracle's row_number over (id, pos) agrees
-        "ord", F.struct(F.col("id").alias("i"), F.col("pos").alias("p"))
-    )
-    census = wins.groupBy("h1", "h2", "h3").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("ord").alias("first_ord")
-    )
-    dups = (
-        wins.join(census.filter(F.col("cnt") > 1), ["h1", "h2", "h3"])
-        .filter(F.col("ord") != F.col("first_ord"))
-        .select("id", "pos")
-    )
+    wins = window_census(docs, k, text_col, id_col)
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type in ("bigint", "int", "smallint", "tinyint"):
+        # r9: numeric ids get an all-HashAggregate census.  min(struct)
+        # has no mutable hash buffer → SortAggregate → TWO full sorts of
+        # the window table (measured in the sf1.0 plan).  Two levels of
+        # plain min/sum/min_by instead: level 1 groups by (key, id) —
+        # skew-safe because the id spreads a hot boilerplate key across
+        # reducers — and level 2's map-side partial aggregation collapses
+        # each key to ≤1 row per partition BEFORE its exchange, so the
+        # hot-key funnel the module docstring worries about never ships
+        # raw rows.  first_ord ≡ (min id, min pos of that id): min_by has
+        # no ties because level 1 made ids distinct per key.
+        per_id = wins.groupBy("h1", "h2", "h3", "id").agg(
+            F.count(F.lit(1)).alias("_ci"), F.min("pos").alias("_mpos")
+        )
+        census = per_id.groupBy("h1", "h2", "h3").agg(
+            F.sum("_ci").alias("cnt"),
+            F.min("id").alias("_mid"),
+            F.min_by("_mpos", "id").alias("_mp"),
+        )
+        dups = (
+            wins.join(census.filter(F.col("cnt") > 1), ["h1", "h2", "h3"])
+            .filter(
+                (F.col("id") != F.col("_mid")) | (F.col("pos") != F.col("_mp"))
+            )
+            .select("id", "pos")
+        )
+    else:
+        # string ids: struct min = lexicographic (id, pos); the oracle's
+        # row_number over (id, pos) agrees
+        wins = wins.withColumn(
+            "ord", F.struct(F.col("id").alias("i"), F.col("pos").alias("p"))
+        )
+        census = wins.groupBy("h1", "h2", "h3").agg(
+            F.count(F.lit(1)).alias("cnt"), F.min("ord").alias("first_ord")
+        )
+        dups = (
+            wins.join(census.filter(F.col("cnt") > 1), ["h1", "h2", "h3"])
+            .filter(F.col("ord") != F.col("first_ord"))
+            .select("id", "pos")
+        )
     lagw = Window.partitionBy("id").orderBy("pos")
     spans = (
         dups.withColumn("_prev", F.lag("pos").over(lagw))

@@ -94,43 +94,58 @@ def candidate_grams(
     boundary = F.lit(" ") if unit == "char" else F.lit(None).cast("string")
 
     base = _symbolize(docs, text_col, id_col, unit)
-    # corpus scalar stats in one tiny job (needed driver-side for auto params)
-    n_docs, total = base.agg(F.count("*"), F.sum("len")).first()
+    # ONE scalar job for all four corpus stats (was two separate actions —
+    # two full tokenize passes; guide §1.2: don't compute things twice)
+    n_docs, total, first_id, last_id = base.agg(
+        F.count("*"), F.sum("len"), F.min("doc_id"), F.max("doc_id")
+    ).first()
     if not n_docs:
         return base.sparkSession.createDataFrame([], "word string, left string, right string"), 0
     corpus_len = int(total) + (int(n_docs) - 1)
 
-    first_id, last_id = base.agg(F.min("doc_id"), F.max("doc_id")).first()
-
-    pos = base.select(
-        "doc_id",
+    # r9 codegen gram stream: the old shape exploded every position and
+    # built each gram with a transform() lambda (slice + array_join per
+    # element — higher-order lambdas evaluate INTERPRETED, repo rule).
+    # One branch per gram length w instead: the w token slices, the left-
+    # neighbor array (boundary prepended) and the right-neighbor array
+    # (boundary appended) zip into array<struct> natively, ONE explode per
+    # branch, and the word string is assembled per ROW with concat_ws —
+    # whole-stage codegen end to end.  Same (word, left, right) multiset:
+    # a length-w gram exists at position i iff i <= len - w + 1.
+    flagged = base.select(
         "syms",
         "len",
         (F.col("doc_id") == F.lit(first_id)).alias("is_first"),
         (F.col("doc_id") == F.lit(last_id)).alias("is_last"),
-        F.explode(F.sequence(F.lit(1), F.col("len"))).alias("i"),
     )
-    gram_struct = lambda n: F.struct(  # noqa: E731
-        F.array_join(F.slice(F.col("syms"), F.col("i"), n), sep).alias("word"),
-        F.when(F.col("i") > 1, F.element_at("syms", F.col("i") - 1))
-        .otherwise(F.when(~F.col("is_first"), boundary))
-        .alias("left"),
-        F.when(
-            F.col("i") + n <= F.col("len"), F.element_at("syms", F.col("i") + n)
-        )
-        .otherwise(F.when(~F.col("is_last"), boundary))
-        .alias("right"),
-    )
-    cands = pos.select(
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.least(F.lit(max_word_len), F.col("len") - F.col("i") + 1)
+    first_left = F.when(~F.col("is_first"), boundary)
+    last_right = F.when(~F.col("is_last"), boundary)
+    branches = []
+    for w in range(1, max_word_len + 1):
+        cnt = F.col("len") - F.lit(w) + 1  # gram positions in this doc
+        parts = [
+            F.slice("syms", 1 + j, cnt).alias(f"s{j}") for j in range(w)
+        ]
+        lefts = F.concat(
+            F.array(first_left), F.slice("syms", 1, cnt - 1)
+        ).alias("lft")
+        rights = F.concat(
+            F.slice("syms", w + 1, cnt - 1), F.array(last_right)
+        ).alias("rgt")
+        branches.append(
+            flagged.filter(F.col("len") >= w)
+            .select(F.explode(F.arrays_zip(*parts, lefts, rights)).alias("g"))
+            .select(
+                F.concat_ws(sep, *[F.col(f"g.s{j}") for j in range(w)]).alias(
+                    "word"
                 ),
-                gram_struct,
+                F.col("g.lft").alias("left"),
+                F.col("g.rgt").alias("right"),
             )
-        ).alias("g")
-    ).select("g.word", "g.left", "g.right")
+        )
+    cands = branches[0]
+    for b in branches[1:]:
+        cands = cands.unionByName(b)
     if unit == "char":
         cands = cands.filter(~F.col("word").contains(" "))
     return cands, corpus_len
@@ -266,16 +281,21 @@ def doc_coherence(
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
         F.size("toks") >= 2
     )
+    # codegen pair stream (r9): slice+arrays_zip+per-row concat replaces
+    # the interpreted transform(sequence, element_at) lambda — identical
+    # "w1 w2" strings (tokens are non-empty, concat_ws == concat here)
+    n = F.size("toks")
     pairs = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-                ),
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("a"),
+                F.slice("toks", 2, n - 1).alias("b"),
             )
-        ).alias("word"),
+        ).alias("_bg"),
+    ).select(
+        "doc_id",
+        F.concat(F.col("_bg.a"), F.lit(" "), F.col("_bg.b")).alias("word"),
     )
     joined = pairs.join(known, "word", "left")
     return joined.groupBy("doc_id").agg(
