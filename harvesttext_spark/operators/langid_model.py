@@ -38,18 +38,40 @@ def _feature_rows(
     stage at sf0.1).  Bound column references are evaluated once per row."""
     lowered = docs.select(*keep_cols, F.lower(F.col(text_col)).alias("_lt"))
     n = F.length("_lt")
-    tris = F.when(
+    m = F.least(n - 2, F.lit(MAX_GRAMS_PER_DOC))
+    # r9 codegen trigrams: transform(sequence, substr) is a higher-order
+    # lambda — interpreted per position (up to MAX_GRAMS_PER_DOC × rows).
+    # split('') + three slices + arrays_zip build the same trigram stream
+    # under whole-stage codegen: split/substring are both code-point
+    # based (Java 8+ empty-pattern split never cuts a surrogate pair), so
+    # concat(c_i, c_{i+1}, c_{i+2}) == substr(i, 3) byte for byte.  The
+    # trailing "" split artifact at index n+1 is never sliced (m+2 ≤ n).
+    # Short/NULL docs keep the whole-string fallback via b IS NULL.
+    chars = F.split(F.col("_lt"), "")
+    tri_structs = F.when(
         n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.least(n - 2, F.lit(MAX_GRAMS_PER_DOC))),
-            lambda i: F.col("_lt").substr(i, F.lit(3)),
+        F.arrays_zip(
+            F.slice(chars, 1, m).alias("a"),
+            F.slice(chars, 2, m).alias("b"),
+            F.slice(chars, 3, m).alias("c"),
         ),
-    ).otherwise(F.array(F.col("_lt")))
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("_lt").alias("a"),
+                F.lit(None).cast("string").alias("b"),
+                F.lit(None).cast("string").alias("c"),
+            )
+        )
+    )
+    tri = F.when(F.col("_ts.b").isNull(), F.col("_ts.a")).otherwise(
+        F.concat(F.col("_ts.a"), F.col("_ts.b"), F.col("_ts.c"))
+    )
     return lowered.select(
-        *keep_cols, F.explode(tris).alias("_tri")
+        *keep_cols, F.explode(tri_structs).alias("_ts")
     ).select(
         *keep_cols,
-        (F.conv(F.substring(F.md5("_tri"), 1, 8), 16, 10).cast("bigint") % n_buckets)
+        (F.conv(F.substring(F.md5(tri), 1, 8), 16, 10).cast("bigint") % n_buckets)
         .cast("int")
         .alias("bucket"),
     )

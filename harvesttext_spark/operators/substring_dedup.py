@@ -76,6 +76,12 @@ SS_WIN_BASE = 1000003
 # byte-for-byte with cut_duplicate_spans' F.split(text, "\\s+").
 _JAVA_WS = "[ \t\n\x0b\f\r]+"
 
+# persist the window census only for inputs this small (docs, not
+# windows: ~200 tokens/doc ⇒ ≤ ~100M census rows ≈ a few GB serialized,
+# MEMORY_AND_DISK-safe on one box; beyond that recomputing the Arrow
+# pass is the documented at-scale choice)
+SS_PERSIST_MAX_DOCS = 500_000
+
 
 def _token_hashes(tokens, cache):
     """Per-channel polynomial char-fold hash for each token:
@@ -239,6 +245,22 @@ def duplicate_window_spans(
     the corpus EARLIER (global order doc_id, then position).  Exact
     match: no case folding, whitespace tokens."""
     wins = window_census(docs, k, text_col, id_col)
+    # The census feeds BOTH the per-key aggregate (broadcast build) and
+    # the duplicate-probe join, so the Arrow census pass evaluates twice
+    # per invocation.  Below ~SS_PERSIST_MAX_DOCS input docs the window
+    # table is small (n_tokens rows × 5 narrow cols) and a plan-keyed
+    # persist halves the Python cost; above it the module keeps the
+    # documented recompute-over-materialize choice (at crawl scale the
+    # census is ~10^13 rows — spilling it to disk costs more than one
+    # more Arrow pass).  Size gate via the free Catalyst estimate
+    # (dedup._estimated_rows precedent — errs toward recompute).
+    from harvesttext_spark.operators.dedup import _estimated_rows
+
+    est = _estimated_rows(docs)
+    if est is not None and est <= SS_PERSIST_MAX_DOCS:
+        from harvesttext_spark.session import plan_keyed_persist
+
+        wins = plan_keyed_persist(wins, "ss_wins")
     id_type = dict(docs.dtypes)[id_col]
     if id_type in ("bigint", "int", "smallint", "tinyint"):
         # r9: numeric ids get an all-HashAggregate census.  min(struct)
