@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 ALPHA = 0.4  # stupid-backoff constant
 
+# share one persisted tokenized frame across the three self-scored LM
+# passes only below this many input docs (tokens ≈ corpus bytes — do not
+# materialize at crawl scale)
+LM_PERSIST_MAX_DOCS = 500_000
+
 
 def _bigram_structs(toks_col: str):
     """array<struct<w1,w2>> of adjacent token pairs, via codegen
@@ -59,14 +64,20 @@ def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def train_bigram_lm(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     persist: bool = False,
+    base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """-> (unigrams(word, c1), bigrams(w1, w2, c2), total_tokens).
 
     ``persist=True`` materializes the two count tables (plan-keyed LRU-1
     eviction, same contract as dedup's signature cache): the totals job
     and the two broadcast builds then read the tiny aggregates instead of
-    re-scanning and re-tokenizing the corpus three more times."""
-    base = _doc_tokens(docs, text_col, id_col)
+    re-scanning and re-tokenizing the corpus three more times.
+
+    ``base``: pre-tokenized (doc_id, toks) frame to use instead of
+    re-deriving it (perplexity_signal shares ONE — possibly persisted —
+    token frame between training and self-scoring)."""
+    if base is None:
+        base = _doc_tokens(docs, text_col, id_col)
     uni = (
         base.select(F.explode("toks").alias("word"))
         .groupBy("word")
@@ -94,9 +105,12 @@ def score_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = ALPHA,
+    base: DataFrame | None = None,
 ) -> DataFrame:
-    """-> (doc_id, n_bigrams, ppl).  LM tables join broadcast."""
-    base = _doc_tokens(docs, text_col, id_col)
+    """-> (doc_id, n_bigrams, ppl).  LM tables join broadcast.
+    ``base``: pre-tokenized (doc_id, toks) frame (see train_bigram_lm)."""
+    if base is None:
+        base = _doc_tokens(docs, text_col, id_col)
     pairs = base.select(
         "doc_id",
         F.posexplode(_bigram_structs("toks")).alias("pos", "bg"),
@@ -237,8 +251,28 @@ def perplexity_signal(
     re-scans and re-tokenizes the corpus once for the totals job and once
     per broadcast build (4 input scans per call, measured ~0.7s of the
     query at sf0.1).  At 100 TB these are the checkpointed LM dimension
-    tables the module docstring describes."""
-    uni, big, total = train_bigram_lm(train_docs, text_col, id_col, persist=True)
+    tables the module docstring describes.
+
+    r9: in the self-scored case the unigram aggregate, the bigram
+    aggregate, and the scoring pass all tokenize the SAME corpus — below
+    a size gate (free Catalyst estimate, the substring-census precedent)
+    the tokenized (doc_id, toks) frame is plan-keyed-persisted once and
+    shared by all three; at crawl scale the tokenized corpus is as big
+    as the corpus itself and recomputing the codegen split stays the
+    right trade."""
+    base = None
+    if score_docs is None:
+        from harvesttext_spark.operators.dedup import _estimated_rows
+
+        base = _doc_tokens(train_docs, text_col, id_col)
+        est = _estimated_rows(train_docs)
+        if est is not None and est <= LM_PERSIST_MAX_DOCS:
+            from harvesttext_spark.session import plan_keyed_persist
+
+            base = plan_keyed_persist(base, "lm_base")
+    uni, big, total = train_bigram_lm(
+        train_docs, text_col, id_col, persist=True, base=base
+    )
     out = score_perplexity(
         score_docs if score_docs is not None else train_docs,
         uni,
@@ -246,6 +280,7 @@ def perplexity_signal(
         total,
         text_col,
         id_col,
+        base=base,
     )
     return out
 
