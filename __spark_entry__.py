@@ -31,6 +31,13 @@ from harvesttext_spark.functions.textstats import (
 )
 
 
+def _raw_count(spark: SparkSession, sf_dir: str, name: str = "documents") -> int:
+    """Unfiltered row count of a driver table straight off the parquet
+    footer metadata (Spark's count-star optimization — no data pages are
+    read and the read_scaled repartition never runs)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).count()
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvesttext_spark.session import read_scaled
 
@@ -538,7 +545,10 @@ def q_tfidf_topk(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id", tokens_col(F.col("text")).alias("words")
     )
-    out = tfidf_keywords(d, top_k=3)
+    # n_docs via the raw scan: Spark answers an unfiltered parquet count
+    # from footer metadata — no data read, no repartition exchange (the
+    # docs.count() default would execute both)
+    out = tfidf_keywords(d, top_k=3, n_docs=_raw_count(spark, sf_dir))
     return out.select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rank")
 
 
@@ -3518,7 +3528,9 @@ def q_langid_trained(spark, sf_dir):
     d = _docs(spark, sf_dir)
     # one shared feature extraction for train AND predict (same corpus)
     feats = _feature_rows(d, "text", ["doc_id", "lang"]).cache()
-    weights, stats = train_langid(d, feats=feats, persist=True)
+    weights, stats = train_langid(
+        d, feats=feats, persist=True, n_docs=_raw_count(spark, sf_dir)
+    )
     out = predict_from_features(feats.select("doc_id", "bucket"), weights, stats)
     return out.select("doc_id", "lang_pred", F.round("margin", 4).alias("margin"))
 
@@ -3610,13 +3622,24 @@ def q_quality_classifier(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir)
+    # class counts off the raw scan (label column only, no repartition);
     # persist=True: the totals collect AND the broadcast weight build both
     # consume the bucket counts — without it the full gram extraction runs
     # TWICE per invocation (measured; the langid shared-feature pattern)
+    cc = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)),
+            F.sum(F.when(~(F.col("lang") == "en"), 1).otherwise(0)),
+        )
+        .collect()[0]
+    )
     weights, params = train_quality_classifier(
         d.select((F.col("lang") == "en").alias("label"), "text"),
         label_col="label",
         persist=True,
+        class_counts=(int(cc[0] or 0), int(cc[1] or 0)),
     )
     base = d.select("doc_id", "text").unionByName(
         _probe_df(spark, QC_PROBES, col="text")

@@ -92,13 +92,18 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     top_k: int = 5,
     stopwords: list[str] | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Classic relational TF-IDF with per-doc top-k:
     tf = in-doc count, idf = ln(N / df), rank via window.  -> (doc_id, word,
-    tfidf, rank).  Ties broken by word for determinism."""
+    tfidf, rank).  Ties broken by word for determinism.
+
+    ``n_docs``: pass the row count when the caller already knows it (e.g.
+    from parquet footer metadata) to skip one count job over the scan."""
     from pyspark.sql.window import Window
 
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words_col).alias("word")
     )

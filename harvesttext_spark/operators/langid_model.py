@@ -84,13 +84,15 @@ def train_langid(
     n_buckets: int = N_BUCKETS,
     feats: DataFrame | None = None,
     persist: bool = False,
+    n_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (weights(lang, bucket, logp), lang_stats(lang, prior, default_logp)).
     Pass precomputed ``feats`` (from _feature_rows, with a 'lang' column)
     to share the extraction with a predict pass over the same corpus.
     ``persist=True`` materializes the weight table (plan-keyed LRU-1) so
     the predict pass's broadcast build reads the aggregate, not the
-    feature stream again."""
+    feature stream again.  ``n_docs``: pass the row count when known
+    (parquet footer metadata) to skip one count job."""
     if feats is None:
         feats = _feature_rows(
             docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
@@ -106,7 +108,8 @@ def train_langid(
         from harvesttext_spark.session import plan_keyed_persist
 
         weights = plan_keyed_persist(weights, "langid_weights")
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     stats = (
         docs.groupBy(F.col(label_col).alias("lang"))
         .agg(F.count("*").alias("nd"))

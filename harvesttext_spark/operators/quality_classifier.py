@@ -107,6 +107,7 @@ def train_quality_classifier(
     n_buckets: int = N_BUCKETS,
     max_words: int = MAX_WORDS,
     persist: bool = False,
+    class_counts: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, dict]:
     """-> (weights(bucket, llr), params {prior, default_llr, n_buckets,
     max_words}).  ``label_col`` is boolean (true = positive/quality).
@@ -114,15 +115,22 @@ def train_quality_classifier(
     defined odds (callers decide whether that's a skip or an error).
 
     The class totals are dimension-sized driver scalars (one 1-row agg);
-    the per-bucket count exchange is capped at n_buckets rows."""
+    the per-bucket count exchange is capped at n_buckets rows.
+    ``class_counts``: (n_pos, n_neg) when the caller can compute them
+    more cheaply (e.g. a label-column-only aggregation on the raw scan,
+    skipping the parallelism repartition) — must equal the counts over
+    ``docs``."""
     lab = docs.select(
         F.col(label_col).cast("boolean").alias("lab"), F.col(text_col).alias("_t")
     )
-    ndocs = lab.groupBy().agg(
-        F.sum(F.when(F.col("lab"), 1).otherwise(0)).alias("np"),
-        F.sum(F.when(~F.col("lab"), 1).otherwise(0)).alias("nn"),
-    ).collect()[0]
-    n_pos, n_neg = int(ndocs["np"] or 0), int(ndocs["nn"] or 0)
+    if class_counts is not None:
+        n_pos, n_neg = int(class_counts[0]), int(class_counts[1])
+    else:
+        ndocs = lab.groupBy().agg(
+            F.sum(F.when(F.col("lab"), 1).otherwise(0)).alias("np"),
+            F.sum(F.when(~F.col("lab"), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        n_pos, n_neg = int(ndocs["np"] or 0), int(ndocs["nn"] or 0)
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
             f"quality classifier needs both classes: pos={n_pos} neg={n_neg}"
