@@ -260,7 +260,15 @@ def duplicate_window_spans(
     if est is not None and est <= SS_PERSIST_MAX_DOCS:
         from harvesttext_spark.session import plan_keyed_persist
 
-        wins = plan_keyed_persist(wins, "ss_wins")
+        # persist PRE-PARTITIONED on the window key: the cached layout
+        # then satisfies ClusteredDistribution for both census levels AND
+        # co-partitions the duplicate-probe join, so the warm path runs
+        # with zero further exchange of the window table (the one
+        # repartition is paid at materialization, where an aggregation
+        # exchange was due anyway)
+        wins = plan_keyed_persist(
+            wins.repartition("h1", "h2", "h3"), "ss_wins"
+        )
     id_type = dict(docs.dtypes)[id_col]
     if id_type in ("bigint", "int", "smallint", "tinyint"):
         # r9: numeric ids get an all-HashAggregate census.  min(struct)
