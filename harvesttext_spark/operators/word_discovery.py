@@ -45,6 +45,11 @@ NORM_PATTERN = (
 )
 
 
+# repartition the persisted candidate stream by word only below this many
+# input docs (hot-word skew shield above it — see ngram_stats)
+WD_REPARTITION_MAX_DOCS = 500_000
+
+
 def normalize_corpus(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Punct/latin runs -> single space, trimmed; empty docs dropped.
 
@@ -184,8 +189,19 @@ def ngram_stats(
     cands, corpus_len = candidate_grams(docs, text_col, id_col, max_word_len, unit)
     # three consumers (counts + left/right entropy) each re-ran the full
     # gram explosion; plan-keyed LRU-1 persist collapses them to one
+    from harvesttext_spark.operators.dedup import _estimated_rows
     from harvesttext_spark.session import plan_keyed_persist
 
+    est = _estimated_rows(docs)
+    if est is not None and est <= WD_REPARTITION_MAX_DOCS:
+        # r9: persist PRE-PARTITIONED on word — the cached layout then
+        # satisfies ClusteredDistribution for counts, both entropy
+        # aggregations (subset rule via (word, neighbor)) and the final
+        # stats joins, removing ~5 exchanges of the gram stream from the
+        # warm path.  Size-gated: above the gate a Zipf-head word would
+        # funnel its raw occurrences into one partition, so the default
+        # shape keeps map-side partial aggregation as the skew shield.
+        cands = cands.repartition("word")
     cands = plan_keyed_persist(cands, "wd_cands")
     sep = "" if unit == "char" else " "
 
