@@ -130,30 +130,61 @@ def dsir_weights(
         from harvesttext_spark.session import plan_keyed_persist
 
         raw_feats = plan_keyed_persist(raw_feats, "dsir_raw_feats")
-    if target_filter is not None:
-        tgt_feats = raw_feats.filter(target_filter(F.col("_id"))).select("bucket")
-    else:
-        tgt_feats = _word_feature_rows(target, text_col, [], n_buckets)
-    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
-    tots = raw_counts.agg(F.sum("cr").alias("r_tot")).crossJoin(
-        F.broadcast(tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tot")))
-    )
     ab = float(alpha) * n_buckets
-    # every scored feature hits this table: raw_counts covers the raw
-    # corpus's own buckets by construction (target-only buckets can't
-    # appear in the feature stream being scored)
-    ratio = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
+    if target_filter is not None:
+        # ONE conditional aggregation replaces the separate target count
+        # table, and the two totals are exact integer sums over the
+        # ≤ n_buckets dimension rows collected driver-side (the langid
+        # lang_stats precedent) — the r8 shape paid three chained
+        # broadcast-build jobs (target agg → totals crossJoin → ratio)
+        # per invocation.  NULL ids fall out of the conditional count
+        # exactly as they fell out of the filter.  The log-ratio doubles
+        # are computed by the SAME Spark expression over the same long
+        # inputs (int totals < 2^53 convert to double exactly), so every
+        # score is bit-identical to the two-table formulation.
+        counts = raw_feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count(F.when(target_filter(F.col("_id")), F.lit(1))).alias("ct"),
+        )
+        rows = counts.collect()
+        r_tot = sum(r["cr"] for r in rows)
+        t_tot = sum(r["ct"] for r in rows)
+        spark = raw.sparkSession
+        ratio = spark.createDataFrame(
+            rows, "bucket int, cr bigint, ct bigint"
+        ).select(
             "bucket",
             (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / (F.col("t_tot") + ab))
-                - F.log((F.col("cr") + alpha) / (F.col("r_tot") + ab))
+                F.log((F.col("ct") + alpha) / F.lit(float(t_tot) + ab))
+                - F.log((F.col("cr") + alpha) / F.lit(float(r_tot) + ab))
             ).alias("logratio"),
         )
-    )
+    else:
+        tgt_feats = _word_feature_rows(target, text_col, [], n_buckets)
+        raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+        tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
+        tots = raw_counts.agg(F.sum("cr").alias("r_tot")).crossJoin(
+            F.broadcast(
+                tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tot"))
+            )
+        )
+        # every scored feature hits this table: raw_counts covers the raw
+        # corpus's own buckets by construction (target-only buckets can't
+        # appear in the feature stream being scored)
+        ratio = (
+            raw_counts.join(tgt_counts, "bucket", "left")
+            .crossJoin(F.broadcast(tots))
+            .select(
+                "bucket",
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                        / (F.col("t_tot") + ab)
+                    )
+                    - F.log((F.col("cr") + alpha) / (F.col("r_tot") + ab))
+                ).alias("logratio"),
+            )
+        )
     scored = (
         raw_feats.join(F.broadcast(ratio), "bucket")
         .groupBy("_id")
