@@ -98,6 +98,14 @@ def train_langid(
             docs.withColumnRenamed(label_col, "lang"), text_col, ["lang"], n_buckets
         )
     counts = feats.groupBy("lang", "bucket").agg(F.count("*").alias("c"))
+    if persist:
+        # bounded dim (≤ langs × n_buckets rows): lang_tot, the weights
+        # projection AND the stats join all consume it — persisting it
+        # keeps each from re-scanning the full feature stream (r9; the
+        # quality_classifier counts precedent)
+        from harvesttext_spark.session import plan_keyed_persist
+
+        counts = plan_keyed_persist(counts, "langid_counts")
     lang_tot = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     weights = counts.join(lang_tot, "lang").select(
         "lang",
